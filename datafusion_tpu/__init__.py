@@ -1,0 +1,64 @@
+"""datafusion_tpu — a TPU-native vectorized SQL query engine.
+
+A brand-new engine (not a port) with the capability set of early DataFusion
+(reference: andygrove/datafusion-archive v0.6.0, surveyed in SURVEY.md):
+SQL parsing/planning (projection, selection, CAST with supertype coercion,
+MIN/MAX/SUM/COUNT/AVG aggregates with GROUP BY, ORDER BY, LIMIT, CREATE
+EXTERNAL TABLE), executed as jit-compiled fused JAX/XLA pipelines over
+HBM-resident columnar buffers — plus hash join, sort, and distributed
+execution over a `jax.sharding.Mesh` that the reference only roadmapped.
+
+Key design departures from the reference (see SURVEY.md §7):
+  * columnar device Tables instead of streamed 1024-row RecordBatches
+  * whole-plan lowering to traced XLA pipelines instead of per-expr closures
+  * selection as masks, compaction only at materialization boundaries
+  * strings dictionary-encoded (order-preserving codes) at host ingest
+  * SPMD distribution via shard_map + XLA collectives over ICI
+"""
+
+import os as _os
+
+# Float64 columns require x64 (parity with the reference's Arrow Float64
+# arrays). Benches on real TPU hardware use f32 columns; set DFTPU_X64=0
+# to leave jax's default 32-bit mode untouched.
+if _os.environ.get("DFTPU_X64", "1") == "1":
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+
+from datafusion_tpu.errors import (
+    ExecutionError,
+    InvalidColumnError,
+    NotImplementedError_,
+    ParserError,
+    PlanError,
+)
+from datafusion_tpu.types import DataType, ScalarValue, get_supertype, can_coerce_from
+from datafusion_tpu.schema import Field, Schema
+from datafusion_tpu.plan.logical import Expr, LogicalPlan
+from datafusion_tpu.columnar.table import Column, Table
+from datafusion_tpu.columnar.csv import CsvDataSource, read_csv
+from datafusion_tpu.exec.context import ExecutionContext
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CsvDataSource",
+    "Column",
+    "DataType",
+    "ExecutionContext",
+    "ExecutionError",
+    "Expr",
+    "Field",
+    "InvalidColumnError",
+    "LogicalPlan",
+    "NotImplementedError_",
+    "ParserError",
+    "PlanError",
+    "ScalarValue",
+    "Schema",
+    "Table",
+    "can_coerce_from",
+    "get_supertype",
+    "read_csv",
+]

@@ -1,0 +1,73 @@
+"""Result materialization and reference-compatible rendering.
+
+`result_str` reproduces the reference's tab-delimited golden format
+byte-for-byte (reference: tests/sql.rs:107-137): Debug-formatted floats,
+double-quoted Utf8, one row per line.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from datafusion_tpu.schema import Schema
+from datafusion_tpu.types import DataType
+from datafusion_tpu.utils.fmt import format_cell
+
+
+@dataclass
+class ResultTable:
+    """Host-side query result: numpy columns in output order."""
+
+    schema: Schema
+    cols: list[tuple[np.ndarray, Optional[np.ndarray]]]
+    dicts: list[Optional[tuple[str, ...]]]
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.cols[0][0]) if self.cols else 0
+
+    @property
+    def num_columns(self) -> int:
+        return len(self.cols)
+
+    def column_values(self, j: int):
+        """Decoded python-friendly values for column j (None for NULL)."""
+        data, valid = self.cols[j]
+        dt = self.schema.field(j).dtype
+        if dt is DataType.Utf8:
+            vocab = np.asarray(self.dicts[j], dtype=object)
+            vals = vocab[np.clip(data, 0, max(len(vocab) - 1, 0))]
+        else:
+            vals = data
+        out = list(vals)
+        if valid is not None:
+            out = [v if ok else None for v, ok in zip(out, valid)]
+        return out
+
+    def to_pylist(self) -> list[dict]:
+        names = self.schema.names()
+        colvals = [self.column_values(j) for j in range(self.num_columns)]
+        return [
+            {names[j]: colvals[j][i] for j in range(self.num_columns)}
+            for i in range(self.num_rows)
+        ]
+
+    def result_str(self) -> str:
+        """Tab-delimited rendering identical to the reference's result_str
+        (tests/sql.rs:107-137)."""
+        colvals = [self.column_values(j) for j in range(self.num_columns)]
+        dtypes = [f.dtype for f in self.schema.fields]
+        lines = []
+        for i in range(self.num_rows):
+            cells = []
+            for j in range(self.num_columns):
+                v = colvals[j][i]
+                cells.append("NULL" if v is None else format_cell(dtypes[j], v))
+            lines.append("\t".join(cells))
+        return "".join(line + "\n" for line in lines)
+
+    def __repr__(self) -> str:
+        return f"ResultTable({self.num_rows} rows × {self.num_columns} cols)\n" + self.result_str()

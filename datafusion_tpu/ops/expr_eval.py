@@ -1,0 +1,348 @@
+"""Expression compilation: Expr IR → traced JAX array functions.
+
+The reference compiles each Expr to an interpreted closure returning a
+new Arrow array per batch (reference: src/execution/expression.rs:80-315,
+including the materialize-literal-arrays hack at :226-243). Here the
+whole expression tree becomes one traced function over device columns —
+XLA fuses the entire pipeline, literals stay scalars, and string
+comparisons are resolved against the column dictionary at compile time.
+
+Runtime value convention: a column value is `(data, valid)` where `data`
+is a jax array (possibly 0-d for literals) and `valid` is a bool array or
+None (all-valid).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from datafusion_tpu.errors import ExecutionError, NotImplementedError_
+from datafusion_tpu.schema import Schema
+from datafusion_tpu.types import DataType
+from datafusion_tpu.plan.logical import (
+    AggregateFunction,
+    BinaryExpr,
+    Cast,
+    Column,
+    Expr,
+    IsNotNull,
+    IsNull,
+    Literal,
+    Operator,
+    ScalarFunction,
+    SortExpr,
+)
+
+ColVal = tuple[jax.Array, Optional[jax.Array]]
+
+
+@dataclass(frozen=True)
+class CompiledExpr:
+    """A compiled expression: fn(cols) -> (data, valid|None)."""
+
+    fn: Callable[[Sequence[ColVal]], ColVal]
+    dtype: DataType
+    dictionary: Optional[tuple[str, ...]] = None
+
+
+# built-in scalar functions; ExecutionContext can register more
+SCALAR_FUNCTIONS: dict[str, Callable] = {
+    "sqrt": jnp.sqrt,
+    "abs": jnp.abs,
+    "exp": jnp.exp,
+    "log": jnp.log,
+    "sin": jnp.sin,
+    "cos": jnp.cos,
+    "tan": jnp.tan,
+    "floor": jnp.floor,
+    "ceil": jnp.ceil,
+}
+
+
+def _and_valid(a: Optional[jax.Array], b: Optional[jax.Array]) -> Optional[jax.Array]:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return jnp.logical_and(a, b)
+
+
+_ARITH = {
+    Operator.Plus: lambda l, r: l + r,
+    Operator.Minus: lambda l, r: l - r,
+    Operator.Multiply: lambda l, r: l * r,
+    # truncated division/remainder to match Rust integer semantics
+    # (reference executes arrow array_ops::divide; Rust `/` truncates)
+    Operator.Divide: lambda l, r: (
+        lax.div(l, r) if jnp.issubdtype(l.dtype, jnp.integer) else l / r
+    ),
+    Operator.Modulus: lambda l, r: lax.rem(l, r),
+}
+
+_CMP = {
+    Operator.Eq: lambda l, r: l == r,
+    Operator.NotEq: lambda l, r: l != r,
+    Operator.Lt: lambda l, r: l < r,
+    Operator.LtEq: lambda l, r: l <= r,
+    Operator.Gt: lambda l, r: l > r,
+    Operator.GtEq: lambda l, r: l >= r,
+}
+
+
+def compile_expr(
+    expr: Expr,
+    schema: Schema,
+    dicts: Sequence[Optional[tuple[str, ...]]],
+    fn_registry: Optional[dict[str, Callable]] = None,
+) -> CompiledExpr:
+    """Compile `expr` against `schema`; `dicts[i]` is the dictionary of
+    input column i (None for non-Utf8)."""
+    registry = dict(SCALAR_FUNCTIONS)
+    if fn_registry:
+        registry.update(fn_registry)
+    return _compile(expr, schema, list(dicts), registry)
+
+
+def _compile(expr, schema, dicts, registry) -> CompiledExpr:
+    if isinstance(expr, Column):
+        i = expr.index
+        dt = schema.field(i).dtype
+        return CompiledExpr(lambda cols, i=i: cols[i], dt, dicts[i])
+
+    if isinstance(expr, Literal):
+        sv = expr.value
+        dt = sv.dtype
+        if dt is DataType.Utf8:
+            # string literals only appear inside comparisons, which are
+            # rewritten against the column dictionary below
+            def fail(cols):
+                raise ExecutionError("bare Utf8 literal cannot be evaluated on device")
+
+            return CompiledExpr(fail, dt, None)
+        const = jnp.asarray(sv.value, dtype=dt.to_np())
+        return CompiledExpr(lambda cols, c=const: (c, None), dt)
+
+    if isinstance(expr, BinaryExpr):
+        return _compile_binary(expr, schema, dicts, registry)
+
+    if isinstance(expr, Cast):
+        inner = _compile(expr.expr, schema, dicts, registry)
+        target = expr.data_type
+        if inner.dtype is DataType.Utf8 or target is DataType.Utf8:
+            if inner.dtype == target:
+                return inner
+            raise NotImplementedError_("CAST to/from Utf8 is not supported on device")
+        np_dt = target.to_np()
+
+        def cast_fn(cols, inner=inner, np_dt=np_dt):
+            d, v = inner.fn(cols)
+            return d.astype(np_dt), v
+
+        return CompiledExpr(cast_fn, target)
+
+    if isinstance(expr, IsNull):
+        inner = _compile(expr.expr, schema, dicts, registry)
+
+        def isnull_fn(cols, inner=inner):
+            d, v = inner.fn(cols)
+            if v is None:
+                return jnp.zeros(jnp.shape(d), dtype=jnp.bool_), None
+            return jnp.logical_not(v), None
+
+        return CompiledExpr(isnull_fn, DataType.Boolean)
+
+    if isinstance(expr, IsNotNull):
+        inner = _compile(expr.expr, schema, dicts, registry)
+
+        def isnotnull_fn(cols, inner=inner):
+            d, v = inner.fn(cols)
+            if v is None:
+                return jnp.ones(jnp.shape(d), dtype=jnp.bool_), None
+            return v, None
+
+        return CompiledExpr(isnotnull_fn, DataType.Boolean)
+
+    if isinstance(expr, ScalarFunction):
+        fn = registry.get(expr.name.lower())
+        if fn is None:
+            raise ExecutionError(f"Invalid function '{expr.name}'")
+        args = [_compile(a, schema, dicts, registry) for a in expr.args]
+
+        def sf_fn(cols, fn=fn, args=args):
+            datas = []
+            valid = None
+            for a in args:
+                d, v = a.fn(cols)
+                datas.append(d)
+                valid = _and_valid(valid, v)
+            return fn(*datas), valid
+
+        return CompiledExpr(sf_fn, expr.return_type)
+
+    if isinstance(expr, SortExpr):
+        return _compile(expr.expr, schema, dicts, registry)
+
+    if isinstance(expr, AggregateFunction):
+        raise ExecutionError(
+            "aggregate function reached the expression compiler; aggregates "
+            "are lowered by the Aggregate operator"
+        )
+
+    raise NotImplementedError_(f"cannot compile expression {expr!r}")
+
+
+# ---------------------------------------------------------------------------
+# binary expressions
+# ---------------------------------------------------------------------------
+
+
+def _strip_cast(e: Expr) -> Expr:
+    # planner inserts identity Utf8 casts only when types already match;
+    # string rewrites want the underlying column/literal
+    while isinstance(e, Cast):
+        e = e.expr
+    return e
+
+
+def _compile_binary(expr: BinaryExpr, schema, dicts, registry) -> CompiledExpr:
+    op = expr.op
+
+    if op in (Operator.Like, Operator.NotLike):
+        raise NotImplementedError_("LIKE is parsed but not executable (as in reference)")
+
+    lraw, rraw = _strip_cast(expr.left), _strip_cast(expr.right)
+    l_is_str = lraw.get_type(schema) is DataType.Utf8 if _typeable(lraw, schema) else False
+    r_is_str = rraw.get_type(schema) is DataType.Utf8 if _typeable(rraw, schema) else False
+    if op.is_comparison and (l_is_str or r_is_str):
+        return _compile_string_cmp(lraw, op, rraw, schema, dicts, registry)
+
+    left = _compile(expr.left, schema, dicts, registry)
+    right = _compile(expr.right, schema, dicts, registry)
+
+    if op in (Operator.And, Operator.Or):
+        jop = jnp.logical_and if op is Operator.And else jnp.logical_or
+
+        def bool_fn(cols, left=left, right=right, jop=jop):
+            ld, lv = left.fn(cols)
+            rd, rv = right.fn(cols)
+            return jop(ld, rd), _and_valid(lv, rv)
+
+        return CompiledExpr(bool_fn, DataType.Boolean)
+
+    if op.is_comparison:
+        cmp = _CMP[op]
+
+        def cmp_fn(cols, left=left, right=right, cmp=cmp):
+            ld, lv = left.fn(cols)
+            rd, rv = right.fn(cols)
+            return cmp(ld, rd), _and_valid(lv, rv)
+
+        return CompiledExpr(cmp_fn, DataType.Boolean)
+
+    if op in _ARITH:
+        arith = _ARITH[op]
+        out_dt = expr.get_type(schema)
+
+        def arith_fn(cols, left=left, right=right, arith=arith):
+            ld, lv = left.fn(cols)
+            rd, rv = right.fn(cols)
+            return arith(ld, rd), _and_valid(lv, rv)
+
+        return CompiledExpr(arith_fn, out_dt)
+
+    raise NotImplementedError_(f"operator {op!r} is not executable")
+
+
+def _typeable(e: Expr, schema) -> bool:
+    try:
+        e.get_type(schema)
+        return True
+    except Exception:
+        return False
+
+
+def _compile_string_cmp(lraw, op, rraw, schema, dicts, registry) -> CompiledExpr:
+    """String comparisons on dictionary codes, resolved at compile time."""
+    # column vs literal (either side)
+    if isinstance(lraw, Column) and isinstance(rraw, Literal):
+        return _col_lit_cmp(lraw, op, rraw.value.value, schema, dicts, flipped=False)
+    if isinstance(rraw, Column) and isinstance(lraw, Literal):
+        flip = {
+            Operator.Lt: Operator.Gt,
+            Operator.LtEq: Operator.GtEq,
+            Operator.Gt: Operator.Lt,
+            Operator.GtEq: Operator.LtEq,
+        }
+        return _col_lit_cmp(
+            rraw, flip.get(op, op), lraw.value.value, schema, dicts, flipped=True
+        )
+    if isinstance(lraw, Column) and isinstance(rraw, Column):
+        return _col_col_cmp(lraw, op, rraw, schema, dicts)
+    raise NotImplementedError_("unsupported string comparison operands")
+
+
+def _col_lit_cmp(col: Column, op: Operator, lit: str, schema, dicts, flipped) -> CompiledExpr:
+    vocab = dicts[col.index]
+    if vocab is None:
+        raise ExecutionError(f"Utf8 column #{col.index} has no dictionary")
+    varr = np.asarray(vocab, dtype=object)
+    lo = int(np.searchsorted(varr.astype(str), lit, side="left"))
+    hi = int(np.searchsorted(varr.astype(str), lit, side="right"))
+    present = lo < hi  # literal exists in the vocab
+    i = col.index
+
+    def fn(cols, i=i, op=op, lo=lo, hi=hi, present=present):
+        d, v = cols[i]
+        if op is Operator.Eq:
+            out = (d == lo) if present else jnp.zeros(jnp.shape(d), jnp.bool_)
+        elif op is Operator.NotEq:
+            out = (d != lo) if present else jnp.ones(jnp.shape(d), jnp.bool_)
+        elif op is Operator.Lt:
+            out = d < lo
+        elif op is Operator.LtEq:
+            out = d < hi
+        elif op is Operator.Gt:
+            out = d >= hi
+        elif op is Operator.GtEq:
+            out = d >= lo
+        else:
+            raise ExecutionError(f"bad string cmp {op}")
+        return out, v
+
+    return CompiledExpr(fn, DataType.Boolean)
+
+
+def _col_col_cmp(lcol: Column, op: Operator, rcol: Column, schema, dicts) -> CompiledExpr:
+    lv, rv = dicts[lcol.index], dicts[rcol.index]
+    if lv is None or rv is None:
+        raise ExecutionError("Utf8 column missing dictionary")
+    li, ri = lcol.index, rcol.index
+    if lv == rv:
+        cmp = _CMP[op]
+
+        def same_fn(cols, li=li, ri=ri, cmp=cmp):
+            ld, lvd = cols[li]
+            rd, rvd = cols[ri]
+            return cmp(ld, rd), _and_valid(lvd, rvd)
+
+        return CompiledExpr(same_fn, DataType.Boolean)
+
+    # different dictionaries: remap both into the merged sorted vocab
+    merged = sorted(set(lv) | set(rv))
+    lmap = jnp.asarray(np.searchsorted(merged, np.asarray(lv, dtype=object).astype(str)), dtype=jnp.int32)
+    rmap = jnp.asarray(np.searchsorted(merged, np.asarray(rv, dtype=object).astype(str)), dtype=jnp.int32)
+    cmp = _CMP[op]
+
+    def remap_fn(cols, li=li, ri=ri, lmap=lmap, rmap=rmap, cmp=cmp):
+        ld, lvd = cols[li]
+        rd, rvd = cols[ri]
+        return cmp(jnp.take(lmap, ld), jnp.take(rmap, rd)), _and_valid(lvd, rvd)
+
+    return CompiledExpr(remap_fn, DataType.Boolean)

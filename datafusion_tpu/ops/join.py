@@ -1,0 +1,95 @@
+"""Equi-join — the reference's 0.7.0 roadmap item (ROADMAP.md:33),
+implemented here as a vectorized sort + binary-search join.
+
+Shape discipline: XLA needs static shapes, so the output has a static
+`out_capacity`; the kernel also returns the true match count so the
+caller can detect overflow on the host and recompile with a larger
+capacity (the fixed-capacity + valid-count idiom, SURVEY.md §7).
+
+Duplicate keys on the build side are handled by ranged matches: for each
+probe row, [start, end) over the sorted build side; output slot k maps
+back to its probe row by searching the running offsets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+ColVal = tuple[jax.Array, Optional[jax.Array]]
+
+
+def _pack_keys(keys: Sequence[jax.Array]) -> jax.Array:
+    """Combine up to two 32-bit key columns into one sortable int64.
+    Single keys pass through unchanged."""
+    if len(keys) == 1:
+        return keys[0]
+    if len(keys) == 2:
+        a = keys[0].astype(jnp.int64)
+        b = keys[1].astype(jnp.int64)
+        # order-preserving pack for 32-bit-range keys
+        return (a << 32) | (b & 0xFFFFFFFF)
+    raise NotImplementedError("joins on >2 key columns not yet supported")
+
+
+def inner_join_indices(
+    probe_keys: Sequence[jax.Array],
+    probe_sel: jax.Array,
+    build_keys: Sequence[jax.Array],
+    build_sel: jax.Array,
+    out_capacity: int,
+):
+    """Compute gather indices realizing the inner equi-join.
+
+    Returns (probe_idx, build_idx, out_sel, total) — arrays of length
+    out_capacity; `total` is the exact number of matches (may exceed
+    out_capacity, in which case the caller must recompile bigger).
+    """
+    p_cap = int(probe_sel.shape[0])
+    b_cap = int(build_sel.shape[0])
+
+    pkey = _pack_keys(probe_keys)
+    bkey = _pack_keys(build_keys)
+
+    # sort build side by key, unselected rows last via a +inf-like sentinel
+    b_sentinel = jnp.asarray(jnp.iinfo(bkey.dtype).max, bkey.dtype)
+    bkey_m = jnp.where(build_sel, bkey, b_sentinel)
+    b_iota = lax.broadcasted_iota(jnp.int32, (b_cap,), 0)
+    bkey_sorted, b_perm = lax.sort([bkey_m, b_iota], num_keys=1)
+    n_build = jnp.sum(build_sel.astype(jnp.int32))
+
+    # ranged match per probe row (mask out probe rows not selected)
+    start = jnp.searchsorted(bkey_sorted, pkey, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(bkey_sorted, pkey, side="right").astype(jnp.int32)
+    end = jnp.minimum(end, n_build)  # sentinel rows never match real keys,
+    start = jnp.minimum(start, end)  # but guard against key == sentinel
+    counts = jnp.where(probe_sel, end - start, 0)
+
+    offsets = jnp.cumsum(counts) - counts  # exclusive prefix
+    total = jnp.sum(counts)
+
+    out_iota = lax.broadcasted_iota(jnp.int32, (out_capacity,), 0)
+    # map each output slot to its probe row: last row whose offset <= k
+    probe_idx = (
+        jnp.searchsorted(offsets + counts, out_iota, side="right")
+    ).astype(jnp.int32)
+    probe_idx = jnp.clip(probe_idx, 0, p_cap - 1)
+    within = out_iota - jnp.take(offsets, probe_idx)
+    build_pos = jnp.take(start, probe_idx) + within
+    build_pos = jnp.clip(build_pos, 0, b_cap - 1)
+    build_idx = jnp.take(b_perm, build_pos)
+    out_sel = out_iota < total
+    return probe_idx, build_idx, out_sel, total
+
+
+def gather_columns(cols: Sequence[ColVal], idx: jax.Array) -> list[ColVal]:
+    out = []
+    for data, valid in cols:
+        data = jnp.broadcast_to(data, (int(jnp.shape(idx)[0]),)) if jnp.ndim(data) == 0 else data
+        d = jnp.take(data, idx)
+        v = None if valid is None else jnp.take(valid, idx)
+        out.append((d, v))
+    return out

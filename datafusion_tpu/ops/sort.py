@@ -1,0 +1,73 @@
+"""Multi-key sort and limit.
+
+The reference parsed and planned ORDER BY/LIMIT but execution hit
+`unimplemented!()` (reference: src/execution/context.rs:194,
+ROADMAP.md:21). Here sort is a first-class vectorized operator:
+`jax.lax.sort` over transformed keys with the masked-out rows pushed to
+the end, producing a gather permutation applied to all payload columns.
+
+Descending order uses order-reversing key transforms (bitwise-not for
+ints, negation for floats) instead of a second sort pass.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+ColVal = tuple[jax.Array, Optional[jax.Array]]
+
+
+def _directed_key(data: jax.Array, valid: Optional[jax.Array], asc: bool) -> list[jax.Array]:
+    """Transform one sort key for ascending lax.sort. NULLs sort last
+    (regardless of direction), matching common SQL engines."""
+    keys = []
+    if valid is not None:
+        keys.append(jnp.logical_not(valid).astype(jnp.int8))  # nulls last
+    if jnp.issubdtype(data.dtype, jnp.floating):
+        keys.append(data if asc else -data)
+    elif data.dtype == jnp.bool_:
+        d = data.astype(jnp.int8)
+        keys.append(d if asc else 1 - d)
+    else:
+        keys.append(data if asc else ~data)
+    return keys
+
+
+def sort_permutation(
+    keys: Sequence[tuple[ColVal, bool]],
+    sel: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Return (perm, count): a permutation putting selected rows first in
+    key order; count = number of selected rows."""
+    capacity = int(sel.shape[0])
+    iota = lax.broadcasted_iota(jnp.int32, (capacity,), 0)
+    operands: list[jax.Array] = [jnp.logical_not(sel).astype(jnp.int8)]
+    for (data, valid), asc in keys:
+        data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
+        operands.extend(_directed_key(data, valid, asc))
+    operands.append(iota)  # final key: stable tie-break by original row
+    sorted_ops = lax.sort(operands, num_keys=len(operands))
+    perm = sorted_ops[-1]
+    count = jnp.sum(sel.astype(jnp.int32))
+    return perm, count
+
+
+def apply_permutation(cols: Sequence[ColVal], perm: jax.Array) -> list[ColVal]:
+    out = []
+    for data, valid in cols:
+        data = jnp.broadcast_to(data, perm.shape) if jnp.ndim(data) == 0 else data
+        d = jnp.take(data, perm)
+        v = None if valid is None else jnp.take(valid, perm)
+        out.append((d, v))
+    return out
+
+
+def limit_mask(sel: jax.Array, limit: int) -> jax.Array:
+    """Keep the first `limit` selected rows in current order
+    (reference semantics: Limit over the projected stream)."""
+    ranks = jnp.cumsum(sel.astype(jnp.int32))
+    return jnp.logical_and(sel, ranks <= limit)

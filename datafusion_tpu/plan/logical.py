@@ -1,0 +1,613 @@
+"""Logical plan IR: relational expressions and plan nodes.
+
+Reproduces the reference's IR surface (reference: src/logicalplan.rs —
+`Expr` enum :136-167, `LogicalPlan` enum :311-348, Debug pretty-printer
+:366-443 whose output is the planner-golden-test format) and adds the
+`Join` node the reference only roadmapped (ROADMAP.md:33).
+
+Plans are immutable values; `to_json`/`from_json` give the serializable
+form the reference intended for shipping plans to workers
+(logicalplan.rs:310 serde derives).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from typing import Optional, Union
+
+from datafusion_tpu.errors import PlanError
+from datafusion_tpu.schema import Field, Schema
+from datafusion_tpu.types import DataType, ScalarValue, can_coerce_from, get_supertype
+
+
+class Operator(enum.Enum):
+    """Binary operators (reference: logicalplan.rs:67-84). Debug names
+    match Rust's derived Debug — planner goldens print them verbatim."""
+
+    Eq = "Eq"
+    NotEq = "NotEq"
+    Lt = "Lt"
+    LtEq = "LtEq"
+    Gt = "Gt"
+    GtEq = "GtEq"
+    Plus = "Plus"
+    Minus = "Minus"
+    Multiply = "Multiply"
+    Divide = "Divide"
+    Modulus = "Modulus"
+    And = "And"
+    Or = "Or"
+    Not = "Not"
+    Like = "Like"
+    NotLike = "NotLike"
+
+    def __repr__(self) -> str:
+        return self.value
+
+    @property
+    def is_comparison(self) -> bool:
+        return self in (
+            Operator.Eq,
+            Operator.NotEq,
+            Operator.Lt,
+            Operator.LtEq,
+            Operator.Gt,
+            Operator.GtEq,
+        )
+
+    @property
+    def is_boolean(self) -> bool:
+        return self in (Operator.And, Operator.Or, Operator.Not)
+
+
+# ---------------------------------------------------------------------------
+# Expressions
+# ---------------------------------------------------------------------------
+
+
+class Expr:
+    """Base class for relational expressions (reference: logicalplan.rs:136)."""
+
+    # ---- typing ----------------------------------------------------------
+    def get_type(self, schema: Schema) -> DataType:
+        """Result type of this expression against `schema`
+        (reference: logicalplan.rs:170-198)."""
+        raise NotImplementedError
+
+    def cast_to(self, target: DataType, schema: Schema) -> "Expr":
+        """Wrap in a Cast if needed; error if lossy
+        (reference: logicalplan.rs:200-215)."""
+        this = self.get_type(schema)
+        if this == target:
+            return self
+        if can_coerce_from(target, this):
+            return Cast(self, target)
+        raise PlanError(f"Cannot automatically convert {this!r} to {target!r}")
+
+    # ---- builder sugar (reference: logicalplan.rs:217-264) ---------------
+    def eq(self, other: "Expr") -> "Expr":
+        return BinaryExpr(self, Operator.Eq, other)
+
+    def not_eq(self, other: "Expr") -> "Expr":
+        return BinaryExpr(self, Operator.NotEq, other)
+
+    def gt(self, other: "Expr") -> "Expr":
+        return BinaryExpr(self, Operator.Gt, other)
+
+    def gt_eq(self, other: "Expr") -> "Expr":
+        return BinaryExpr(self, Operator.GtEq, other)
+
+    def lt(self, other: "Expr") -> "Expr":
+        return BinaryExpr(self, Operator.Lt, other)
+
+    def lt_eq(self, other: "Expr") -> "Expr":
+        return BinaryExpr(self, Operator.LtEq, other)
+
+
+@dataclass(frozen=True, repr=False)
+class Column(Expr):
+    """Column reference by ordinal (reference: Expr::Column)."""
+
+    index: int
+
+    def get_type(self, schema: Schema) -> DataType:
+        return schema.field(self.index).dtype
+
+    def __repr__(self) -> str:
+        return f"#{self.index}"
+
+
+@dataclass(frozen=True, repr=False)
+class Literal(Expr):
+    value: ScalarValue
+
+    def get_type(self, schema: Schema) -> DataType:
+        return self.value.dtype
+
+    def __repr__(self) -> str:
+        return repr(self.value)
+
+
+@dataclass(frozen=True, repr=False)
+class BinaryExpr(Expr):
+    left: Expr
+    op: Operator
+    right: Expr
+
+    def get_type(self, schema: Schema) -> DataType:
+        if self.op.is_comparison or self.op.is_boolean:
+            return DataType.Boolean
+        lt = self.left.get_type(schema)
+        rt = self.right.get_type(schema)
+        st = get_supertype(lt, rt)
+        # reference falls back to Utf8 with a TODO (logicalplan.rs:191)
+        return st if st is not None else DataType.Utf8
+
+    def __repr__(self) -> str:
+        return f"{self.left!r} {self.op!r} {self.right!r}"
+
+
+@dataclass(frozen=True, repr=False)
+class IsNull(Expr):
+    expr: Expr
+
+    def get_type(self, schema: Schema) -> DataType:
+        return DataType.Boolean
+
+    def __repr__(self) -> str:
+        return f"{self.expr!r} IS NULL"
+
+
+@dataclass(frozen=True, repr=False)
+class IsNotNull(Expr):
+    expr: Expr
+
+    def get_type(self, schema: Schema) -> DataType:
+        return DataType.Boolean
+
+    def __repr__(self) -> str:
+        return f"{self.expr!r} IS NOT NULL"
+
+
+@dataclass(frozen=True, repr=False)
+class Cast(Expr):
+    expr: Expr
+    data_type: DataType
+
+    def get_type(self, schema: Schema) -> DataType:
+        return self.data_type
+
+    def __repr__(self) -> str:
+        return f"CAST({self.expr!r} AS {self.data_type!r})"
+
+
+@dataclass(frozen=True, repr=False)
+class SortExpr(Expr):
+    """A sort key with direction (reference: Expr::Sort)."""
+
+    expr: Expr
+    asc: bool = True
+
+    def get_type(self, schema: Schema) -> DataType:
+        return self.expr.get_type(schema)
+
+    def __repr__(self) -> str:
+        return f"{self.expr!r} {'ASC' if self.asc else 'DESC'}"
+
+
+@dataclass(frozen=True, repr=False)
+class ScalarFunction(Expr):
+    name: str
+    args: tuple[Expr, ...]
+    return_type: DataType
+
+    def get_type(self, schema: Schema) -> DataType:
+        return self.return_type
+
+    def __repr__(self) -> str:
+        return f"{self.name}({', '.join(repr(a) for a in self.args)})"
+
+
+@dataclass(frozen=True, repr=False)
+class AggregateFunction(Expr):
+    name: str  # as written in SQL (reference keeps original case)
+    args: tuple[Expr, ...]
+    return_type: DataType
+
+    def get_type(self, schema: Schema) -> DataType:
+        return self.return_type
+
+    def __repr__(self) -> str:
+        return f"{self.name}({', '.join(repr(a) for a in self.args)})"
+
+
+# ---------------------------------------------------------------------------
+# Schema derivation (reference: sqlplanner.rs:395-431)
+# ---------------------------------------------------------------------------
+
+
+def expr_to_field(e: Expr, input_schema: Schema) -> Field:
+    if isinstance(e, Column):
+        return input_schema.field(e.index)
+    if isinstance(e, Literal):
+        return Field("lit", e.value.dtype, True)
+    if isinstance(e, (ScalarFunction, AggregateFunction)):
+        return Field(e.name, e.return_type, True)
+    if isinstance(e, Cast):
+        return Field("cast", e.data_type, True)
+    if isinstance(e, BinaryExpr):
+        if e.op.is_comparison or e.op.is_boolean:
+            return Field("binary_expr", DataType.Boolean, True)
+        lt = e.left.get_type(input_schema)
+        rt = e.right.get_type(input_schema)
+        st = get_supertype(lt, rt)
+        if st is None:
+            raise PlanError(f"no supertype for {lt!r} and {rt!r}")
+        return Field("binary_expr", st, True)
+    if isinstance(e, (IsNull, IsNotNull)):
+        return Field("binary_expr", DataType.Boolean, True)
+    if isinstance(e, SortExpr):
+        return expr_to_field(e.expr, input_schema)
+    raise PlanError(f"Cannot determine schema type for expression {e!r}")
+
+
+def exprlist_to_fields(exprs, input_schema: Schema) -> list[Field]:
+    return [expr_to_field(e, input_schema) for e in exprs]
+
+
+# ---------------------------------------------------------------------------
+# Plan nodes
+# ---------------------------------------------------------------------------
+
+
+class LogicalPlan:
+    """Base class for plan nodes (reference: logicalplan.rs:311-348)."""
+
+    schema: Schema
+
+    def children(self) -> tuple["LogicalPlan", ...]:
+        return ()
+
+    # pretty printer (reference: logicalplan.rs:366-443)
+    def _fmt(self, indent: int) -> str:
+        raise NotImplementedError
+
+    def __repr__(self) -> str:
+        return self._fmt(0)
+
+    def _child_fmt(self, indent: int) -> str:
+        return "\n" + "  " * (indent + 1)
+
+
+@dataclass(repr=False)
+class EmptyRelation(LogicalPlan):
+    schema: Schema
+
+    def _fmt(self, indent: int) -> str:
+        return "EmptyRelation"
+
+
+@dataclass(repr=False)
+class TableScan(LogicalPlan):
+    schema_name: str
+    table_name: str
+    schema: Schema
+    projection: Optional[list[int]] = None
+
+    def _fmt(self, indent: int) -> str:
+        proj = "None" if self.projection is None else f"Some({self.projection})"
+        return f"TableScan: {self.table_name} projection={proj}"
+
+
+@dataclass(repr=False)
+class Projection(LogicalPlan):
+    exprs: tuple[Expr, ...]
+    input: LogicalPlan
+    schema: Schema
+
+    def children(self):
+        return (self.input,)
+
+    def _fmt(self, indent: int) -> str:
+        head = "Projection: " + ", ".join(repr(e) for e in self.exprs)
+        return head + self._child_fmt(indent) + self.input._fmt(indent + 1)
+
+
+@dataclass(repr=False)
+class Selection(LogicalPlan):
+    expr: Expr
+    input: LogicalPlan
+
+    @property
+    def schema(self) -> Schema:
+        return self.input.schema
+
+    def children(self):
+        return (self.input,)
+
+    def _fmt(self, indent: int) -> str:
+        return (
+            f"Selection: {self.expr!r}"
+            + self._child_fmt(indent)
+            + self.input._fmt(indent + 1)
+        )
+
+
+@dataclass(repr=False)
+class Aggregate(LogicalPlan):
+    input: LogicalPlan
+    group_exprs: tuple[Expr, ...]
+    aggr_exprs: tuple[Expr, ...]
+    schema: Schema
+
+    def children(self):
+        return (self.input,)
+
+    def _fmt(self, indent: int) -> str:
+        g = "[" + ", ".join(repr(e) for e in self.group_exprs) + "]"
+        a = "[" + ", ".join(repr(e) for e in self.aggr_exprs) + "]"
+        return (
+            f"Aggregate: groupBy=[{g}], aggr=[{a}]"
+            + self._child_fmt(indent)
+            + self.input._fmt(indent + 1)
+        )
+
+
+@dataclass(repr=False)
+class Sort(LogicalPlan):
+    exprs: tuple[SortExpr, ...]
+    input: LogicalPlan
+    schema: Schema
+
+    def children(self):
+        return (self.input,)
+
+    def _fmt(self, indent: int) -> str:
+        head = "Sort: " + ", ".join(repr(e) for e in self.exprs)
+        return head + self._child_fmt(indent) + self.input._fmt(indent + 1)
+
+
+@dataclass(repr=False)
+class Limit(LogicalPlan):
+    limit: int
+    input: LogicalPlan
+    schema: Schema
+
+    def children(self):
+        return (self.input,)
+
+    def _fmt(self, indent: int) -> str:
+        return (
+            f"Limit: {self.limit}"
+            + self._child_fmt(indent)
+            + self.input._fmt(indent + 1)
+        )
+
+
+class JoinType(enum.Enum):
+    Inner = "Inner"
+    Left = "Left"
+    Right = "Right"
+
+    def __repr__(self) -> str:
+        return self.value
+
+
+@dataclass(repr=False)
+class Join(LogicalPlan):
+    """Equi-join — the reference's 0.7.0 roadmap item (ROADMAP.md:33),
+    first-class here."""
+
+    left: LogicalPlan
+    right: LogicalPlan
+    on: tuple[tuple[int, int], ...]  # (left column, right column) pairs
+    join_type: JoinType
+    schema: Schema
+
+    def children(self):
+        return (self.left, self.right)
+
+    def _fmt(self, indent: int) -> str:
+        on = ", ".join(f"#{l} = #{r}" for l, r in self.on)
+        return (
+            f"Join: type={self.join_type!r}, on=[{on}]"
+            + self._child_fmt(indent)
+            + self.left._fmt(indent + 1)
+            + self._child_fmt(indent)
+            + self.right._fmt(indent + 1)
+        )
+
+
+# ---------------------------------------------------------------------------
+# JSON serde — the plan-shipping format the reference intended
+# (logicalplan.rs:612-651 round-trip test).
+# ---------------------------------------------------------------------------
+
+
+def expr_to_json(e: Expr):
+    if isinstance(e, Column):
+        return {"Column": e.index}
+    if isinstance(e, Literal):
+        v = e.value
+        return {"Literal": {v.dtype.value: v.value}}
+    if isinstance(e, BinaryExpr):
+        return {
+            "BinaryExpr": {
+                "left": expr_to_json(e.left),
+                "op": e.op.value,
+                "right": expr_to_json(e.right),
+            }
+        }
+    if isinstance(e, IsNull):
+        return {"IsNull": expr_to_json(e.expr)}
+    if isinstance(e, IsNotNull):
+        return {"IsNotNull": expr_to_json(e.expr)}
+    if isinstance(e, Cast):
+        return {"Cast": {"expr": expr_to_json(e.expr), "data_type": e.data_type.value}}
+    if isinstance(e, SortExpr):
+        return {"Sort": {"expr": expr_to_json(e.expr), "asc": e.asc}}
+    if isinstance(e, ScalarFunction):
+        return {
+            "ScalarFunction": {
+                "name": e.name,
+                "args": [expr_to_json(a) for a in e.args],
+                "return_type": e.return_type.value,
+            }
+        }
+    if isinstance(e, AggregateFunction):
+        return {
+            "AggregateFunction": {
+                "name": e.name,
+                "args": [expr_to_json(a) for a in e.args],
+                "return_type": e.return_type.value,
+            }
+        }
+    raise PlanError(f"cannot serialize expr {e!r}")
+
+
+def expr_from_json(d) -> Expr:
+    (kind, body), = d.items()
+    if kind == "Column":
+        return Column(body)
+    if kind == "Literal":
+        (dt, v), = body.items()
+        return Literal(ScalarValue(DataType(dt), v))
+    if kind == "BinaryExpr":
+        return BinaryExpr(
+            expr_from_json(body["left"]), Operator(body["op"]), expr_from_json(body["right"])
+        )
+    if kind == "IsNull":
+        return IsNull(expr_from_json(body))
+    if kind == "IsNotNull":
+        return IsNotNull(expr_from_json(body))
+    if kind == "Cast":
+        return Cast(expr_from_json(body["expr"]), DataType(body["data_type"]))
+    if kind == "Sort":
+        return SortExpr(expr_from_json(body["expr"]), body["asc"])
+    if kind == "ScalarFunction":
+        return ScalarFunction(
+            body["name"],
+            tuple(expr_from_json(a) for a in body["args"]),
+            DataType(body["return_type"]),
+        )
+    if kind == "AggregateFunction":
+        return AggregateFunction(
+            body["name"],
+            tuple(expr_from_json(a) for a in body["args"]),
+            DataType(body["return_type"]),
+        )
+    raise PlanError(f"cannot deserialize expr kind {kind}")
+
+
+def _schema_to_json(s: Schema):
+    return [[f.name, f.dtype.value, f.nullable] for f in s.fields]
+
+
+def _schema_from_json(d) -> Schema:
+    return Schema(Field(n, DataType(t), nl) for n, t, nl in d)
+
+
+def plan_to_json(p: LogicalPlan):
+    if isinstance(p, EmptyRelation):
+        return {"EmptyRelation": {"schema": _schema_to_json(p.schema)}}
+    if isinstance(p, TableScan):
+        return {
+            "TableScan": {
+                "schema_name": p.schema_name,
+                "table_name": p.table_name,
+                "schema": _schema_to_json(p.schema),
+                "projection": p.projection,
+            }
+        }
+    if isinstance(p, Projection):
+        return {
+            "Projection": {
+                "expr": [expr_to_json(e) for e in p.exprs],
+                "input": plan_to_json(p.input),
+                "schema": _schema_to_json(p.schema),
+            }
+        }
+    if isinstance(p, Selection):
+        return {"Selection": {"expr": expr_to_json(p.expr), "input": plan_to_json(p.input)}}
+    if isinstance(p, Aggregate):
+        return {
+            "Aggregate": {
+                "input": plan_to_json(p.input),
+                "group_expr": [expr_to_json(e) for e in p.group_exprs],
+                "aggr_expr": [expr_to_json(e) for e in p.aggr_exprs],
+                "schema": _schema_to_json(p.schema),
+            }
+        }
+    if isinstance(p, Sort):
+        return {
+            "Sort": {
+                "expr": [expr_to_json(e) for e in p.exprs],
+                "input": plan_to_json(p.input),
+                "schema": _schema_to_json(p.schema),
+            }
+        }
+    if isinstance(p, Limit):
+        return {
+            "Limit": {
+                "limit": p.limit,
+                "input": plan_to_json(p.input),
+                "schema": _schema_to_json(p.schema),
+            }
+        }
+    if isinstance(p, Join):
+        return {
+            "Join": {
+                "left": plan_to_json(p.left),
+                "right": plan_to_json(p.right),
+                "on": [list(x) for x in p.on],
+                "join_type": p.join_type.value,
+                "schema": _schema_to_json(p.schema),
+            }
+        }
+    raise PlanError(f"cannot serialize plan {type(p).__name__}")
+
+
+def plan_from_json(d) -> LogicalPlan:
+    (kind, body), = d.items()
+    if kind == "EmptyRelation":
+        return EmptyRelation(_schema_from_json(body["schema"]))
+    if kind == "TableScan":
+        return TableScan(
+            body["schema_name"],
+            body["table_name"],
+            _schema_from_json(body["schema"]),
+            body["projection"],
+        )
+    if kind == "Projection":
+        return Projection(
+            tuple(expr_from_json(e) for e in body["expr"]),
+            plan_from_json(body["input"]),
+            _schema_from_json(body["schema"]),
+        )
+    if kind == "Selection":
+        return Selection(expr_from_json(body["expr"]), plan_from_json(body["input"]))
+    if kind == "Aggregate":
+        return Aggregate(
+            plan_from_json(body["input"]),
+            tuple(expr_from_json(e) for e in body["group_expr"]),
+            tuple(expr_from_json(e) for e in body["aggr_expr"]),
+            _schema_from_json(body["schema"]),
+        )
+    if kind == "Sort":
+        return Sort(
+            tuple(expr_from_json(e) for e in body["expr"]),
+            plan_from_json(body["input"]),
+            _schema_from_json(body["schema"]),
+        )
+    if kind == "Limit":
+        return Limit(body["limit"], plan_from_json(body["input"]), _schema_from_json(body["schema"]))
+    if kind == "Join":
+        return Join(
+            plan_from_json(body["left"]),
+            plan_from_json(body["right"]),
+            tuple(tuple(x) for x in body["on"]),
+            JoinType(body["join_type"]),
+            _schema_from_json(body["schema"]),
+        )
+    raise PlanError(f"cannot deserialize plan kind {kind}")

@@ -1,0 +1,368 @@
+"""Query planner: SQL AST → LogicalPlan.
+
+Reproduces the reference's planning semantics exactly — clause order,
+aggregate detection, supertype coercion, COUNT(1)/COUNT(*) rewrite, UDF
+argument coercion (reference: src/sqlplanner.rs:46-375) — and extends it
+with JOIN planning and ORDER BY/LIMIT over aggregates, which the
+reference left as roadmap items.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from typing import Optional, Protocol
+
+from datafusion_tpu.errors import PlanError
+from datafusion_tpu.schema import Field, Schema
+from datafusion_tpu.sql import ast as A
+from datafusion_tpu.types import DataType, ScalarValue, get_supertype
+from datafusion_tpu.plan.logical import (
+    Aggregate,
+    AggregateFunction,
+    BinaryExpr,
+    Cast,
+    Column,
+    EmptyRelation,
+    Expr,
+    IsNotNull,
+    IsNull,
+    Join,
+    JoinType,
+    Limit,
+    Literal,
+    LogicalPlan,
+    Operator,
+    Projection,
+    ScalarFunction,
+    Selection,
+    Sort,
+    SortExpr,
+    TableScan,
+    exprlist_to_fields,
+)
+
+
+class FunctionType(enum.Enum):
+    Scalar = "Scalar"
+    Aggregate = "Aggregate"
+
+
+@dataclass(frozen=True)
+class FunctionMeta:
+    """UDF registry entry (reference: logicalplan.rs:25-64)."""
+
+    name: str
+    args: tuple[Field, ...]
+    return_type: DataType
+    function_type: FunctionType
+
+
+class SchemaProvider(Protocol):
+    """Catalog interface the planner resolves against
+    (reference: sqlplanner.rs:29-32)."""
+
+    def get_table_meta(self, name: str) -> Optional[Schema]: ...
+
+    def get_function_meta(self, name: str) -> Optional[FunctionMeta]: ...
+
+
+_AGG_NAMES = {"min", "max", "sum", "avg"}
+
+
+def convert_data_type(type_name: str) -> DataType:
+    """SQL type name → logical type (reference: sqlplanner.rs:379-393)."""
+    up = type_name.upper()
+    mapping = {
+        "BOOLEAN": DataType.Boolean,
+        "BOOL": DataType.Boolean,
+        "TINYINT": DataType.Int8,
+        "SMALLINT": DataType.Int16,
+        "INT": DataType.Int32,
+        "INTEGER": DataType.Int32,
+        "BIGINT": DataType.Int64,
+        "FLOAT": DataType.Float64,
+        "REAL": DataType.Float64,
+        "DOUBLE": DataType.Float64,
+        "CHAR": DataType.Utf8,
+        "VARCHAR": DataType.Utf8,
+        "TEXT": DataType.Utf8,
+        "STRING": DataType.Utf8,
+    }
+    if up not in mapping:
+        raise PlanError(f"Unsupported SQL type {type_name}")
+    return mapping[up]
+
+
+class SqlToRel:
+    """AST → LogicalPlan translator (reference: SqlToRel, sqlplanner.rs:34)."""
+
+    def __init__(self, schema_provider: SchemaProvider):
+        self.schema_provider = schema_provider
+
+    # ------------------------------------------------------------------
+    def sql_to_rel(self, node: A.AstNode) -> LogicalPlan:
+        if isinstance(node, A.SQLSelect):
+            return self._plan_select(node)
+        if isinstance(node, A.SQLIdentifier):
+            schema = self.schema_provider.get_table_meta(node.name)
+            if schema is None:
+                raise PlanError(f"no schema found for table {node.name}")
+            return TableScan("default", node.name, schema, None)
+        if isinstance(node, A.SQLJoin):
+            return self._plan_join(node)
+        raise PlanError(f"sql_to_rel does not support this relation: {node!r}")
+
+    # ------------------------------------------------------------------
+    def _plan_select(self, sel: A.SQLSelect) -> LogicalPlan:
+        if sel.relation is not None:
+            input_plan = self.sql_to_rel(sel.relation)
+            qualifiers = self._relation_qualifiers(sel.relation)
+        else:
+            input_plan = EmptyRelation(Schema.empty())
+            qualifiers = {}
+        input_schema = input_plan.schema
+
+        # WHERE is planned against the scan schema first
+        # (reference: sqlplanner.rs:66-73)
+        selection_plan: Optional[LogicalPlan] = None
+        if sel.selection is not None:
+            selection_plan = Selection(
+                self.sql_to_rex(sel.selection, input_schema, qualifiers), input_plan
+            )
+
+        # projection expressions, expanding `*` (reference leaves wildcard
+        # unimplemented, sqlplanner.rs:235-239; we expand it)
+        proj_exprs: list[Expr] = []
+        for e in sel.projection:
+            if isinstance(e, A.SQLWildcard):
+                proj_exprs.extend(Column(i) for i in range(len(input_schema)))
+            else:
+                proj_exprs.append(self.sql_to_rex(e, input_schema, qualifiers))
+
+        aggr_exprs = [e for e in proj_exprs if isinstance(e, AggregateFunction)]
+
+        if sel.having is not None:
+            raise PlanError("HAVING is not implemented yet")
+
+        if aggr_exprs:
+            agg_input = selection_plan if selection_plan is not None else input_plan
+            group_exprs = [
+                self.sql_to_rex(e, input_schema, qualifiers) for e in sel.group_by
+            ]
+            # output schema = group fields then aggregate fields, in that
+            # order regardless of SELECT order (reference: sqlplanner.rs:105-110)
+            all_fields = list(group_exprs) + list(aggr_exprs)
+            agg_schema = Schema(exprlist_to_fields(all_fields, input_schema))
+            plan: LogicalPlan = Aggregate(
+                agg_input, tuple(group_exprs), tuple(aggr_exprs), agg_schema
+            )
+            # ORDER BY / LIMIT over aggregates — beyond the reference, which
+            # silently dropped them on this path
+            plan = self._plan_order_limit(sel, plan, qualifiers)
+            return plan
+
+        proj_input = selection_plan if selection_plan is not None else input_plan
+        proj_schema = Schema(exprlist_to_fields(proj_exprs, input_schema))
+        plan = Projection(tuple(proj_exprs), proj_input, proj_schema)
+        return self._plan_order_limit(sel, plan, qualifiers)
+
+    def _plan_order_limit(
+        self, sel: A.SQLSelect, plan: LogicalPlan, qualifiers
+    ) -> LogicalPlan:
+        # ORDER BY resolves against the projection/aggregate output schema
+        # (reference: sqlplanner.rs:141-165); table qualifiers no longer
+        # apply at that point — the output columns are unqualified
+        if sel.order_by:
+            keys = tuple(
+                SortExpr(self.sql_to_rex(ob.expr, plan.schema, None), ob.asc)
+                for ob in sel.order_by
+            )
+            plan = Sort(keys, plan, plan.schema)
+        if sel.limit is not None:
+            if not isinstance(sel.limit, A.SQLLong):
+                raise PlanError("LIMIT parameter is not a number")
+            plan = Limit(sel.limit.value, plan, plan.schema)
+        return plan
+
+    # ------------------------------------------------------------------
+    def _relation_qualifiers(self, rel: A.AstNode) -> dict[str, tuple[int, Schema]]:
+        """Map table alias/name → (column offset, schema) for compound
+        identifier resolution in JOIN queries."""
+        out: dict[str, tuple[int, Schema]] = {}
+
+        def walk(node: A.AstNode, offset: int) -> int:
+            if isinstance(node, A.SQLIdentifier):
+                schema = self.schema_provider.get_table_meta(node.name)
+                if schema is None:
+                    raise PlanError(f"no schema found for table {node.name}")
+                out[node.name] = (offset, schema)
+                return offset + len(schema)
+            if isinstance(node, A.SQLJoin):
+                offset = walk(node.left, offset)
+                return walk(node.right, offset)
+            raise PlanError(f"unsupported relation {node!r}")
+
+        walk(rel, 0)
+        return out
+
+    def _plan_join(self, node: A.SQLJoin) -> LogicalPlan:
+        left = self.sql_to_rel(node.left)
+        right = self.sql_to_rel(node.right)
+        qualifiers = self._relation_qualifiers(node)
+        joined_schema = left.schema.join(right.schema)
+
+        # extract conjunctive equality pairs from the ON expression
+        on_pairs: list[tuple[int, int]] = []
+
+        def extract(e: A.AstNode) -> None:
+            if isinstance(e, A.SQLBinaryExpr) and e.op == "And":
+                extract(e.left)
+                extract(e.right)
+                return
+            if isinstance(e, A.SQLBinaryExpr) and e.op == "Eq":
+                l = self.sql_to_rex(e.left, joined_schema, qualifiers)
+                r = self.sql_to_rex(e.right, joined_schema, qualifiers)
+                l = l.expr if isinstance(l, Cast) else l
+                r = r.expr if isinstance(r, Cast) else r
+                if isinstance(l, Column) and isinstance(r, Column):
+                    li, ri = l.index, r.index
+                    nleft = len(left.schema)
+                    if li < nleft <= ri:
+                        on_pairs.append((li, ri - nleft))
+                        return
+                    if ri < nleft <= li:
+                        on_pairs.append((ri, li - nleft))
+                        return
+            raise PlanError(
+                "JOIN ON clause must be a conjunction of equalities between "
+                "columns of the two inputs"
+            )
+
+        extract(node.on)
+        jt = {
+            A.JoinKind.Inner: JoinType.Inner,
+            A.JoinKind.Left: JoinType.Left,
+            A.JoinKind.Right: JoinType.Right,
+        }[node.kind]
+        return Join(left, right, tuple(on_pairs), jt, joined_schema)
+
+    # ------------------------------------------------------------------
+    def sql_to_rex(
+        self,
+        node: A.AstNode,
+        schema: Schema,
+        qualifiers: Optional[dict[str, tuple[int, Schema]]] = None,
+    ) -> Expr:
+        """SQL expression → relational expression with supertype coercion
+        (reference: sqlplanner.rs:212-375)."""
+        if isinstance(node, A.SQLLong):
+            return Literal(ScalarValue.int64(node.value))
+        if isinstance(node, A.SQLDouble):
+            return Literal(ScalarValue.float64(node.value))
+        if isinstance(node, A.SQLString):
+            return Literal(ScalarValue.utf8(node.value))
+
+        if isinstance(node, A.SQLIdentifier):
+            if node.name.upper() == "TRUE":
+                return Literal(ScalarValue.boolean(True))
+            if node.name.upper() == "FALSE":
+                return Literal(ScalarValue.boolean(False))
+            return Column(schema.index_of(node.name))
+
+        if isinstance(node, A.SQLCompoundIdentifier):
+            if not qualifiers or node.qualifier not in qualifiers:
+                raise PlanError(f"unknown table qualifier '{node.qualifier}'")
+            offset, tschema = qualifiers[node.qualifier]
+            return Column(offset + tschema.index_of(node.name))
+
+        if isinstance(node, A.SQLWildcard):
+            raise PlanError(
+                "SQL wildcard operator is not supported in this position"
+            )
+
+        if isinstance(node, A.SQLCast):
+            return Cast(
+                self.sql_to_rex(node.expr, schema, qualifiers),
+                convert_data_type(node.type_name),
+            )
+
+        if isinstance(node, A.SQLIsNull):
+            return IsNull(self.sql_to_rex(node.expr, schema, qualifiers))
+        if isinstance(node, A.SQLIsNotNull):
+            return IsNotNull(self.sql_to_rex(node.expr, schema, qualifiers))
+
+        if isinstance(node, A.SQLUnary):
+            if node.op == "Minus":
+                inner = node.expr
+                if isinstance(inner, A.SQLLong):
+                    return Literal(ScalarValue.int64(-inner.value))
+                if isinstance(inner, A.SQLDouble):
+                    return Literal(ScalarValue.float64(-inner.value))
+                # -x  →  0 - x with coercion
+                zero = Literal(ScalarValue.int64(0))
+                return self._coerced_binary(
+                    zero, Operator.Minus, self.sql_to_rex(inner, schema, qualifiers), schema
+                )
+            if node.op == "Plus":
+                return self.sql_to_rex(node.expr, schema, qualifiers)
+            raise PlanError(f"unsupported unary operator {node.op}")
+
+        if isinstance(node, A.SQLBinaryExpr):
+            op = Operator[node.op]
+            left = self.sql_to_rex(node.left, schema, qualifiers)
+            right = self.sql_to_rex(node.right, schema, qualifiers)
+            return self._coerced_binary(left, op, right, schema)
+
+        if isinstance(node, A.SQLFunction):
+            return self._plan_function(node, schema, qualifiers)
+
+        raise PlanError(f"Unsupported ast node {node!r} in sqltorel")
+
+    def _coerced_binary(
+        self, left: Expr, op: Operator, right: Expr, schema: Schema
+    ) -> Expr:
+        """Cast both sides to their supertype (reference: sqlplanner.rs:284-299)."""
+        lt = left.get_type(schema)
+        rt = right.get_type(schema)
+        st = get_supertype(lt, rt)
+        if st is None:
+            raise PlanError(
+                f"No common supertype found for binary operator {op.value} "
+                f"with input types {lt!r} and {rt!r}"
+            )
+        return BinaryExpr(left.cast_to(st, schema), op, right.cast_to(st, schema))
+
+    def _plan_function(
+        self, node: A.SQLFunction, schema: Schema, qualifiers
+    ) -> Expr:
+        name = node.name
+        low = name.lower()
+        if low in _AGG_NAMES:
+            args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
+            if len(args) != 1:
+                raise PlanError(f"{name} expects a single argument")
+            # return type = argument type (reference: sqlplanner.rs:317)
+            return AggregateFunction(name, args, args[0].get_type(schema))
+        if low == "count":
+            args = tuple(
+                Column(0)
+                if isinstance(a, (A.SQLWildcard,)) or (isinstance(a, A.SQLLong) and a.value == 1)
+                else self.sql_to_rex(a, schema, qualifiers)
+                for a in node.args
+            )
+            return AggregateFunction(name, args, DataType.UInt64)
+        fm = self.schema_provider.get_function_meta(low)
+        if fm is None:
+            raise PlanError(f"Invalid function '{name}'")
+        raw = [self.sql_to_rex(a, schema, qualifiers) for a in node.args]
+        if len(raw) != len(fm.args):
+            raise PlanError(
+                f"function '{name}' expects {len(fm.args)} argument(s), got {len(raw)}"
+            )
+        safe = tuple(
+            raw[i].cast_to(fm.args[i].dtype, schema) for i in range(len(raw))
+        )
+        if fm.function_type is FunctionType.Aggregate:
+            return AggregateFunction(name, safe, fm.return_type)
+        return ScalarFunction(name, safe, fm.return_type)

@@ -1,0 +1,143 @@
+"""SQL AST — our own node set covering the reference's accepted grammar.
+
+Mirrors the shapes the reference consumed from the `sqlparser` crate
+(reference: sqlplanner.rs:46-375 matches on ASTNode variants) plus the
+DataFusion-specific `CREATE EXTERNAL TABLE` node (reference:
+dfparser.rs:39-55) and JOIN support the reference lacked.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+class AstNode:
+    pass
+
+
+@dataclass(frozen=True)
+class SQLIdentifier(AstNode):
+    name: str
+
+
+@dataclass(frozen=True)
+class SQLCompoundIdentifier(AstNode):
+    """`table.column` reference (needed for JOIN planning)."""
+
+    qualifier: str
+    name: str
+
+
+@dataclass(frozen=True)
+class SQLWildcard(AstNode):
+    pass
+
+
+@dataclass(frozen=True)
+class SQLLong(AstNode):
+    value: int
+
+
+@dataclass(frozen=True)
+class SQLDouble(AstNode):
+    value: float
+
+
+@dataclass(frozen=True)
+class SQLString(AstNode):
+    value: str
+
+
+@dataclass(frozen=True)
+class SQLBinaryExpr(AstNode):
+    left: AstNode
+    op: str  # canonical operator name: Eq, NotEq, Gt, ..., And, Or, Like
+    right: AstNode
+
+
+@dataclass(frozen=True)
+class SQLUnary(AstNode):
+    op: str  # "Not" | "Minus" | "Plus"
+    expr: AstNode
+
+
+@dataclass(frozen=True)
+class SQLCast(AstNode):
+    expr: AstNode
+    type_name: str  # raw SQL type name, e.g. "int", "double", "varchar"
+
+
+@dataclass(frozen=True)
+class SQLIsNull(AstNode):
+    expr: AstNode
+
+
+@dataclass(frozen=True)
+class SQLIsNotNull(AstNode):
+    expr: AstNode
+
+
+@dataclass(frozen=True)
+class SQLFunction(AstNode):
+    name: str
+    args: tuple[AstNode, ...]
+
+
+@dataclass(frozen=True)
+class SQLOrderByExpr(AstNode):
+    expr: AstNode
+    asc: bool
+
+
+class JoinKind(enum.Enum):
+    Inner = "Inner"
+    Left = "Left"
+    Right = "Right"
+
+
+@dataclass(frozen=True)
+class SQLJoin(AstNode):
+    """FROM a [INNER|LEFT|RIGHT] JOIN b ON <expr> — beyond the reference."""
+
+    left: AstNode
+    right: AstNode
+    kind: JoinKind
+    on: AstNode
+
+
+@dataclass(frozen=True)
+class SQLSelect(AstNode):
+    projection: tuple[AstNode, ...]
+    relation: Optional[AstNode]
+    selection: Optional[AstNode]
+    group_by: tuple[AstNode, ...]
+    having: Optional[AstNode]
+    order_by: tuple[SQLOrderByExpr, ...]
+    limit: Optional[AstNode]
+
+
+class FileType(enum.Enum):
+    CSV = "CSV"
+    NdJson = "NdJson"
+    Parquet = "Parquet"
+
+
+@dataclass(frozen=True)
+class ColumnDef(AstNode):
+    name: str
+    type_name: str
+    allow_null: bool
+
+
+@dataclass(frozen=True)
+class SQLCreateExternalTable(AstNode):
+    """CREATE EXTERNAL TABLE name (cols) STORED AS fmt [WITH|WITHOUT HEADER
+    ROW] LOCATION 'path' (reference: dfparser.rs:101-207)."""
+
+    name: str
+    columns: tuple[ColumnDef, ...]
+    file_type: FileType
+    header_row: bool
+    location: str

@@ -1,0 +1,406 @@
+"""SQL parser: token stream → AST.
+
+Our own Pratt parser covering the reference's accepted grammar — ANSI
+SELECT with WHERE / GROUP BY / HAVING / ORDER BY / LIMIT, expressions
+with the sqlparser-crate operator set and precedence, plus the
+DataFusion DDL `CREATE EXTERNAL TABLE` (reference: dfparser.rs:101-207)
+and JOIN clauses (beyond the reference, its 0.7.0 roadmap).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from datafusion_tpu.errors import ParserError
+from datafusion_tpu.sql.ast import (
+    AstNode,
+    ColumnDef,
+    FileType,
+    JoinKind,
+    SQLBinaryExpr,
+    SQLCast,
+    SQLCompoundIdentifier,
+    SQLCreateExternalTable,
+    SQLDouble,
+    SQLFunction,
+    SQLIdentifier,
+    SQLIsNotNull,
+    SQLIsNull,
+    SQLJoin,
+    SQLLong,
+    SQLOrderByExpr,
+    SQLSelect,
+    SQLString,
+    SQLUnary,
+    SQLWildcard,
+)
+from datafusion_tpu.sql.tokenizer import Tok, Token, tokenize
+
+# operator precedence, mirroring sqlparser 0.2.1's get_precedence
+_PREC = {
+    "OR": 5,
+    "AND": 10,
+    "IS": 17,
+    "=": 20,
+    "!=": 20,
+    "<>": 20,
+    "<": 20,
+    "<=": 20,
+    ">": 20,
+    ">=": 20,
+    "LIKE": 20,
+    "NOT": 20,  # as start of NOT LIKE
+    "+": 30,
+    "-": 30,
+    "*": 40,
+    "/": 40,
+    "%": 40,
+}
+
+_BINOP_NAME = {
+    "=": "Eq",
+    "!=": "NotEq",
+    "<>": "NotEq",
+    "<": "Lt",
+    "<=": "LtEq",
+    ">": "Gt",
+    ">=": "GtEq",
+    "+": "Plus",
+    "-": "Minus",
+    "*": "Multiply",
+    "/": "Divide",
+    "%": "Modulus",
+    "AND": "And",
+    "OR": "Or",
+    "LIKE": "Like",
+}
+
+_RESERVED_STOP = {
+    "FROM",
+    "WHERE",
+    "GROUP",
+    "HAVING",
+    "ORDER",
+    "LIMIT",
+    "ON",
+    "JOIN",
+    "INNER",
+    "LEFT",
+    "RIGHT",
+    "AS",
+    "ASC",
+    "DESC",
+    "BY",
+    "AND",
+    "OR",
+    "NOT",
+    "IS",
+    "NULL",
+    "LIKE",
+    "SELECT",
+    "UNION",
+}
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    # ---- token helpers ---------------------------------------------------
+    def peek(self) -> Token:
+        return self.toks[self.i]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        if t.kind is not Tok.EOF:
+            self.i += 1
+        return t
+
+    def expect_op(self, op: str) -> None:
+        t = self.next()
+        if t.kind is not Tok.OP or t.value != op:
+            raise ParserError(f"expected {op!r}, found {t.value!r} at offset {t.pos}")
+
+    def consume_op(self, op: str) -> bool:
+        t = self.peek()
+        if t.kind is Tok.OP and t.value == op:
+            self.i += 1
+            return True
+        return False
+
+    def consume_keyword(self, kw: str) -> bool:
+        t = self.peek()
+        if t.kind is Tok.IDENT and t.upper == kw:
+            self.i += 1
+            return True
+        return False
+
+    def consume_keywords(self, *kws: str) -> bool:
+        save = self.i
+        for kw in kws:
+            if not self.consume_keyword(kw):
+                self.i = save
+                return False
+        return True
+
+    def expect_keyword(self, kw: str) -> None:
+        t = self.next()
+        if t.kind is not Tok.IDENT or t.upper != kw:
+            raise ParserError(f"expected {kw}, found {t.value!r} at offset {t.pos}")
+
+    def expect_ident(self) -> str:
+        t = self.next()
+        if t.kind is not Tok.IDENT:
+            raise ParserError(f"expected identifier, found {t.value!r} at offset {t.pos}")
+        return t.value
+
+    # ---- statements ------------------------------------------------------
+    def parse_statement(self) -> AstNode:
+        if self.consume_keywords("CREATE", "EXTERNAL", "TABLE"):
+            return self._parse_create_external_table()
+        if self.peek().kind is Tok.IDENT and self.peek().upper == "SELECT":
+            return self._parse_select()
+        t = self.peek()
+        raise ParserError(f"unexpected token {t.value!r} at offset {t.pos}")
+
+    def _parse_create_external_table(self) -> SQLCreateExternalTable:
+        # (reference: dfparser.rs:101-207)
+        name = self.expect_ident()
+        columns: list[ColumnDef] = []
+        if self.consume_op("("):
+            while True:
+                col_name = self.expect_ident()
+                type_name = self._parse_type_name()
+                if self.consume_keywords("NOT", "NULL"):
+                    allow_null = False
+                elif self.consume_keyword("NULL"):
+                    allow_null = True
+                else:
+                    allow_null = True
+                columns.append(ColumnDef(col_name, type_name, allow_null))
+                if self.consume_op(","):
+                    continue
+                self.expect_op(")")
+                break
+        header = True
+        if self.consume_keywords("STORED", "AS", "CSV"):
+            if self.consume_keywords("WITH", "HEADER", "ROW"):
+                header = True
+            elif self.consume_keywords("WITHOUT", "HEADER", "ROW"):
+                header = False
+            ftype = FileType.CSV
+        elif self.consume_keywords("STORED", "AS", "NDJSON"):
+            ftype = FileType.NdJson
+        elif self.consume_keywords("STORED", "AS", "PARQUET"):
+            ftype = FileType.Parquet
+        else:
+            raise ParserError(
+                f"Expected 'STORED AS' clause, found {self.peek().value!r}"
+            )
+        if not self.consume_keyword("LOCATION"):
+            raise ParserError("Missing 'LOCATION' clause")
+        loc = self.next()
+        if loc.kind is not Tok.STRING:
+            raise ParserError("LOCATION requires a string literal")
+        return SQLCreateExternalTable(name, tuple(columns), ftype, header, loc.value)
+
+    def _parse_type_name(self) -> str:
+        base = self.expect_ident()
+        # double precision
+        if base.upper() == "DOUBLE" and self.consume_keyword("PRECISION"):
+            base = "DOUBLE"
+        # swallow length/precision args: VARCHAR(20), FLOAT(53)
+        if self.consume_op("("):
+            depth = 1
+            while depth:
+                t = self.next()
+                if t.kind is Tok.EOF:
+                    raise ParserError("unterminated type arguments")
+                if t.kind is Tok.OP and t.value == "(":
+                    depth += 1
+                elif t.kind is Tok.OP and t.value == ")":
+                    depth -= 1
+        return base
+
+    # ---- SELECT ----------------------------------------------------------
+    def _parse_select(self) -> SQLSelect:
+        self.expect_keyword("SELECT")
+        projection = [self.parse_expr()]
+        while self.consume_op(","):
+            projection.append(self.parse_expr())
+
+        relation: Optional[AstNode] = None
+        if self.consume_keyword("FROM"):
+            relation = self._parse_relation()
+
+        selection = self.parse_expr() if self.consume_keyword("WHERE") else None
+
+        group_by: list[AstNode] = []
+        if self.consume_keywords("GROUP", "BY"):
+            group_by.append(self.parse_expr())
+            while self.consume_op(","):
+                group_by.append(self.parse_expr())
+
+        having = self.parse_expr() if self.consume_keyword("HAVING") else None
+
+        order_by: list[SQLOrderByExpr] = []
+        if self.consume_keywords("ORDER", "BY"):
+            while True:
+                e = self.parse_expr()
+                if self.consume_keyword("ASC"):
+                    asc = True
+                elif self.consume_keyword("DESC"):
+                    asc = False
+                else:
+                    asc = True
+                order_by.append(SQLOrderByExpr(e, asc))
+                if not self.consume_op(","):
+                    break
+
+        limit = self.parse_expr() if self.consume_keyword("LIMIT") else None
+
+        return SQLSelect(
+            projection=tuple(projection),
+            relation=relation,
+            selection=selection,
+            group_by=tuple(group_by),
+            having=having,
+            order_by=tuple(order_by),
+            limit=limit,
+        )
+
+    def _parse_relation(self) -> AstNode:
+        rel: AstNode = SQLIdentifier(self.expect_ident())
+        while True:
+            kind: Optional[JoinKind] = None
+            if self.consume_keyword("JOIN") or self.consume_keywords("INNER", "JOIN"):
+                kind = JoinKind.Inner
+            elif self.consume_keywords("LEFT", "JOIN") or self.consume_keywords(
+                "LEFT", "OUTER", "JOIN"
+            ):
+                kind = JoinKind.Left
+            elif self.consume_keywords("RIGHT", "JOIN") or self.consume_keywords(
+                "RIGHT", "OUTER", "JOIN"
+            ):
+                kind = JoinKind.Right
+            if kind is None:
+                return rel
+            right = SQLIdentifier(self.expect_ident())
+            self.expect_keyword("ON")
+            on = self.parse_expr()
+            rel = SQLJoin(rel, right, kind, on)
+
+    # ---- expressions (Pratt) --------------------------------------------
+    def parse_expr(self, precedence: int = 0) -> AstNode:
+        expr = self._parse_prefix()
+        while True:
+            nxt = self._next_precedence()
+            if precedence >= nxt:
+                return expr
+            expr = self._parse_infix(expr, nxt)
+
+    def _next_precedence(self) -> int:
+        t = self.peek()
+        if t.kind is Tok.OP:
+            return _PREC.get(t.value, 0)
+        if t.kind is Tok.IDENT:
+            return _PREC.get(t.upper, 0)
+        return 0
+
+    def _parse_prefix(self) -> AstNode:
+        t = self.next()
+        if t.kind is Tok.NUMBER:
+            if "." in t.value or "e" in t.value or "E" in t.value:
+                return SQLDouble(float(t.value))
+            return SQLLong(int(t.value))
+        if t.kind is Tok.STRING:
+            return SQLString(t.value)
+        if t.kind is Tok.OP:
+            if t.value == "(":
+                e = self.parse_expr()
+                self.expect_op(")")
+                return e
+            if t.value == "*":
+                return SQLWildcard()
+            if t.value == "-":
+                return SQLUnary("Minus", self.parse_expr(45))
+            if t.value == "+":
+                return SQLUnary("Plus", self.parse_expr(45))
+            raise ParserError(f"unexpected operator {t.value!r} at offset {t.pos}")
+        # identifier-like
+        up = t.upper
+        if up == "CAST":
+            self.expect_op("(")
+            inner = self.parse_expr()
+            self.expect_keyword("AS")
+            type_name = self._parse_type_name()
+            self.expect_op(")")
+            return SQLCast(inner, type_name)
+        if up == "NOT":
+            return SQLUnary("Not", self.parse_expr(15))
+        if up == "NULL":
+            return SQLIdentifier("NULL")
+        if up == "TRUE":
+            return SQLIdentifier("TRUE")
+        if up == "FALSE":
+            return SQLIdentifier("FALSE")
+        # function call?
+        if self.peek().kind is Tok.OP and self.peek().value == "(":
+            self.next()
+            args: list[AstNode] = []
+            if not self.consume_op(")"):
+                while True:
+                    args.append(self.parse_expr())
+                    if self.consume_op(","):
+                        continue
+                    self.expect_op(")")
+                    break
+            return SQLFunction(t.value, tuple(args))
+        # compound identifier a.b
+        if self.peek().kind is Tok.OP and self.peek().value == ".":
+            self.next()
+            name = self.expect_ident()
+            return SQLCompoundIdentifier(t.value, name)
+        return SQLIdentifier(t.value)
+
+    def _parse_infix(self, left: AstNode, precedence: int) -> AstNode:
+        t = self.next()
+        if t.kind is Tok.OP and t.value in _BINOP_NAME:
+            return SQLBinaryExpr(left, _BINOP_NAME[t.value], self.parse_expr(precedence))
+        if t.kind is Tok.IDENT:
+            up = t.upper
+            if up in ("AND", "OR", "LIKE"):
+                return SQLBinaryExpr(left, _BINOP_NAME[up], self.parse_expr(precedence))
+            if up == "NOT" and self.consume_keyword("LIKE"):
+                return SQLBinaryExpr(left, "NotLike", self.parse_expr(precedence))
+            if up == "IS":
+                if self.consume_keywords("NOT", "NULL"):
+                    return SQLIsNotNull(left)
+                if self.consume_keyword("NULL"):
+                    return SQLIsNull(left)
+                raise ParserError("expected NULL or NOT NULL after IS")
+        raise ParserError(f"unexpected infix token {t.value!r} at offset {t.pos}")
+
+
+def parse_sql(sql: str) -> AstNode:
+    """Parse one SQL statement (reference: DFParser::parse_sql, dfparser.rs:74)."""
+    p = Parser(sql)
+    node = p.parse_statement()
+    p.consume_op(";")
+    t = p.peek()
+    if t.kind is not Tok.EOF:
+        raise ParserError(f"unexpected trailing token {t.value!r} at offset {t.pos}")
+    return node
+
+
+def parse_statements(script: str) -> list[AstNode]:
+    """Parse a semicolon-separated script (reference: console --script mode,
+    src/bin/console/main.rs:41-63)."""
+    out = []
+    p = Parser(script)
+    while p.peek().kind is not Tok.EOF:
+        out.append(p.parse_statement())
+        while p.consume_op(";"):
+            pass
+    return out

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from datafusion_tpu.errors import ExecutionError
 from datafusion_tpu.schema import Field, Schema
-from datafusion_tpu.types import DataType, from_np
+from datafusion_tpu.types import DataType, from_np, physical_np
 
 # Lane-aligned padding unit. 1024 rows = 8 sublanes × 128 lanes at f32,
 # and keeps per-column buffers tile-aligned for Pallas kernels.
@@ -129,10 +129,10 @@ class Table:
                 codes, vocab = encode_dictionary(arr)
                 host = codes
             else:
-                host = np.asarray(arr, dtype=field.dtype.to_np())
+                host = np.asarray(arr, dtype=physical_np(field.dtype))
             if len(host) != n:
                 raise ExecutionError("ragged input arrays")
-            padded = np.zeros((cap,), dtype=field.dtype.to_np())
+            padded = np.zeros((cap,), dtype=physical_np(field.dtype))
             padded[:n] = host
             data = jax.device_put(padded, device)
             vmask = None

@@ -63,6 +63,9 @@ class Lowered:
     dicts: list[Optional[tuple[str, ...]]]
     fn: Callable[[list[list[ColVal]]], Batch]
     capacity: int
+    # data placement under distributed execution: "single" (one chip),
+    # "partitioned" (row-sharded over the mesh axis), "replicated"
+    layout: str = "single"
 
 
 @dataclass
@@ -180,7 +183,7 @@ class PlanCompiler:
             keep = pd if pv is None else jnp.logical_and(pd, pv)  # NULL → drop
             return Batch(b.cols, jnp.logical_and(b.sel, keep))
 
-        return Lowered(child.schema, child.dicts, fn, child.capacity)
+        return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
 
     def _lower_projection(self, plan: L.Projection) -> Lowered:
         child = self.lower(plan.input)
@@ -195,7 +198,7 @@ class PlanCompiler:
             cols = [c.fn(b.cols) for c in compiled]
             return Batch(cols, b.sel)
 
-        return Lowered(plan.schema, dicts, fn, child.capacity)
+        return Lowered(plan.schema, dicts, fn, child.capacity, child.layout)
 
     def _lower_aggregate(self, plan: L.Aggregate) -> Lowered:
         child = self.lower(plan.input)
@@ -228,7 +231,7 @@ class PlanCompiler:
                 okeys, oaggs, osel = agg_ops.grouped_aggregate(keys, specs, b.sel)
                 return Batch(list(okeys) + list(oaggs), osel)
 
-            return Lowered(plan.schema, out_dicts, fn, child.capacity)
+            return Lowered(plan.schema, out_dicts, fn, child.capacity, child.layout)
 
         out_cap = 8
 
@@ -247,7 +250,7 @@ class PlanCompiler:
                 cols.append((dcol, vcol))
             return Batch(cols, iota < 1)
 
-        return Lowered(plan.schema, out_dicts, fn0, out_cap)
+        return Lowered(plan.schema, out_dicts, fn0, out_cap, child.layout)
 
     def _lower_sort(self, plan: L.Sort) -> Lowered:
         child = self.lower(plan.input)
@@ -271,7 +274,7 @@ class PlanCompiler:
             iota = lax.broadcasted_iota(jnp.int32, (b.capacity,), 0)
             return Batch(cols, iota < count)
 
-        return Lowered(child.schema, child.dicts, fn, child.capacity)
+        return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
 
     def _lower_limit(self, plan: L.Limit) -> Lowered:
         child = self.lower(plan.input)
@@ -281,7 +284,7 @@ class PlanCompiler:
             b = child.fn(env)
             return Batch(b.cols, sort_ops.limit_mask(b.sel, k))
 
-        return Lowered(child.schema, child.dicts, fn, child.capacity)
+        return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
 
     def _lower_join(self, plan: L.Join) -> Lowered:
         if plan.join_type is not L.JoinType.Inner:
@@ -340,7 +343,7 @@ class PlanCompiler:
             )
             return Batch(lcols + rcols, out_sel)
 
-        return Lowered(plan.schema, left.dicts + right.dicts, fn, out_cap)
+        return Lowered(plan.schema, left.dicts + right.dicts, fn, out_cap, left.layout)
 
 
 def compile_plan(

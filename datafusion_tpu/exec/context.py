@@ -45,7 +45,12 @@ class _Catalog:
 class ExecutionContext:
     """Session object: table registry + SQL entry point."""
 
-    def __init__(self):
+    def __init__(self, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh — when given, tables are
+        row-partitioned across it and queries compile to SPMD pipelines
+        (parallel/dist.py), the distribution the reference only
+        roadmapped (ROADMAP.md 0.8.0)."""
+        self.mesh = mesh
         self._tables: dict[str, Table] = {}
         self._functions: dict[str, tuple[FunctionMeta, Optional[Callable]]] = {}
         self._compile_cache: dict = {}
@@ -69,19 +74,23 @@ class ExecutionContext:
         """Register a data source (reference: context.rs:100). Accepts a
         CsvDataSource (loaded eagerly to device) or a Table."""
         if isinstance(ds, Table):
-            self._tables[name] = ds
+            self.register_table(name, ds)
         elif isinstance(ds, CsvDataSource):
-            self._tables[name] = ds.table()
+            self.register_table(name, ds.table())
         else:
             raise ExecutionError(f"unsupported datasource {type(ds).__name__}")
 
     def register_table(self, name: str, table: Table) -> None:
+        if self.mesh is not None:
+            from datafusion_tpu.parallel.mesh import partition_table
+
+            table = partition_table(table, self.mesh)
         self._tables[name] = table
 
     def register_csv(
         self, name: str, path: str, schema: Schema, *, has_header: bool = True
     ) -> None:
-        self._tables[name] = read_csv(path, schema, has_header=has_header)
+        self.register_table(name, read_csv(path, schema, has_header=has_header))
 
     def register_function(self, meta: FunctionMeta, fn: Optional[Callable] = None) -> None:
         """Register a scalar UDF; `fn` maps jax arrays → jax array.
@@ -120,7 +129,12 @@ class ExecutionContext:
             fn_reg = {
                 name: fn for name, (meta, fn) in self._functions.items() if fn is not None
             }
-            compiled = compile_plan(plan, self._tables, fn_reg)
+            if self.mesh is not None:
+                from datafusion_tpu.parallel.dist import compile_plan_distributed
+
+                compiled = compile_plan_distributed(plan, self._tables, self.mesh, fn_reg)
+            else:
+                compiled = compile_plan(plan, self._tables, fn_reg)
             self._compile_cache[key] = compiled
         return compiled.run()
 

@@ -26,7 +26,7 @@ import numpy as np
 from jax import lax
 
 from datafusion_tpu.errors import NotImplementedError_
-from datafusion_tpu.types import DataType
+from datafusion_tpu.types import DataType, physical_np
 
 ColVal = tuple[jax.Array, Optional[jax.Array]]
 
@@ -62,7 +62,7 @@ def ungrouped_aggregate(specs: Sequence[AggSpec], sel: jax.Array):
         mask = _masked(data, valid, sel)
         n = jnp.sum(mask)
         if spec.func == "count":
-            outs.append((n.astype(spec.out_dtype.to_np()), None))
+            outs.append((n.astype(physical_np(spec.out_dtype)), None))
             continue
         if spec.func == "min":
             r = jnp.min(jnp.where(mask, data, _sentinel(data.dtype, False)))
@@ -75,7 +75,7 @@ def ungrouped_aggregate(specs: Sequence[AggSpec], sel: jax.Array):
             r = s / n.astype(s.dtype)
         else:
             raise NotImplementedError_(f"aggregate function {spec.func}")
-        outs.append((r.astype(spec.out_dtype.to_np()), n > 0))
+        outs.append((r.astype(physical_np(spec.out_dtype)), n > 0))
     return outs
 
 
@@ -150,9 +150,10 @@ def grouped_aggregate(
         mask = sel_sorted
         if valid is not None:
             mask = jnp.logical_and(mask, jnp.take(valid, perm))
-        cnt = jax.ops.segment_sum(mask.astype(jnp.int64), gid, num_segments=capacity)
+        # int32 counters suffice: per-chip capacity < 2^31 rows
+        cnt = jax.ops.segment_sum(mask.astype(jnp.int32), gid, num_segments=capacity)
         if spec.func == "count":
-            out_aggs.append((cnt.astype(spec.out_dtype.to_np()), None))
+            out_aggs.append((cnt.astype(physical_np(spec.out_dtype)), None))
             continue
         if spec.func == "min":
             r = jax.ops.segment_min(
@@ -181,7 +182,7 @@ def grouped_aggregate(
             r = s / jnp.maximum(cnt, 1).astype(s.dtype)
         else:
             raise NotImplementedError_(f"aggregate function {spec.func}")
-        out_aggs.append((r.astype(spec.out_dtype.to_np()), cnt > 0))
+        out_aggs.append((r.astype(physical_np(spec.out_dtype)), cnt > 0))
 
     out_sel = iota < n_groups
     return out_keys, out_aggs, out_sel

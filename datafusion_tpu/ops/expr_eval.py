@@ -25,7 +25,7 @@ from jax import lax
 
 from datafusion_tpu.errors import ExecutionError, NotImplementedError_
 from datafusion_tpu.schema import Schema
-from datafusion_tpu.types import DataType
+from datafusion_tpu.types import DataType, physical_np
 from datafusion_tpu.plan.logical import (
     AggregateFunction,
     BinaryExpr,
@@ -126,7 +126,7 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
                 raise ExecutionError("bare Utf8 literal cannot be evaluated on device")
 
             return CompiledExpr(fail, dt, None)
-        const = jnp.asarray(sv.value, dtype=dt.to_np())
+        const = jnp.asarray(sv.value, dtype=physical_np(dt))
         return CompiledExpr(lambda cols, c=const: (c, None), dt)
 
     if isinstance(expr, BinaryExpr):
@@ -139,7 +139,7 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
             if inner.dtype == target:
                 return inner
             raise NotImplementedError_("CAST to/from Utf8 is not supported on device")
-        np_dt = target.to_np()
+        np_dt = physical_np(target)
 
         def cast_fn(cols, inner=inner, np_dt=np_dt):
             d, v = inner.fn(cols)

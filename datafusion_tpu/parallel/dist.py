@@ -1,0 +1,438 @@
+"""Distributed plan compiler: SPMD execution over a device mesh.
+
+Realizes the distributed engine the reference only roadmapped
+(reference: ROADMAP.md 0.8.0-1.0.0 — partitioned tables, parallel
+aggregates, worker nodes). The whole query runs as ONE shard_map-wrapped
+jit pipeline over row-partitioned tables:
+
+  * scan/filter/project: purely local on each chip's row block
+  * aggregate: local partial aggregation → all_gather of the (small)
+    partials over ICI → local merge with the aggregate's combine fn
+    (min→min, max→max, sum→sum, count→sum, avg→(sum,count) pairs)
+  * sort: local pre-sort is unnecessary — gather then one vectorized
+    sort (sample-sort/all_to_all planned; see ops/pallas)
+  * join: broadcast join — the build side is gathered to every chip,
+    the probe side stays partitioned; output stays partitioned
+  * limit: global row ranks via per-chip counts exchanged over ICI
+
+Collectives are XLA's (`all_gather`, `psum`) riding ICI — no external
+coordination service (the reference planned etcd + protobuf,
+smoketest.sh:36-63).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from datafusion_tpu.columnar.table import Table, round_up
+from datafusion_tpu.errors import ExecutionError, NotImplementedError_
+from datafusion_tpu.exec.compiler import (
+    Batch,
+    CompiledQuery,
+    Lowered,
+    PlanCompiler,
+    _broadcast_col,
+)
+from datafusion_tpu.ops import aggregate as agg_ops
+from datafusion_tpu.ops import join as join_ops
+from datafusion_tpu.ops import sort as sort_ops
+from datafusion_tpu.ops.expr_eval import compile_expr
+from datafusion_tpu.parallel.mesh import AXIS
+from datafusion_tpu.plan import logical as L
+from datafusion_tpu.types import DataType, physical_np
+
+
+def _gather_col(cv, local_cap):
+    d, v = _broadcast_col(cv, local_cap)
+    gd = lax.all_gather(d, AXIS, axis=0, tiled=True)
+    gv = None if v is None else lax.all_gather(v, AXIS, axis=0, tiled=True)
+    return gd, gv
+
+
+class DistCompiler(PlanCompiler):
+    """Lowers plans to per-chip stage functions meant to run inside
+    shard_map over a 1-D mesh."""
+
+    def __init__(self, tables, mesh: Mesh, fn_registry=None, join_caps=None):
+        super().__init__(tables, fn_registry, join_caps)
+        self.mesh = mesh
+        self.n_dev = int(mesh.devices.size)
+
+    # -- helpers --------------------------------------------------------
+    def _gather_batch(self, child: Lowered) -> Lowered:
+        """partitioned → replicated by concatenating row blocks over ICI."""
+        if child.layout != "partitioned":
+            return child
+        local_cap = child.capacity // self.n_dev
+
+        def fn(env) -> Batch:
+            b = child.fn(env)
+            cols = [_gather_col(c, local_cap) for c in b.cols]
+            sel = lax.all_gather(b.sel, AXIS, axis=0, tiled=True)
+            return Batch(cols, sel)
+
+        return Lowered(child.schema, child.dicts, fn, child.capacity, "replicated")
+
+    # -- overrides ------------------------------------------------------
+    def _lower_scan(self, plan: L.TableScan) -> Lowered:
+        base = super()._lower_scan(plan)
+        table = self.scan_tables[-1]
+        if table.capacity % self.n_dev != 0:
+            raise ExecutionError(
+                f"table capacity {table.capacity} not divisible by mesh size {self.n_dev}"
+            )
+        local_cap = table.capacity // self.n_dev
+        n = table.num_rows
+        proj = plan.projection
+        indices = list(range(len(table.schema))) if proj is None else list(proj)
+        slot = len(self.scan_tables) - 1
+
+        def fn(env) -> Batch:
+            cols = [env[slot][i] for i in indices]
+            iota = lax.broadcasted_iota(jnp.int32, (local_cap,), 0)
+            global_row = lax.axis_index(AXIS).astype(jnp.int32) * local_cap + iota
+            return Batch(cols, global_row < n)
+
+        return Lowered(base.schema, base.dicts, fn, table.capacity, "partitioned")
+
+    def _lower_sort(self, plan: L.Sort) -> Lowered:
+        child = self.lower(plan.input)
+        if child.layout == "partitioned":
+            # gather over ICI, then one vectorized multi-key sort per chip.
+            # (TODO: sample-sort with all_to_all range exchange for scale)
+            child = self._gather_batch(child)
+        return self._sort_over(child, plan)
+
+    def _sort_over(self, child: Lowered, plan: L.Sort) -> Lowered:
+        keys = [
+            (compile_expr(se.expr, child.schema, child.dicts, self.fn_registry), se.asc)
+            for se in plan.exprs
+        ]
+
+        def fn(env) -> Batch:
+            b = child.fn(env)
+            key_vals = [(_broadcast_col(c.fn(b.cols), b.capacity), asc) for c, asc in keys]
+            perm, count = sort_ops.sort_permutation(key_vals, b.sel)
+            cols = sort_ops.apply_permutation(
+                [_broadcast_col(c, b.capacity) for c in b.cols], perm
+            )
+            iota = lax.broadcasted_iota(jnp.int32, (b.capacity,), 0)
+            return Batch(cols, iota < count)
+
+        return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
+
+    def _lower_limit(self, plan: L.Limit) -> Lowered:
+        child = self.lower(plan.input)
+        if child.layout != "partitioned":
+            return self._limit_over(child, plan.limit)
+        k = plan.limit
+
+        def fn(env) -> Batch:
+            b = child.fn(env)
+            local_ranks = jnp.cumsum(b.sel.astype(jnp.int32))
+            local_count = jnp.sum(b.sel.astype(jnp.int32))
+            counts = lax.all_gather(local_count, AXIS)  # [n_dev]
+            me = lax.axis_index(AXIS)
+            dev_iota = lax.broadcasted_iota(jnp.int32, (self.n_dev,), 0)
+            offset = jnp.sum(jnp.where(dev_iota < me, counts, 0))
+            keep = jnp.logical_and(b.sel, offset + local_ranks <= k)
+            return Batch(b.cols, keep)
+
+        return Lowered(child.schema, child.dicts, fn, child.capacity, "partitioned")
+
+    def _limit_over(self, child: Lowered, k: int) -> Lowered:
+        def fn(env) -> Batch:
+            b = child.fn(env)
+            return Batch(b.cols, sort_ops.limit_mask(b.sel, k))
+
+        return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
+
+    def _lower_join(self, plan: L.Join) -> Lowered:
+        # broadcast join: gather the build (right) side to every chip;
+        # probe (left) side keeps its layout. Hash-repartitioned join with
+        # ragged all_to_all is the planned upgrade for large build sides.
+        if plan.join_type is not L.JoinType.Inner:
+            raise NotImplementedError_(f"{plan.join_type!r} join not yet supported")
+        left = self.lower(plan.left)
+        right = self._gather_batch(self.lower(plan.right))
+
+        join_slot = len(self.join_caps)
+        if join_slot < len(self.join_caps_in):
+            out_cap_global = self.join_caps_in[join_slot]
+        else:
+            out_cap_global = max(left.capacity, right.capacity)
+        self.join_caps.append(out_cap_global)
+        partitioned = left.layout == "partitioned"
+        out_cap_local = out_cap_global // self.n_dev if partitioned else out_cap_global
+        left_cap_local = (
+            left.capacity // self.n_dev if partitioned else left.capacity
+        )
+
+        remaps = self._join_key_remaps(plan, left, right)
+
+        def fn(env) -> Batch:
+            lb = left.fn(env)
+            rb = right.fn(env)
+            lkeys, rkeys = [], []
+            for (li, ri), remap in zip(plan.on, remaps):
+                lk, _ = _broadcast_col(lb.cols[li], left_cap_local)
+                rk, _ = _broadcast_col(rb.cols[ri], rb.capacity)
+                if remap is not None:
+                    lk = jnp.take(remap[0], lk)
+                    rk = jnp.take(remap[1], rk)
+                lkeys.append(lk)
+                rkeys.append(rk)
+            p_idx, b_idx, out_sel, total = join_ops.inner_join_indices(
+                lkeys, lb.sel, rkeys, rb.sel, out_cap_local
+            )
+            if partitioned:
+                total = lax.psum(total, AXIS)
+            self.join_totals.append(total)
+            lcols = join_ops.gather_columns(
+                [_broadcast_col(c, left_cap_local) for c in lb.cols], p_idx
+            )
+            rcols = join_ops.gather_columns(
+                [_broadcast_col(c, rb.capacity) for c in rb.cols], b_idx
+            )
+            return Batch(lcols + rcols, out_sel)
+
+        return Lowered(
+            plan.schema, left.dicts + right.dicts, fn, out_cap_global, left.layout
+        )
+
+    def _join_key_remaps(self, plan, left, right):
+        remaps = []
+        for li, ri in plan.on:
+            ld, rd = left.dicts[li], right.dicts[ri]
+            if (ld is None) != (rd is None):
+                raise ExecutionError("join key type mismatch (Utf8 vs numeric)")
+            if ld is not None and ld != rd:
+                merged = sorted(set(ld) | set(rd))
+                lmap = jnp.asarray(
+                    np.searchsorted(merged, np.asarray(ld, dtype=object).astype(str)),
+                    dtype=jnp.int32,
+                )
+                rmap = jnp.asarray(
+                    np.searchsorted(merged, np.asarray(rd, dtype=object).astype(str)),
+                    dtype=jnp.int32,
+                )
+                remaps.append((lmap, rmap))
+            else:
+                remaps.append(None)
+        return remaps
+
+    # -- distributed aggregation ---------------------------------------
+    def _lower_aggregate(self, plan: L.Aggregate) -> Lowered:
+        child = self.lower(plan.input)
+        if child.layout != "partitioned":
+            return super()._lower_aggregate(plan)
+
+        group_c = [
+            compile_expr(e, child.schema, child.dicts, self.fn_registry)
+            for e in plan.group_exprs
+        ]
+        agg_meta = []
+        for e in plan.aggr_exprs:
+            if not isinstance(e, L.AggregateFunction):
+                raise ExecutionError(f"expected aggregate function, got {e!r}")
+            arg_c = compile_expr(e.args[0], child.schema, child.dicts, self.fn_registry)
+            agg_meta.append((e.name.lower(), arg_c, e.return_type))
+
+        out_dicts = [c.dictionary for c in group_c] + [
+            (arg.dictionary if rt is DataType.Utf8 else None)
+            for (_, arg, rt) in agg_meta
+        ]
+        local_cap = child.capacity // self.n_dev
+
+        # partial layout per original aggregate: value partial (for
+        # min/max/sum) and/or count partial; merged with the combine fn.
+        # The partial slots for empty groups hold the reduction identity
+        # (±inf / 0), so merging can ignore partial validity.
+        if group_c:
+            def fn(env) -> Batch:
+                b = child.fn(env)
+                keys = [_broadcast_col(c.fn(b.cols), b.capacity) for c in group_c]
+                # stage 1: local partials
+                specs1 = []
+                for (name, arg, rt) in agg_meta:
+                    argv = _broadcast_col(arg.fn(b.cols), b.capacity)
+                    if name in ("min", "max", "sum"):
+                        specs1.append(agg_ops.AggSpec(name, argv, rt))
+                    elif name in ("count", "avg"):
+                        # avg needs (sum, count); count needs count
+                        if name == "avg":
+                            specs1.append(
+                                agg_ops.AggSpec("sum", argv, _float_partial(rt))
+                            )
+                        specs1.append(agg_ops.AggSpec("count", argv, DataType.Int64))
+                    else:
+                        raise NotImplementedError_(f"aggregate function {name}")
+                    # validity of min/max/sum needs the merged count too
+                    if name in ("min", "max", "sum"):
+                        specs1.append(agg_ops.AggSpec("count", argv, DataType.Int64))
+                pkeys, paggs, psel = agg_ops.grouped_aggregate(keys, specs1, b.sel)
+
+                # exchange partials over ICI
+                gkeys = [_gather_col(c, local_cap) for c in pkeys]
+                gaggs = [_gather_col(c, local_cap) for c in paggs]
+                gsel = lax.all_gather(psel, AXIS, axis=0, tiled=True)
+
+                # stage 2: merge partials by key
+                specs2 = []
+                i = 0
+                merge_plan = []  # (kind, indices into specs2 outputs)
+                for (name, arg, rt) in agg_meta:
+                    if name in ("min", "max", "sum"):
+                        specs2.append(agg_ops.AggSpec(
+                            "sum" if name == "sum" else name, gaggs[i], rt))
+                        specs2.append(
+                            agg_ops.AggSpec("sum", gaggs[i + 1], DataType.Int64)
+                        )
+                        merge_plan.append(("value_with_count", len(specs2) - 2, rt))
+                        i += 2
+                    elif name == "count":
+                        specs2.append(
+                            agg_ops.AggSpec("sum", gaggs[i], DataType.Int64)
+                        )
+                        merge_plan.append(("count", len(specs2) - 1, rt))
+                        i += 1
+                    else:  # avg
+                        specs2.append(
+                            agg_ops.AggSpec("sum", gaggs[i], _float_partial(rt))
+                        )
+                        specs2.append(
+                            agg_ops.AggSpec("sum", gaggs[i + 1], DataType.Int64)
+                        )
+                        merge_plan.append(("avg", len(specs2) - 2, rt))
+                        i += 2
+
+                mkeys, maggs, msel = agg_ops.grouped_aggregate(gkeys, specs2, gsel)
+
+                out_aggs = []
+                for kind, j, rt in merge_plan:
+                    if kind == "value_with_count":
+                        val, _ = maggs[j]
+                        cnt, _ = maggs[j + 1]
+                        out_aggs.append((val, cnt > 0))
+                    elif kind == "count":
+                        cnt, _ = maggs[j]
+                        out_aggs.append((cnt.astype(physical_np(rt)), None))
+                    else:  # avg
+                        s, _ = maggs[j]
+                        cnt, _ = maggs[j + 1]
+                        avg = s / jnp.maximum(cnt, 1).astype(s.dtype)
+                        out_aggs.append((avg.astype(physical_np(rt)), cnt > 0))
+                return Batch(list(mkeys) + out_aggs, msel)
+
+            return Lowered(plan.schema, out_dicts, fn, child.capacity, "replicated")
+
+        # ungrouped: local scalars → psum/pmin/pmax merge
+        out_cap = 8
+
+        def fn0(env) -> Batch:
+            b = child.fn(env)
+            iota = lax.broadcasted_iota(jnp.int32, (out_cap,), 0)
+            cols = []
+            for (name, arg, rt) in agg_meta:
+                argv = _broadcast_col(arg.fn(b.cols), b.capacity)
+                data, valid = argv
+                mask = b.sel if valid is None else jnp.logical_and(b.sel, valid)
+                cnt = lax.psum(jnp.sum(mask.astype(jnp.int32)), AXIS)
+                if name == "count":
+                    out = cnt.astype(physical_np(rt))
+                    v = None
+                elif name == "min":
+                    local = jnp.min(
+                        jnp.where(mask, data, agg_ops._sentinel(data.dtype, False))
+                    )
+                    out = lax.pmin(local, AXIS).astype(physical_np(rt))
+                    v = cnt > 0
+                elif name == "max":
+                    local = jnp.max(
+                        jnp.where(mask, data, agg_ops._sentinel(data.dtype, True))
+                    )
+                    out = lax.pmax(local, AXIS).astype(physical_np(rt))
+                    v = cnt > 0
+                elif name == "sum":
+                    local = jnp.sum(jnp.where(mask, data, jnp.zeros((), data.dtype)))
+                    out = lax.psum(local, AXIS).astype(physical_np(rt))
+                    v = cnt > 0
+                elif name == "avg":
+                    local = jnp.sum(jnp.where(mask, data, jnp.zeros((), data.dtype)))
+                    s = lax.psum(local, AXIS)
+                    out = (s / jnp.maximum(cnt, 1).astype(s.dtype)).astype(
+                        physical_np(rt)
+                    )
+                    v = cnt > 0
+                else:
+                    raise NotImplementedError_(f"aggregate function {name}")
+                dcol = jnp.broadcast_to(out, (out_cap,))
+                vcol = None if v is None else jnp.broadcast_to(v, (out_cap,))
+                cols.append((dcol, vcol))
+            return Batch(cols, iota < 1)
+
+        return Lowered(plan.schema, out_dicts, fn0, out_cap, "replicated")
+
+
+def _float_partial(rt: DataType) -> DataType:
+    """Partial-sum dtype for AVG: accumulate in the arg's float width."""
+    return rt if rt.is_float else DataType.Float64
+
+
+# ---------------------------------------------------------------------------
+
+
+def compile_plan_distributed(
+    plan: L.LogicalPlan,
+    tables: dict[str, Table],
+    mesh: Mesh,
+    fn_registry=None,
+    join_caps=None,
+) -> CompiledQuery:
+    """Compile `plan` for SPMD execution over `mesh`. Tables should be
+    row-partitioned with parallel.mesh.partition_table (unsharded tables
+    are resharded on the fly by jit)."""
+    pc = DistCompiler(tables, mesh, fn_registry, join_caps)
+    top = pc.lower(plan)
+
+    def pipeline(env):
+        pc.join_totals = []
+        b = top.fn(env)
+        cap = b.capacity
+        datas, valids = [], []
+        for d, v in b.cols:
+            d = jnp.broadcast_to(d, (cap,)) if jnp.ndim(d) == 0 else d
+            datas.append(d)
+            # concrete validity arrays keep the shard_map out_specs uniform
+            valids.append(jnp.ones((cap,), jnp.bool_) if v is None else v)
+        return datas, valids, b.sel, list(pc.join_totals)
+
+    data_spec = P(AXIS) if top.layout == "partitioned" else P()
+    wrapped = shard_map(
+        pipeline,
+        mesh=mesh,
+        in_specs=P(AXIS),
+        out_specs=(data_spec, data_spec, data_spec, P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(wrapped)
+
+    def recompile(new_caps):
+        return compile_plan_distributed(plan, tables, mesh, fn_registry, new_caps)
+
+    return CompiledQuery(
+        schema=top.schema,
+        dicts=top.dicts,
+        _jitted=jitted,
+        _scan_tables=pc.scan_tables,
+        _join_caps=list(pc.join_caps),
+        _recompile=recompile,
+    )

@@ -117,6 +117,24 @@ def from_np(dtype: np.dtype) -> DataType:
     return _FROM_NP[np.dtype(dtype)]
 
 
+_NARROWED = {"int64": np.dtype(np.int32), "uint64": np.dtype(np.uint32), "float64": np.dtype(np.float32)}
+
+
+def physical_np(dt: DataType) -> np.dtype:
+    """Device dtype for a logical type, respecting jax's x64 mode.
+
+    With x64 disabled (the TPU bench configuration — TPUs have no f64
+    hardware), 64-bit logical types map to their 32-bit physical
+    counterparts explicitly instead of relying on jax's noisy implicit
+    truncation."""
+    import jax
+
+    np_dt = dt.to_np()
+    if not jax.config.jax_enable_x64:
+        return _NARROWED.get(np_dt.name, np_dt)
+    return np_dt
+
+
 # ---------------------------------------------------------------------------
 # Supertype lattice — byte-for-byte the reference's table
 # (reference: src/logicalplan.rs:456-554 `_get_supertype`).

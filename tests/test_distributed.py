@@ -1,0 +1,136 @@
+"""Distributed-execution parity tests on an 8-virtual-device CPU mesh.
+
+Every query must produce the same result multiset under SPMD execution
+(parallel/dist.py) as single-chip execution — the conformance contract
+for the distributed engine the reference only roadmapped."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from datafusion_tpu import CsvDataSource, DataType as D, ExecutionContext, Field, Schema, Table
+from datafusion_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+    return make_mesh()
+
+
+def both_ctxs(mesh):
+    return ExecutionContext(), ExecutionContext(mesh=mesh)
+
+
+def register_random(ctxs, n=5000, seed=0):
+    rng = np.random.default_rng(seed)
+    data = {
+        "k": rng.integers(0, 37, n).astype(np.int32),
+        "v": np.round(rng.random(n) * 100, 3),
+        "w": rng.integers(-1000, 1000, n).astype(np.int64),
+    }
+    for ctx in ctxs:
+        ctx.register_table("t", Table.from_pydict(data))
+
+
+def _approx_equal_lines(a: str, b: str, rel=1e-9) -> bool:
+    """Cell-wise compare; float cells within rel tolerance (distributed
+    float SUM/AVG uses a different reduction tree → last-ulp drift)."""
+    la, lb = a.splitlines(), b.splitlines()
+    if len(la) != len(lb):
+        return False
+    for ra, rb in zip(la, lb):
+        ca, cb = ra.split("\t"), rb.split("\t")
+        if len(ca) != len(cb):
+            return False
+        for x, y in zip(ca, cb):
+            if x == y:
+                continue
+            try:
+                fx, fy = float(x), float(y)
+            except ValueError:
+                return False
+            if abs(fx - fy) > rel * max(1.0, abs(fx), abs(fy)):
+                return False
+    return True
+
+
+def check_parity(mesh, sql, ordered=False, n=5000, seed=0, approx=False):
+    single, dist = both_ctxs(mesh)
+    register_random([single, dist], n, seed)
+    a = single.sql(sql).result_str()
+    b = dist.sql(sql).result_str()
+    if approx:
+        assert _approx_equal_lines(a, b), f"approx mismatch for {sql}\n{a}\nvs\n{b}"
+    elif ordered:
+        assert a == b, f"ordered mismatch for {sql}"
+    else:
+        assert sorted(a.splitlines()) == sorted(b.splitlines()), f"mismatch for {sql}"
+    return a
+
+
+def test_filter_project_parity(mesh):
+    out = check_parity(mesh, "SELECT k, v, v * 2 FROM t WHERE v > 50 AND k < 10", ordered=True)
+    assert len(out.splitlines()) > 100
+
+
+def test_grouped_aggregate_parity(mesh):
+    out = check_parity(
+        mesh,
+        "SELECT k, MIN(v), MAX(v), SUM(w), COUNT(v), AVG(v) FROM t GROUP BY k ORDER BY k",
+        approx=True,
+    )
+    assert len(out.splitlines()) == 37
+
+
+def test_ungrouped_aggregate_parity(mesh):
+    check_parity(mesh, "SELECT MIN(v), MAX(v), COUNT(v) FROM t", ordered=True)
+    # float SUM across different reduction shapes can differ in last-ulp
+    # ordering; integer SUM must be exact
+    check_parity(mesh, "SELECT SUM(w), AVG(w) FROM t", ordered=True)
+
+
+def test_sort_limit_parity(mesh):
+    check_parity(mesh, "SELECT k, v FROM t ORDER BY v DESC, k LIMIT 17", ordered=True)
+
+
+def test_limit_without_sort_global_rank(mesh):
+    # LIMIT on partitioned data must take the first k rows in global row
+    # order, not k per shard
+    check_parity(mesh, "SELECT k FROM t LIMIT 100", ordered=True)
+
+
+def test_distributed_join_parity(mesh):
+    single, dist = both_ctxs(mesh)
+    rng = np.random.default_rng(7)
+    n_fact, n_dim = 4000, 100
+    fact = {
+        "fk": rng.integers(0, n_dim * 2, n_fact).astype(np.int32),  # half dangling
+        "x": rng.integers(0, 1000, n_fact).astype(np.int64),
+    }
+    dim = {
+        "pk": np.arange(n_dim, dtype=np.int32),
+        "label": [f"d{i}" for i in range(n_dim)],
+    }
+    for ctx in (single, dist):
+        ctx.register_table("fact", Table.from_pydict(fact))
+        ctx.register_table("dim", Table.from_pydict(dim))
+    sql = (
+        "SELECT dim.label, COUNT(fact.x), SUM(fact.x) FROM fact "
+        "JOIN dim ON fact.fk = dim.pk GROUP BY dim.label ORDER BY label"
+    )
+    assert single.sql(sql).result_str() == dist.sql(sql).result_str()
+
+
+def test_distributed_string_group_by(mesh, data_dir):
+    schema = Schema([Field("a", D.Utf8, False), Field("b", D.Float64, False)])
+    single, dist = both_ctxs(mesh)
+    for ctx in (single, dist):
+        ctx.register_datasource(
+            "t1", CsvDataSource(str(data_dir / "aggregate_test_2.csv"), schema)
+        )
+    sql = "SELECT a, MIN(b), MAX(b) FROM t1 GROUP BY a ORDER BY a"
+    a = single.sql(sql).result_str()
+    b = dist.sql(sql).result_str()
+    assert a == b == '"one"\t1.1\t2.2\n"three"\t1.0\t2.0\n"two"\t3.3\t5.5\n'

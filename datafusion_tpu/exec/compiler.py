@@ -66,6 +66,15 @@ class Lowered:
     # data placement under distributed execution: "single" (one chip),
     # "partitioned" (row-sharded over the mesh axis), "replicated"
     layout: str = "single"
+    # per output column: (scan_slot, column_index) when the column is a
+    # pure pass-through of a scanned column (only row masks applied, no
+    # reordering). Pass-through columns are elided from the jit outputs —
+    # projection of an existing column is metadata, not data movement —
+    # and materialized from the original table buffers. None = computed.
+    sources: Optional[list[Optional[tuple[int, int]]]] = None
+
+    def src(self) -> list[Optional[tuple[int, int]]]:
+        return self.sources if self.sources is not None else [None] * len(self.schema)
 
 
 @dataclass
@@ -74,11 +83,16 @@ class CompiledQuery:
     dicts: list[Optional[tuple[str, ...]]]
     _jitted: Callable
     _scan_tables: list[Table]
-    _join_caps: list[int]
-    _recompile: Callable  # (join_caps) -> CompiledQuery
+    _caps: list[int]  # static output capacities (join outputs, group slots)
+    _recompile: Callable  # (caps) -> CompiledQuery
+    # per output column: (scan_slot, col_idx) for pass-through columns
+    # (elided from the jit outputs; materialized straight from the table
+    # buffers), or None for computed columns
+    _sources: Optional[list[Optional[tuple[int, int]]]] = None
 
     def run(self):
-        """Execute; on join-capacity overflow, recompile larger and retry."""
+        """Execute; on capacity overflow (join matches or group count
+        exceeding the compiled static size), recompile larger and retry."""
         from datafusion_tpu.exec.result import ResultTable
 
         env = [
@@ -87,14 +101,19 @@ class CompiledQuery:
         datas, valids, sel, totals = self._jitted(env)
         totals = [int(t) for t in jax.device_get(totals)] if totals else []
         for i, tot in enumerate(totals):
-            if tot > self._join_caps[i]:
-                bigger = list(self._join_caps)
+            if tot > self._caps[i]:
+                bigger = list(self._caps)
                 bigger[i] = round_up(tot)
                 return self._recompile(bigger).run()
         sel_np = np.asarray(jax.device_get(sel))
         idx = np.nonzero(sel_np)[0]
+        sources = self._sources or [None] * len(self.schema)
         host_cols = []
-        for (d, v) in zip(datas, valids):
+        for j, (d, v) in enumerate(zip(datas, valids)):
+            if d is None:  # pass-through: read the original table buffer
+                slot, ci = sources[j]
+                col = self._scan_tables[slot].columns[ci]
+                d, v = col.data, col.validity
             dd = np.asarray(jax.device_get(d))[idx]
             vv = None if v is None else np.asarray(jax.device_get(v))[idx]
             host_cols.append((dd, vv))
@@ -109,13 +128,25 @@ def _broadcast_col(cv: ColVal, capacity: int) -> ColVal:
 
 
 class PlanCompiler:
-    def __init__(self, tables: dict[str, Table], fn_registry=None, join_caps=None):
+    # default static number of group slots for GROUP BY outputs; grown
+    # automatically (with a recompile) when a query produces more groups
+    DEFAULT_GROUP_CAPACITY = 64 * 1024
+
+    def __init__(self, tables: dict[str, Table], fn_registry=None, caps=None):
         self.tables = tables
         self.fn_registry = fn_registry or {}
         self.scan_tables: list[Table] = []
-        self.join_caps_in = list(join_caps) if join_caps else []
-        self.join_caps: list[int] = []
-        self.join_totals: list = []  # filled during trace
+        self.caps_in = list(caps) if caps else []
+        self.caps: list[int] = []
+        self.totals: list = []  # traced counts, parallel to caps
+
+    def _alloc_cap(self, default: int) -> int:
+        """Allocate a static-capacity slot (join output / group count),
+        honoring overrides from an overflow-retry recompile."""
+        slot = len(self.caps)
+        cap = self.caps_in[slot] if slot < len(self.caps_in) else default
+        self.caps.append(cap)
+        return cap
 
     # ------------------------------------------------------------------
     def lower(self, plan: L.LogicalPlan) -> Lowered:
@@ -167,7 +198,7 @@ class PlanCompiler:
             iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
             return Batch(cols, iota < n)
 
-        return Lowered(schema, dicts, fn, cap)
+        return Lowered(schema, dicts, fn, cap, sources=[(slot, i) for i in indices])
 
     def _lower_selection(self, plan: L.Selection) -> Lowered:
         child = self.lower(plan.input)
@@ -183,7 +214,10 @@ class PlanCompiler:
             keep = pd if pv is None else jnp.logical_and(pd, pv)  # NULL → drop
             return Batch(b.cols, jnp.logical_and(b.sel, keep))
 
-        return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
+        return Lowered(
+            child.schema, child.dicts, fn, child.capacity, child.layout,
+            sources=child.sources,
+        )
 
     def _lower_projection(self, plan: L.Projection) -> Lowered:
         child = self.lower(plan.input)
@@ -198,7 +232,12 @@ class PlanCompiler:
             cols = [c.fn(b.cols) for c in compiled]
             return Batch(cols, b.sel)
 
-        return Lowered(plan.schema, dicts, fn, child.capacity, child.layout)
+        child_src = child.src()
+        sources = [
+            child_src[e.index] if isinstance(e, L.Column) else None
+            for e in plan.exprs
+        ]
+        return Lowered(plan.schema, dicts, fn, child.capacity, child.layout, sources)
 
     def _lower_aggregate(self, plan: L.Aggregate) -> Lowered:
         child = self.lower(plan.input)
@@ -221,6 +260,8 @@ class PlanCompiler:
         ]
 
         if group_c:
+            gcap = self._alloc_cap(min(child.capacity, self.DEFAULT_GROUP_CAPACITY))
+
             def fn(env) -> Batch:
                 b = child.fn(env)
                 keys = [_broadcast_col(c.fn(b.cols), b.capacity) for c in group_c]
@@ -228,10 +269,13 @@ class PlanCompiler:
                     agg_ops.AggSpec(name, _broadcast_col(arg.fn(b.cols), b.capacity), rt)
                     for (name, arg, rt) in agg_meta
                 ]
-                okeys, oaggs, osel = agg_ops.grouped_aggregate(keys, specs, b.sel)
+                okeys, oaggs, osel, n_groups = agg_ops.grouped_aggregate(
+                    keys, specs, b.sel, gcap
+                )
+                self.totals.append(n_groups)
                 return Batch(list(okeys) + list(oaggs), osel)
 
-            return Lowered(plan.schema, out_dicts, fn, child.capacity, child.layout)
+            return Lowered(plan.schema, out_dicts, fn, gcap, child.layout)
 
         out_cap = 8
 
@@ -292,12 +336,7 @@ class PlanCompiler:
         left = self.lower(plan.left)
         right = self.lower(plan.right)
 
-        join_slot = len(self.join_caps)
-        if join_slot < len(self.join_caps_in):
-            out_cap = self.join_caps_in[join_slot]
-        else:
-            out_cap = max(left.capacity, right.capacity)
-        self.join_caps.append(out_cap)
+        out_cap = self._alloc_cap(max(left.capacity, right.capacity))
 
         # pre-compute dictionary remaps for string join keys
         remaps: list[Optional[tuple[jax.Array, jax.Array]]] = []
@@ -334,7 +373,7 @@ class PlanCompiler:
             p_idx, b_idx, out_sel, total = join_ops.inner_join_indices(
                 lkeys, lb.sel, rkeys, rb.sel, out_cap
             )
-            self.join_totals.append(total)
+            self.totals.append(total)
             lcols = join_ops.gather_columns(
                 [_broadcast_col(c, lb.capacity) for c in lb.cols], p_idx
             )
@@ -350,20 +389,27 @@ def compile_plan(
     plan: L.LogicalPlan,
     tables: dict[str, Table],
     fn_registry=None,
-    join_caps=None,
+    caps=None,
 ) -> CompiledQuery:
-    pc = PlanCompiler(tables, fn_registry, join_caps)
+    pc = PlanCompiler(tables, fn_registry, caps)
     top = pc.lower(plan)
+    sources = top.src()
 
     def pipeline(env):
-        pc.join_totals = []
+        pc.totals = []
         b = top.fn(env)
         datas, valids = [], []
-        for d, v in b.cols:
+        for j, (d, v) in enumerate(b.cols):
+            if sources[j] is not None:
+                # pass-through column: skip the HBM write entirely;
+                # materialization reads the original table buffer
+                datas.append(None)
+                valids.append(None)
+                continue
             d = jnp.broadcast_to(d, (top.capacity,)) if jnp.ndim(d) == 0 else d
             datas.append(d)
             valids.append(v)
-        return datas, valids, b.sel, list(pc.join_totals)
+        return datas, valids, b.sel, list(pc.totals)
 
     jitted = jax.jit(pipeline)
 
@@ -375,6 +421,7 @@ def compile_plan(
         dicts=top.dicts,
         _jitted=jitted,
         _scan_tables=pc.scan_tables,
-        _join_caps=list(pc.join_caps),
+        _caps=list(pc.caps),
         _recompile=recompile,
+        _sources=sources,
     )

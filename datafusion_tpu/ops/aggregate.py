@@ -83,14 +83,20 @@ def grouped_aggregate(
     key_cols: Sequence[ColVal],
     specs: Sequence[AggSpec],
     sel: jax.Array,
+    group_capacity: int | None = None,
 ):
     """GROUP BY aggregation (reference: with_group_by, aggregate.rs:787-952).
 
-    Returns (out_key_datas, out_agg_vals, out_sel) — all length `capacity`
-    (the static worst case of every selected row being its own group),
-    with the first n_groups slots valid.
+    Returns (out_key_datas, out_agg_vals, out_sel, n_groups). Output
+    arrays have length `group_capacity` (default: input capacity — the
+    static worst case of every row being its own group). If the true
+    group count exceeds group_capacity, the surplus groups are dropped
+    from the output and the returned n_groups (> group_capacity) lets the
+    caller detect the overflow and recompile bigger (the fixed-capacity +
+    valid-count idiom, SURVEY.md §7).
     """
     capacity = int(sel.shape[0])
+    gcap = capacity if group_capacity is None else int(group_capacity)
     iota = lax.broadcasted_iota(jnp.int32, (capacity,), 0)
 
     # rows with a NULL group key form their own group in SQL; fold key
@@ -119,8 +125,11 @@ def grouped_aggregate(
         sel_sorted, jnp.logical_or(first, jnp.logical_or(changed, jnp.logical_not(prev_sel)))
     )
     gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # -1 for pre-first rows
-    gid = jnp.where(sel_sorted, gid, capacity - 1)  # park unselected rows
+    # park unselected rows (and any overflow groups) out of range — XLA
+    # segment ops drop out-of-range ids
+    gid = jnp.where(sel_sorted, gid, gcap)
     n_groups = jnp.sum(boundary.astype(jnp.int32))
+    giota = lax.broadcasted_iota(jnp.int32, (gcap,), 0)
 
     # representative key values per group (all rows in a segment share keys)
     out_keys = []
@@ -129,14 +138,14 @@ def grouped_aggregate(
         kmax = jax.ops.segment_max(
             jnp.where(sel_sorted, kd_sorted, _sentinel(kd_sorted.dtype, True)),
             gid,
-            num_segments=capacity,
+            num_segments=gcap,
         )
         if kv is not None:
             kv_sorted = jnp.take(kv, perm)
             kvalid = jax.ops.segment_max(
                 jnp.logical_and(sel_sorted, kv_sorted).astype(jnp.int8),
                 gid,
-                num_segments=capacity,
+                num_segments=gcap,
             ).astype(jnp.bool_)
             out_keys.append((kmax, kvalid))
         else:
@@ -151,7 +160,7 @@ def grouped_aggregate(
         if valid is not None:
             mask = jnp.logical_and(mask, jnp.take(valid, perm))
         # int32 counters suffice: per-chip capacity < 2^31 rows
-        cnt = jax.ops.segment_sum(mask.astype(jnp.int32), gid, num_segments=capacity)
+        cnt = jax.ops.segment_sum(mask.astype(jnp.int32), gid, num_segments=gcap)
         if spec.func == "count":
             out_aggs.append((cnt.astype(physical_np(spec.out_dtype)), None))
             continue
@@ -159,30 +168,30 @@ def grouped_aggregate(
             r = jax.ops.segment_min(
                 jnp.where(mask, d_sorted, _sentinel(d_sorted.dtype, False)),
                 gid,
-                num_segments=capacity,
+                num_segments=gcap,
             )
         elif spec.func == "max":
             r = jax.ops.segment_max(
                 jnp.where(mask, d_sorted, _sentinel(d_sorted.dtype, True)),
                 gid,
-                num_segments=capacity,
+                num_segments=gcap,
             )
         elif spec.func == "sum":
             r = jax.ops.segment_sum(
                 jnp.where(mask, d_sorted, jnp.zeros((), d_sorted.dtype)),
                 gid,
-                num_segments=capacity,
+                num_segments=gcap,
             )
         elif spec.func == "avg":
             s = jax.ops.segment_sum(
                 jnp.where(mask, d_sorted, jnp.zeros((), d_sorted.dtype)),
                 gid,
-                num_segments=capacity,
+                num_segments=gcap,
             )
             r = s / jnp.maximum(cnt, 1).astype(s.dtype)
         else:
             raise NotImplementedError_(f"aggregate function {spec.func}")
         out_aggs.append((r.astype(physical_np(spec.out_dtype)), cnt > 0))
 
-    out_sel = iota < n_groups
-    return out_keys, out_aggs, out_sel
+    out_sel = giota < n_groups
+    return out_keys, out_aggs, out_sel, n_groups

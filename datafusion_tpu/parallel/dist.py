@@ -61,8 +61,8 @@ class DistCompiler(PlanCompiler):
     """Lowers plans to per-chip stage functions meant to run inside
     shard_map over a 1-D mesh."""
 
-    def __init__(self, tables, mesh: Mesh, fn_registry=None, join_caps=None):
-        super().__init__(tables, fn_registry, join_caps)
+    def __init__(self, tables, mesh: Mesh, fn_registry=None, caps=None):
+        super().__init__(tables, fn_registry, caps)
         self.mesh = mesh
         self.n_dev = int(mesh.devices.size)
 
@@ -164,12 +164,7 @@ class DistCompiler(PlanCompiler):
         left = self.lower(plan.left)
         right = self._gather_batch(self.lower(plan.right))
 
-        join_slot = len(self.join_caps)
-        if join_slot < len(self.join_caps_in):
-            out_cap_global = self.join_caps_in[join_slot]
-        else:
-            out_cap_global = max(left.capacity, right.capacity)
-        self.join_caps.append(out_cap_global)
+        out_cap_global = self._alloc_cap(max(left.capacity, right.capacity))
         partitioned = left.layout == "partitioned"
         out_cap_local = out_cap_global // self.n_dev if partitioned else out_cap_global
         left_cap_local = (
@@ -195,7 +190,7 @@ class DistCompiler(PlanCompiler):
             )
             if partitioned:
                 total = lax.psum(total, AXIS)
-            self.join_totals.append(total)
+            self.totals.append(total)
             lcols = join_ops.gather_columns(
                 [_broadcast_col(c, left_cap_local) for c in lb.cols], p_idx
             )
@@ -251,6 +246,10 @@ class DistCompiler(PlanCompiler):
             for (_, arg, rt) in agg_meta
         ]
         local_cap = child.capacity // self.n_dev
+        # static group slots per shard; overflow detected via the max local
+        # group count and retried bigger (run() loop)
+        gcap_local = self._alloc_cap(min(local_cap, self.DEFAULT_GROUP_CAPACITY))
+        merge_cap = gcap_local * self.n_dev
 
         # partial layout per original aggregate: value partial (for
         # min/max/sum) and/or count partial; merged with the combine fn.
@@ -278,11 +277,14 @@ class DistCompiler(PlanCompiler):
                     # validity of min/max/sum needs the merged count too
                     if name in ("min", "max", "sum"):
                         specs1.append(agg_ops.AggSpec("count", argv, DataType.Int64))
-                pkeys, paggs, psel = agg_ops.grouped_aggregate(keys, specs1, b.sel)
+                pkeys, paggs, psel, pn = agg_ops.grouped_aggregate(
+                    keys, specs1, b.sel, gcap_local
+                )
+                self.totals.append(lax.pmax(pn, AXIS))
 
                 # exchange partials over ICI
-                gkeys = [_gather_col(c, local_cap) for c in pkeys]
-                gaggs = [_gather_col(c, local_cap) for c in paggs]
+                gkeys = [_gather_col(c, gcap_local) for c in pkeys]
+                gaggs = [_gather_col(c, gcap_local) for c in paggs]
                 gsel = lax.all_gather(psel, AXIS, axis=0, tiled=True)
 
                 # stage 2: merge partials by key
@@ -314,7 +316,11 @@ class DistCompiler(PlanCompiler):
                         merge_plan.append(("avg", len(specs2) - 2, rt))
                         i += 2
 
-                mkeys, maggs, msel = agg_ops.grouped_aggregate(gkeys, specs2, gsel)
+                # merge capacity always fits: distinct groups <= sum of
+                # per-shard partial groups = merge_cap
+                mkeys, maggs, msel, _ = agg_ops.grouped_aggregate(
+                    gkeys, specs2, gsel, merge_cap
+                )
 
                 out_aggs = []
                 for kind, j, rt in merge_plan:
@@ -332,7 +338,7 @@ class DistCompiler(PlanCompiler):
                         out_aggs.append((avg.astype(physical_np(rt)), cnt > 0))
                 return Batch(list(mkeys) + out_aggs, msel)
 
-            return Lowered(plan.schema, out_dicts, fn, child.capacity, "replicated")
+            return Lowered(plan.schema, out_dicts, fn, merge_cap, "replicated")
 
         # ungrouped: local scalars → psum/pmin/pmax merge
         out_cap = 8
@@ -395,16 +401,16 @@ def compile_plan_distributed(
     tables: dict[str, Table],
     mesh: Mesh,
     fn_registry=None,
-    join_caps=None,
+    caps=None,
 ) -> CompiledQuery:
     """Compile `plan` for SPMD execution over `mesh`. Tables should be
     row-partitioned with parallel.mesh.partition_table (unsharded tables
     are resharded on the fly by jit)."""
-    pc = DistCompiler(tables, mesh, fn_registry, join_caps)
+    pc = DistCompiler(tables, mesh, fn_registry, caps)
     top = pc.lower(plan)
 
     def pipeline(env):
-        pc.join_totals = []
+        pc.totals = []
         b = top.fn(env)
         cap = b.capacity
         datas, valids = [], []
@@ -413,7 +419,7 @@ def compile_plan_distributed(
             datas.append(d)
             # concrete validity arrays keep the shard_map out_specs uniform
             valids.append(jnp.ones((cap,), jnp.bool_) if v is None else v)
-        return datas, valids, b.sel, list(pc.join_totals)
+        return datas, valids, b.sel, list(pc.totals)
 
     data_spec = P(AXIS) if top.layout == "partitioned" else P()
     wrapped = shard_map(
@@ -433,6 +439,6 @@ def compile_plan_distributed(
         dicts=top.dicts,
         _jitted=jitted,
         _scan_tables=pc.scan_tables,
-        _join_caps=list(pc.join_caps),
+        _caps=list(pc.caps),
         _recompile=recompile,
     )

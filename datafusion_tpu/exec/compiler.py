@@ -311,9 +311,8 @@ class PlanCompiler:
             key_vals = [
                 (_broadcast_col(c.fn(b.cols), b.capacity), asc) for c, asc in keys
             ]
-            perm, count = sort_ops.sort_permutation(key_vals, b.sel)
-            cols = sort_ops.apply_permutation(
-                [_broadcast_col(c, b.capacity) for c in b.cols], perm
+            cols, count = sort_ops.sort_batch(
+                key_vals, [_broadcast_col(c, b.capacity) for c in b.cols], b.sel
             )
             iota = lax.broadcasted_iota(jnp.int32, (b.capacity,), 0)
             return Batch(cols, iota < count)

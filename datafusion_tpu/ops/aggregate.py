@@ -3,16 +3,25 @@
 The reference's AggregateRelation drains its input and updates per-row
 scalar accumulators through a FnvHashMap keyed by boxed row keys
 (reference: src/execution/aggregate.rs:548-952 — its stated hotspot).
-Here aggregation is a fully vectorized sort-based pipeline: one
-multi-key sort, segment-boundary detection, and XLA segment reductions —
-no per-row host work, static shapes throughout.
+Here aggregation is a fully vectorized sort-based pipeline engineered
+around TPU cost realities (random gather ≈ 7 ns/elem, scatter-based
+segment ops ≈ 7 ns/elem, but lax.sort payload operands ≈ 0.7 ns/elem and
+cumsum ≈ 0.2 ns/elem):
+
+  * ONE multi-operand lax.sort co-sorts the keys AND every aggregate
+    argument — no per-payload gathers
+  * group boundaries + group ids come from elementwise compares + cumsum
+  * COUNT comes from boundary-position differences (a second tiny sort
+    compacts boundary positions; exact integer prefix math)
+  * MIN/MAX come from value-co-sorted secondary sorts — the group min is
+    the value at the group's start, the max at its end (no scatter)
+  * SUM/AVG keep XLA segment_sum over the sorted rows: the scatter is the
+    price of exact left-to-right, row-order accumulation, which the
+    reference's goldens pin (aggregate.rs:1126, e.g. 3.3000000000000003)
 
 Group output order is ascending key order (deterministic; the reference's
 order was FnvHashMap iteration order, explicitly nondeterministic per
-tests/sql.rs:47). SUM accumulates over rows in ascending original row
-order within each group (stable sort), matching the reference's
-batch-order folds for parity on its pinned float sums
-(aggregate.rs:1126).
+tests/sql.rs:47).
 """
 
 from __future__ import annotations
@@ -79,92 +88,143 @@ def ungrouped_aggregate(specs: Sequence[AggSpec], sel: jax.Array):
     return outs
 
 
+def _key_sort_operands(key_cols, sel):
+    """Leading sort operands: not-selected flag then null-first key parts."""
+    skeys = []
+    for kd, kv in key_cols:
+        if kv is not None:
+            skeys.append(jnp.logical_not(kv).astype(jnp.int8))
+        skeys.append(kd)
+    notsel = jnp.logical_not(sel).astype(jnp.int8)
+    return notsel, skeys
+
+
 def grouped_aggregate(
     key_cols: Sequence[ColVal],
     specs: Sequence[AggSpec],
     sel: jax.Array,
     group_capacity: int | None = None,
 ):
-    """GROUP BY aggregation (reference: with_group_by, aggregate.rs:787-952).
-
-    Returns (out_key_datas, out_agg_vals, out_sel, n_groups). Output
-    arrays have length `group_capacity` (default: input capacity — the
-    static worst case of every row being its own group). If the true
-    group count exceeds group_capacity, the surplus groups are dropped
-    from the output and the returned n_groups (> group_capacity) lets the
-    caller detect the overflow and recompile bigger (the fixed-capacity +
-    valid-count idiom, SURVEY.md §7).
+    """GROUP BY aggregation. Returns (out_keys, out_aggs, out_sel,
+    n_groups); output arrays have length group_capacity. If the true
+    group count exceeds group_capacity the surplus groups are dropped and
+    the returned n_groups (> group_capacity) lets the caller recompile
+    bigger (the fixed-capacity + valid-count idiom, SURVEY.md §7).
     """
     capacity = int(sel.shape[0])
-    gcap = capacity if group_capacity is None else int(group_capacity)
+    gcap = capacity if group_capacity is None else min(int(group_capacity), capacity)
     iota = lax.broadcasted_iota(jnp.int32, (capacity,), 0)
-
-    # rows with a NULL group key form their own group in SQL; fold key
-    # validity into the sort keys so nulls group together (null-first)
-    skeys = []
-    for kd, kv in key_cols:
-        if kv is not None:
-            skeys.append(jnp.logical_not(kv).astype(jnp.int8))
-        skeys.append(kd)
-
-    notsel = jnp.logical_not(sel).astype(jnp.int8)
-    operands = [notsel, *skeys, iota]
-    sorted_ops = lax.sort(operands, num_keys=len(operands))
-    perm = sorted_ops[-1]
-    sorted_keys = sorted_ops[1:-1]
-    sel_sorted = jnp.logical_not(sorted_ops[0].astype(jnp.bool_))
-
-    # segment boundaries among selected rows
-    first = iota == 0
-    changed = jnp.zeros((capacity,), jnp.bool_)
-    for sk in sorted_keys:
-        prev = jnp.roll(sk, 1)
-        changed = jnp.logical_or(changed, sk != prev)
-    prev_sel = jnp.roll(sel_sorted, 1)
-    boundary = jnp.logical_and(
-        sel_sorted, jnp.logical_or(first, jnp.logical_or(changed, jnp.logical_not(prev_sel)))
-    )
-    gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # -1 for pre-first rows
-    # park unselected rows (and any overflow groups) out of range — XLA
-    # segment ops drop out-of-range ids
-    gid = jnp.where(sel_sorted, gid, gcap)
-    n_groups = jnp.sum(boundary.astype(jnp.int32))
     giota = lax.broadcasted_iota(jnp.int32, (gcap,), 0)
 
-    # representative key values per group (all rows in a segment share keys)
-    out_keys = []
-    for kd, kv in key_cols:
-        kd_sorted = jnp.take(kd, perm)
-        kmax = jax.ops.segment_max(
-            jnp.where(sel_sorted, kd_sorted, _sentinel(kd_sorted.dtype, True)),
-            gid,
-            num_segments=gcap,
-        )
-        if kv is not None:
-            kv_sorted = jnp.take(kv, perm)
-            kvalid = jax.ops.segment_max(
-                jnp.logical_and(sel_sorted, kv_sorted).astype(jnp.int8),
-                gid,
-                num_segments=gcap,
-            ).astype(jnp.bool_)
-            out_keys.append((kmax, kvalid))
-        else:
-            out_keys.append((kmax, None))
+    notsel, skeys = _key_sort_operands(key_cols, sel)
 
-    out_aggs = []
+    # ---- main co-sort: keys + iota + every distinct payload ------------
+    payload_plan: list[int] = []  # operand index per spec (data)
+    vpayload_plan: list[Optional[int]] = []  # operand index per spec (validity)
+    operands = [notsel, *skeys, iota]
+    num_keys = len(operands)
+    seen: dict[int, int] = {}
     for spec in specs:
         data, valid = spec.arg
         data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
-        d_sorted = jnp.take(data, perm)
-        mask = sel_sorted
+        key_id = id(data)
+        if key_id not in seen:
+            seen[key_id] = len(operands)
+            operands.append(data)
+        payload_plan.append(seen[key_id])
         if valid is not None:
-            mask = jnp.logical_and(mask, jnp.take(valid, perm))
-        # int32 counters suffice: per-chip capacity < 2^31 rows
-        cnt = jax.ops.segment_sum(mask.astype(jnp.int32), gid, num_segments=gcap)
+            vid = id(valid)
+            if vid not in seen:
+                seen[vid] = len(operands)
+                operands.append(valid.astype(jnp.int8))
+            vpayload_plan.append(seen[vid])
+        else:
+            vpayload_plan.append(None)
+
+    sorted_ops = lax.sort(operands, num_keys=num_keys)
+    sel_sorted = jnp.logical_not(sorted_ops[0].astype(jnp.bool_))
+    sorted_keys = sorted_ops[1 : num_keys - 1]
+
+    # ---- boundaries, group ids, group extents --------------------------
+    first = iota == 0
+    changed = jnp.zeros((capacity,), jnp.bool_)
+    for sk in sorted_keys:
+        changed = jnp.logical_or(changed, sk != jnp.roll(sk, 1))
+    prev_sel = jnp.roll(sel_sorted, 1)
+    boundary = jnp.logical_and(
+        sel_sorted,
+        jnp.logical_or(first, jnp.logical_or(changed, jnp.logical_not(prev_sel))),
+    )
+    gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    gid = jnp.where(sel_sorted, gid, gcap)  # out-of-range ids are dropped
+    n_groups = jnp.sum(boundary.astype(jnp.int32))
+    n_sel = jnp.sum(sel_sorted.astype(jnp.int32))
+
+    # compact boundary positions to the front: starts[g] = first row of
+    # group g in the sorted order (tiny 2-operand sort, no scatter)
+    comp = lax.sort([jnp.logical_not(boundary).astype(jnp.int8), iota], num_keys=1)
+    starts_full = jnp.concatenate(
+        [comp[1], jnp.zeros((1,), jnp.int32)]  # pad so the +1 slice is in range
+    )
+    starts = lax.slice(starts_full, (0,), (gcap,))
+    ends = jnp.where(
+        giota + 1 < n_groups,
+        lax.slice(starts_full, (1,), (gcap + 1,)),
+        n_sel,
+    )
+    group_sizes = jnp.where(giota < n_groups, ends - starts, 0)
+
+    def at_starts(arr):
+        return jnp.take(arr, jnp.clip(starts, 0, capacity - 1))
+
+    def at_ends(arr):
+        return jnp.take(arr, jnp.clip(ends - 1, 0, capacity - 1))
+
+    # ---- group key outputs: values at group starts ---------------------
+    out_keys = []
+    ki = 1
+    for kd, kv in key_cols:
+        if kv is not None:
+            knull = at_starts(sorted_ops[ki]).astype(jnp.bool_)  # null-first flag
+            ki += 1
+            kvalid = jnp.logical_not(knull)
+        else:
+            kvalid = None
+        out_keys.append((at_starts(sorted_ops[ki]), kvalid))
+        ki += 1
+
+    # ---- aggregates -----------------------------------------------------
+    # cache secondary value-sorts per (arg operand index) so MIN and MAX
+    # of the same argument share one sort
+    minmax_cache: dict[int, jax.Array] = {}
+
+    def minmax_sorted(pi: int) -> jax.Array:
+        if pi not in minmax_cache:
+            vops = lax.sort(
+                [notsel, *skeys, operands[pi]], num_keys=1 + len(skeys) + 1
+            )
+            minmax_cache[pi] = vops[-1]
+        return minmax_cache[pi]
+
+    out_aggs = []
+    for spec, pi, vpi in zip(specs, payload_plan, vpayload_plan):
+        d_sorted = sorted_ops[pi]
+        if vpi is None:
+            mask = sel_sorted
+            valid_cnt = group_sizes
+        else:
+            mask = jnp.logical_and(sel_sorted, sorted_ops[vpi].astype(jnp.bool_))
+            valid_cnt = jax.ops.segment_sum(
+                mask.astype(jnp.int32), gid, num_segments=gcap
+            )
         if spec.func == "count":
-            out_aggs.append((cnt.astype(physical_np(spec.out_dtype)), None))
+            out_aggs.append((valid_cnt.astype(physical_np(spec.out_dtype)), None))
             continue
-        if spec.func == "min":
+        if spec.func in ("min", "max") and vpi is None:
+            # value-co-sorted path: min at group start, max at group end
+            vs = minmax_sorted(pi)
+            r = at_starts(vs) if spec.func == "min" else at_ends(vs)
+        elif spec.func == "min":
             r = jax.ops.segment_min(
                 jnp.where(mask, d_sorted, _sentinel(d_sorted.dtype, False)),
                 gid,
@@ -176,22 +236,20 @@ def grouped_aggregate(
                 gid,
                 num_segments=gcap,
             )
-        elif spec.func == "sum":
-            r = jax.ops.segment_sum(
-                jnp.where(mask, d_sorted, jnp.zeros((), d_sorted.dtype)),
-                gid,
-                num_segments=gcap,
-            )
-        elif spec.func == "avg":
+        elif spec.func in ("sum", "avg"):
+            # exact row-order accumulation (parity: aggregate.rs:1126)
             s = jax.ops.segment_sum(
                 jnp.where(mask, d_sorted, jnp.zeros((), d_sorted.dtype)),
                 gid,
                 num_segments=gcap,
             )
-            r = s / jnp.maximum(cnt, 1).astype(s.dtype)
+            if spec.func == "avg":
+                r = s / jnp.maximum(valid_cnt, 1).astype(s.dtype)
+            else:
+                r = s
         else:
             raise NotImplementedError_(f"aggregate function {spec.func}")
-        out_aggs.append((r.astype(physical_np(spec.out_dtype)), cnt > 0))
+        out_aggs.append((r.astype(physical_np(spec.out_dtype)), valid_cnt > 0))
 
     out_sel = giota < n_groups
     return out_keys, out_aggs, out_sel, n_groups

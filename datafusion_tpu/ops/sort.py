@@ -56,6 +56,53 @@ def sort_permutation(
     return perm, count
 
 
+def sort_batch(
+    keys: Sequence[tuple[ColVal, bool]],
+    cols: Sequence[ColVal],
+    sel: jax.Array,
+) -> tuple[list[ColVal], jax.Array]:
+    """Sort selected rows by `keys`, carrying every payload column through
+    the SAME lax.sort call. On TPU a payload operand costs ~0.7 ns/elem
+    vs ~7 ns/elem for a separate permutation gather — co-sorting is the
+    whole game. Returns (sorted cols, selected-row count); selected rows
+    land at the front."""
+    capacity = int(sel.shape[0])
+    iota = lax.broadcasted_iota(jnp.int32, (capacity,), 0)
+    operands: list[jax.Array] = [jnp.logical_not(sel).astype(jnp.int8)]
+    for (data, valid), asc in keys:
+        data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
+        operands.extend(_directed_key(data, valid, asc))
+    operands.append(iota)  # stable tie-break by original row
+    num_keys = len(operands)
+
+    payload_plan: list[tuple[int, Optional[int]]] = []
+    seen: dict[int, int] = {}
+    for data, valid in cols:
+        data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
+        kid = id(data)
+        if kid not in seen:
+            seen[kid] = len(operands)
+            operands.append(data)
+        di = seen[kid]
+        vi = None
+        if valid is not None:
+            vid = id(valid)
+            if vid not in seen:
+                seen[vid] = len(operands)
+                operands.append(valid.astype(jnp.int8))
+            vi = seen[vid]
+        payload_plan.append((di, vi))
+
+    sorted_ops = lax.sort(operands, num_keys=num_keys)
+    count = jnp.sum(sel.astype(jnp.int32))
+    out_cols: list[ColVal] = []
+    for di, vi in payload_plan:
+        d = sorted_ops[di]
+        v = None if vi is None else sorted_ops[vi].astype(jnp.bool_)
+        out_cols.append((d, v))
+    return out_cols, count
+
+
 def apply_permutation(cols: Sequence[ColVal], perm: jax.Array) -> list[ColVal]:
     out = []
     for data, valid in cols:

@@ -26,6 +26,17 @@ if _os.environ.get("DFTPU_X64", "1") == "1":
 
     _jax.config.update("jax_enable_x64", True)
 
+# DFTPU_FORCE_CPU=1 pins the CPU backend before jax initializes — needed on
+# machines whose sitecustomize pins a TPU platform at interpreter startup
+# (plain JAX_PLATFORMS env is overridden there).
+if _os.environ.get("DFTPU_FORCE_CPU", "0") == "1":
+    import jax as _jax2
+
+    try:
+        _jax2.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 from datafusion_tpu.errors import (
     ExecutionError,
     InvalidColumnError,

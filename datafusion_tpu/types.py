@@ -202,11 +202,18 @@ def get_supertype(l: DataType, r: DataType) -> Optional[DataType]:
     return st
 
 
+# Deviation from the reference: its can_coerce_from rejects
+# unsigned→wider-signed (logicalplan.rs:563-575) even though its own
+# get_supertype proposes those pairs (e.g. (UInt8, Int64)→Int64,
+# logicalplan.rs:462) — making `WHERE c_uint8 > 5` unplannable. We allow
+# the strictly lossless unsigned→wider-signed coercions.
 _COERCE_FROM: dict[DataType, frozenset[DataType]] = {
     _D.Int8: frozenset({_D.Int8}),
-    _D.Int16: frozenset({_D.Int8, _D.Int16}),
-    _D.Int32: frozenset({_D.Int8, _D.Int16, _D.Int32}),
-    _D.Int64: frozenset({_D.Int8, _D.Int16, _D.Int32, _D.Int64}),
+    _D.Int16: frozenset({_D.Int8, _D.Int16, _D.UInt8}),
+    _D.Int32: frozenset({_D.Int8, _D.Int16, _D.Int32, _D.UInt8, _D.UInt16}),
+    _D.Int64: frozenset(
+        {_D.Int8, _D.Int16, _D.Int32, _D.Int64, _D.UInt8, _D.UInt16, _D.UInt32}
+    ),
     _D.UInt8: frozenset({_D.UInt8}),
     _D.UInt16: frozenset({_D.UInt8, _D.UInt16}),
     _D.UInt32: frozenset({_D.UInt8, _D.UInt16, _D.UInt32}),

@@ -58,7 +58,21 @@ def read_csv(
     has_header: bool = True,
     device=None,
 ) -> Table:
-    """Read a CSV file into a device Table using the provided schema."""
+    """Read a CSV file into a device Table using the provided schema.
+
+    Uses the multithreaded native (C++) parser when available
+    (io/native.py); falls back to the pure-Python path otherwise or when
+    DFTPU_NATIVE_CSV=0."""
+    import os as _os
+
+    if _os.environ.get("DFTPU_NATIVE_CSV", "1") == "1":
+        from datafusion_tpu.io.native import parse_csv_native
+
+        native = parse_csv_native(path, schema, has_header)
+        if native is not None:
+            arrays, validity = native
+            return Table.from_arrays(schema, arrays, validity=validity, device=device)
+
     with open(path, newline="") as f:
         rows = list(_csv.reader(f))
     if has_header and rows:

@@ -1,0 +1,155 @@
+"""ctypes bindings + lazy build for the native (C++) CSV parser.
+
+The shared library is compiled on first use with g++ into
+datafusion_tpu/native/build/ and cached (source mtime keyed). When no
+C++ toolchain is available the caller falls back to the pure-Python
+parser (columnar/csv.py keeps working everywhere).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+from datafusion_tpu.schema import Schema
+from datafusion_tpu.types import DataType
+
+_DTYPE_CODE = {
+    DataType.Boolean: 0,
+    DataType.Int8: 1,
+    DataType.Int16: 2,
+    DataType.Int32: 3,
+    DataType.Int64: 4,
+    DataType.UInt8: 5,
+    DataType.UInt16: 6,
+    DataType.UInt32: 7,
+    DataType.UInt64: 8,
+    DataType.Float32: 9,
+    DataType.Float64: 10,
+    DataType.Utf8: 11,
+}
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _build_lib() -> Optional[ctypes.CDLL]:
+    src = os.path.join(os.path.dirname(__file__), "..", "native", "csv_parser.cpp")
+    src = os.path.abspath(src)
+    build_dir = os.path.join(os.path.dirname(src), "build")
+    os.makedirs(build_dir, exist_ok=True)
+    so = os.path.join(build_dir, "libdftpu_csv.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        cmd = [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            "-o", so, src, "-lpthread",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.dftpu_csv_count_rows.restype = ctypes.c_int64
+    lib.dftpu_csv_count_rows.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.dftpu_csv_parse.restype = ctypes.c_int64
+    lib.dftpu_csv_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_int,
+    ]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is None and not _lib_failed:
+            _lib = _build_lib()
+            _lib_failed = _lib is None
+    return _lib
+
+
+def parse_csv_native(path: str, schema: Schema, has_header: bool):
+    """Parse a CSV with the native loader. Returns (arrays, validity) in
+    the format Table.from_arrays expects, or None if the native path is
+    unavailable (caller falls back to the Python parser)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    n = int(lib.dftpu_csv_count_rows(data, len(data), int(has_header)))
+    if n < 0:
+        return None
+    ncols = len(schema)
+    dtypes = np.array([_DTYPE_CODE[f.dtype] for f in schema.fields], dtype=np.int32)
+    bufs = []
+    valids = []
+    out_ptrs = (ctypes.c_void_p * ncols)()
+    valid_ptrs = (ctypes.c_void_p * ncols)()
+    for j, field in enumerate(schema.fields):
+        if field.dtype is DataType.Utf8:
+            arr = np.zeros((n, 2), dtype=np.int64)  # (offset, length)
+        elif field.dtype is DataType.Boolean:
+            arr = np.zeros((n,), dtype=np.uint8)
+        else:
+            arr = np.zeros((n,), dtype=field.dtype.to_np())
+        bufs.append(arr)
+        out_ptrs[j] = arr.ctypes.data_as(ctypes.c_void_p)
+        v = np.zeros((n,), dtype=np.uint8)
+        valids.append(v)
+        valid_ptrs[j] = v.ctypes.data_as(ctypes.c_void_p)
+
+    parsed = int(
+        lib.dftpu_csv_parse(
+            data,
+            len(data),
+            int(has_header),
+            ncols,
+            dtypes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_ptrs,
+            valid_ptrs,
+            0,
+        )
+    )
+    if parsed != n:
+        return None
+
+    arrays = []
+    validity = []
+    for j, field in enumerate(schema.fields):
+        if field.dtype is DataType.Utf8:
+            # extract strings from the raw buffer (zero-copy offsets)
+            offs = bufs[j]
+            out = [
+                data[offs[i, 0] : offs[i, 0] + offs[i, 1]].decode("utf-8").replace('""', '"')
+                for i in range(n)
+            ]
+            arrays.append(out)
+            validity.append(None)
+        elif field.dtype is DataType.Boolean:
+            arrays.append(bufs[j].astype(np.bool_))
+            v = valids[j]
+            validity.append(None if v.all() else v.astype(np.bool_))
+        else:
+            arrays.append(bufs[j])
+            v = valids[j]
+            validity.append(None if v.all() else v.astype(np.bool_))
+    if all(v is None for v in validity):
+        validity = None
+    return arrays, validity

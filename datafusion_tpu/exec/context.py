@@ -55,6 +55,7 @@ class ExecutionContext:
         self._functions: dict[str, tuple[FunctionMeta, Optional[Callable]]] = {}
         self._compile_cache: dict = {}
         self._catalog = _Catalog(self)
+        self.last_stats: dict = {}
         # built-in scalar math functions (the reference's console intended a
         # similar registration path, main.rs:25-27 / sqrt UDF in tests)
         from datafusion_tpu.ops.expr_eval import SCALAR_FUNCTIONS
@@ -111,12 +112,31 @@ class ExecutionContext:
     def sql(self, sql: str) -> ResultTable:
         """Parse, plan, compile, and execute a SQL statement
         (reference: context.rs:44-98)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         node = parse_sql(sql)
+        t_parse = _time.perf_counter()
+        if isinstance(node, A.SQLExplain):
+            inner = node.stmt
+            if isinstance(inner, A.SQLCreateExternalTable):
+                raise PlanError("cannot EXPLAIN a DDL statement")
+            plan = SqlToRel(self._catalog).sql_to_rel(inner)
+            return ResultTable(Schema.empty(), [], [], raw_text=repr(plan) + "\n")
         if isinstance(node, A.SQLCreateExternalTable):
             self._execute_ddl(node)
             return ResultTable(Schema.empty(), [], [])
         plan = SqlToRel(self._catalog).sql_to_rel(node)
-        return self.execute(plan)
+        t_plan = _time.perf_counter()
+        result = self.execute(plan)
+        t_exec = _time.perf_counter()
+        self.last_stats = {
+            "parse_s": t_parse - t0,
+            "plan_s": t_plan - t_parse,
+            "execute_s": t_exec - t_plan,
+            "rows": result.num_rows,
+        }
+        return result
 
     def execute(self, plan: LogicalPlan) -> ResultTable:
         """Compile (with caching) and run a logical plan."""
@@ -140,15 +160,21 @@ class ExecutionContext:
 
     # ------------------------------------------------------------------
     def _execute_ddl(self, node: A.SQLCreateExternalTable) -> None:
-        if node.file_type is not A.FileType.CSV:
-            raise NotImplementedError_(
-                f"STORED AS {node.file_type.value} is not supported yet "
-                "(the reference never implemented it either, SURVEY.md §2)"
-            )
         fields = [
             Field(c.name, convert_data_type(c.type_name), c.allow_null)
             for c in node.columns
         ]
-        self.register_csv(
-            node.name, node.location, Schema(fields), has_header=node.header_row
-        )
+        schema = Schema(fields)
+        if node.file_type is A.FileType.CSV:
+            self.register_csv(
+                node.name, node.location, schema, has_header=node.header_row
+            )
+        elif node.file_type is A.FileType.NdJson:
+            from datafusion_tpu.columnar.ndjson import read_ndjson
+
+            self.register_table(node.name, read_ndjson(node.location, schema))
+        else:
+            raise NotImplementedError_(
+                f"STORED AS {node.file_type.value} is not supported yet "
+                "(the reference never implemented it either, SURVEY.md §2)"
+            )

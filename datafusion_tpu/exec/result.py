@@ -24,6 +24,7 @@ class ResultTable:
     schema: Schema
     cols: list[tuple[np.ndarray, Optional[np.ndarray]]]
     dicts: list[Optional[tuple[str, ...]]]
+    raw_text: Optional[str] = None  # EXPLAIN and other plain-text results
 
     @property
     def num_rows(self) -> int:
@@ -58,6 +59,8 @@ class ResultTable:
     def result_str(self) -> str:
         """Tab-delimited rendering identical to the reference's result_str
         (tests/sql.rs:107-137)."""
+        if self.raw_text is not None:
+            return self.raw_text
         colvals = [self.column_values(j) for j in range(self.num_columns)]
         dtypes = [f.dtype for f in self.schema.fields]
         lines = []

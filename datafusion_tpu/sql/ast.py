@@ -132,6 +132,13 @@ class ColumnDef(AstNode):
 
 
 @dataclass(frozen=True)
+class SQLExplain(AstNode):
+    """EXPLAIN <statement> — plan display (beyond the reference)."""
+
+    stmt: AstNode
+
+
+@dataclass(frozen=True)
 class SQLCreateExternalTable(AstNode):
     """CREATE EXTERNAL TABLE name (cols) STORED AS fmt [WITH|WITHOUT HEADER
     ROW] LOCATION 'path' (reference: dfparser.rs:101-207)."""

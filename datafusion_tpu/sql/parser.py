@@ -157,6 +157,10 @@ class Parser:
 
     # ---- statements ------------------------------------------------------
     def parse_statement(self) -> AstNode:
+        if self.consume_keyword("EXPLAIN"):
+            from datafusion_tpu.sql.ast import SQLExplain
+
+            return SQLExplain(self.parse_statement())
         if self.consume_keywords("CREATE", "EXTERNAL", "TABLE"):
             return self._parse_create_external_table()
         if self.peek().kind is Tok.IDENT and self.peek().upper == "SELECT":

@@ -122,6 +122,9 @@ class ExecutionContext:
             if isinstance(inner, A.SQLCreateExternalTable):
                 raise PlanError("cannot EXPLAIN a DDL statement")
             plan = SqlToRel(self._catalog).sql_to_rel(inner)
+            from datafusion_tpu.plan.optimizer import push_down_projection
+
+            plan = push_down_projection(plan)
             return ResultTable(Schema.empty(), [], [], raw_text=repr(plan) + "\n")
         if isinstance(node, A.SQLCreateExternalTable):
             self._execute_ddl(node)
@@ -139,7 +142,12 @@ class ExecutionContext:
         return result
 
     def execute(self, plan: LogicalPlan) -> ResultTable:
-        """Compile (with caching) and run a logical plan."""
+        """Compile (with caching) and run a logical plan. The projection
+        push-down optimizer runs here (the reference disabled its
+        optimizer at this exact point, context.rs:89)."""
+        from datafusion_tpu.plan.optimizer import push_down_projection
+
+        plan = push_down_projection(plan)
         key = (
             repr(plan),
             tuple(sorted((n, id(t)) for n, t in self._tables.items())),

@@ -211,11 +211,52 @@ def _strip_cast(e: Expr) -> Expr:
     return e
 
 
+def _like_to_regex(pattern: str) -> str:
+    import re
+
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def _compile_like(expr: BinaryExpr, schema, dicts) -> CompiledExpr:
+    """LIKE/NOT LIKE on dictionary-encoded strings: the pattern is matched
+    against the (small) vocabulary on the host at compile time, producing
+    a boolean lookup table indexed by code on device. (The reference
+    parsed LIKE but execution was unimplemented, logicalplan.rs:79.)"""
+    import re
+
+    lraw, rraw = _strip_cast(expr.left), _strip_cast(expr.right)
+    if not (isinstance(lraw, Column) and isinstance(rraw, Literal)):
+        raise NotImplementedError_("LIKE requires column LIKE 'pattern'")
+    vocab = dicts[lraw.index]
+    if vocab is None:
+        raise NotImplementedError_("LIKE is only supported on Utf8 columns")
+    rx = re.compile(_like_to_regex(rraw.value.value), re.DOTALL)
+    matches = np.array([rx.fullmatch(v) is not None for v in vocab], dtype=np.bool_)
+    if expr.op is Operator.NotLike:
+        matches = ~matches
+    lut = jnp.asarray(matches)
+    i = lraw.index
+
+    def fn(cols, i=i, lut=lut):
+        d, v = cols[i]
+        return jnp.take(lut, d), v
+
+    return CompiledExpr(fn, DataType.Boolean)
+
+
 def _compile_binary(expr: BinaryExpr, schema, dicts, registry) -> CompiledExpr:
     op = expr.op
 
     if op in (Operator.Like, Operator.NotLike):
-        raise NotImplementedError_("LIKE is parsed but not executable (as in reference)")
+        return _compile_like(expr, schema, dicts)
 
     lraw, rraw = _strip_cast(expr.left), _strip_cast(expr.right)
     l_is_str = lraw.get_type(schema) is DataType.Utf8 if _typeable(lraw, schema) else False

@@ -138,6 +138,10 @@ class BinaryExpr(Expr):
     def get_type(self, schema: Schema) -> DataType:
         if self.op.is_comparison or self.op.is_boolean:
             return DataType.Boolean
+        if self.op in (Operator.Like, Operator.NotLike):
+            # deviation: the reference typed LIKE via the supertype branch
+            # (→ Utf8, logicalplan.rs:181-193); a predicate is Boolean
+            return DataType.Boolean
         lt = self.left.get_type(schema)
         rt = self.right.get_type(schema)
         st = get_supertype(lt, rt)

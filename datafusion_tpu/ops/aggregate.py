@@ -40,6 +40,23 @@ from datafusion_tpu.types import DataType, physical_np
 ColVal = tuple[jax.Array, Optional[jax.Array]]
 
 
+def _pallas_enabled() -> bool:
+    """Use the pallas segmented-reduce kernel? Default: only on TPU
+    backends (the XLA path stays for CPU parity runs).
+    DFTPU_PALLAS=1 forces it (interpret mode off-TPU), =0 disables."""
+    import os
+
+    v = os.environ.get("DFTPU_PALLAS", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 @dataclass(frozen=True)
 class AggSpec:
     """One aggregate to compute: function name + argument column value."""
@@ -194,6 +211,72 @@ def grouped_aggregate(
         ki += 1
 
     # ---- aggregates -----------------------------------------------------
+    # TPU fast path: one pallas pass over the sorted gids computes every
+    # eligible reduction (ops/pallas/segreduce.py) — no scatters, no
+    # secondary sorts. CPU/parity path keeps XLA ops (bit-exact row-order
+    # float sums).
+    pallas_results: dict[int, jax.Array] = {}
+    pallas_counts: dict[int, jax.Array] = {}
+    if _pallas_enabled() and capacity % 512 == 0 and gcap >= 1:
+        from datafusion_tpu.ops.pallas.segreduce import segmented_reduce_sorted
+
+        k_ops: list[str] = []
+        k_vals: list[jax.Array] = []
+        k_masks: list[jax.Array] = []
+        k_slots: list[tuple[int, str]] = []  # (spec index, role)
+        need_count: set[int] = set()
+        for si, (spec, pi, vpi) in enumerate(zip(specs, payload_plan, vpayload_plan)):
+            d_sorted = sorted_ops[pi]
+            mask = sel_sorted if vpi is None else jnp.logical_and(
+                sel_sorted, sorted_ops[vpi].astype(jnp.bool_)
+            )
+            is_float = jnp.issubdtype(d_sorted.dtype, jnp.floating)
+            f32 = d_sorted.dtype == jnp.float32
+            i32 = d_sorted.dtype == jnp.int32
+            if spec.func in ("sum", "avg") and f32:
+                k_ops.append("sum")
+                k_vals.append(d_sorted)
+                k_masks.append(mask)
+                k_slots.append((si, "sum"))
+                need_count.add(si)
+            elif spec.func in ("min", "max") and (f32 or i32):
+                k_ops.append(spec.func)
+                k_vals.append(d_sorted)
+                k_masks.append(mask)
+                k_slots.append((si, spec.func))
+                need_count.add(si)
+            elif spec.func == "count":
+                pass  # counts ride along below
+            else:
+                continue
+        for si in sorted(
+            need_count
+            | {i for i, s in enumerate(specs) if s.func == "count"}
+        ):
+            _, pi, vpi = specs[si], payload_plan[si], vpayload_plan[si]
+            mask = sel_sorted if vpi is None else jnp.logical_and(
+                sel_sorted, sorted_ops[vpi].astype(jnp.bool_)
+            )
+            k_ops.append("count")
+            k_vals.append(sorted_ops[pi].astype(jnp.float32))
+            k_masks.append(mask)
+            k_slots.append((si, "count"))
+        if k_ops:
+            interp = jax.devices()[0].platform not in ("tpu", "axon")
+            outs = segmented_reduce_sorted(
+                gid,
+                tuple(k_vals),
+                tuple(k_masks),
+                ops=tuple(k_ops),
+                num_groups=gcap,
+                interpret=interp,
+            )
+            for (si, role), o in zip(k_slots, outs):
+                if role == "count":
+                    pallas_counts[si] = o.astype(jnp.int32)
+                else:
+                    pallas_results[si] = o
+
     # cache secondary value-sorts per (arg operand index) so MIN and MAX
     # of the same argument share one sort
     minmax_cache: dict[int, jax.Array] = {}
@@ -207,9 +290,12 @@ def grouped_aggregate(
         return minmax_cache[pi]
 
     out_aggs = []
-    for spec, pi, vpi in zip(specs, payload_plan, vpayload_plan):
+    for si, (spec, pi, vpi) in enumerate(zip(specs, payload_plan, vpayload_plan)):
         d_sorted = sorted_ops[pi]
-        if vpi is None:
+        if si in pallas_counts:
+            mask = None
+            valid_cnt = pallas_counts[si]
+        elif vpi is None:
             mask = sel_sorted
             valid_cnt = group_sizes
         else:
@@ -220,6 +306,16 @@ def grouped_aggregate(
         if spec.func == "count":
             out_aggs.append((valid_cnt.astype(physical_np(spec.out_dtype)), None))
             continue
+        if si in pallas_results:
+            r = pallas_results[si]
+            if spec.func == "avg":
+                r = r / jnp.maximum(valid_cnt, 1).astype(r.dtype)
+            out_aggs.append((r.astype(physical_np(spec.out_dtype)), valid_cnt > 0))
+            continue
+        if mask is None:
+            mask = sel_sorted if vpi is None else jnp.logical_and(
+                sel_sorted, sorted_ops[vpi].astype(jnp.bool_)
+            )
         if spec.func in ("min", "max") and vpi is None:
             # value-co-sorted path: min at group start, max at group end
             vs = minmax_sorted(pi)

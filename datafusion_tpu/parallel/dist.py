@@ -155,13 +155,30 @@ class DistCompiler(PlanCompiler):
         return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
 
     def _lower_join(self, plan: L.Join) -> Lowered:
-        # broadcast join: gather the build (right) side to every chip;
-        # probe (left) side keeps its layout. Hash-repartitioned join with
-        # ragged all_to_all is the planned upgrade for large build sides.
+        """Two strategies (DFTPU_JOIN_STRATEGY = auto|broadcast|shuffle):
+
+        * broadcast: gather the build (right) side to every chip — right
+          choice when the build side is small
+        * shuffle: hash-repartition BOTH sides by join key over ICI
+          all_to_all, then join locally — the scalable path
+          (parallel/shuffle.py)
+        """
+        import os
+
         if plan.join_type is not L.JoinType.Inner:
             raise NotImplementedError_(f"{plan.join_type!r} join not yet supported")
         left = self.lower(plan.left)
-        right = self._gather_batch(self.lower(plan.right))
+        right_low = self.lower(plan.right)
+        strategy = os.environ.get("DFTPU_JOIN_STRATEGY", "auto")
+        both_part = left.layout == "partitioned" and right_low.layout == "partitioned"
+        if strategy == "shuffle" or (
+            strategy == "auto"
+            and both_part
+            and right_low.capacity * 4 > left.capacity
+        ):
+            if both_part and len(plan.on) >= 1:
+                return self._lower_join_shuffle(plan, left, right_low)
+        right = self._gather_batch(right_low)
 
         out_cap_global = self._alloc_cap(max(left.capacity, right.capacity))
         partitioned = left.layout == "partitioned"
@@ -200,6 +217,68 @@ class DistCompiler(PlanCompiler):
 
         return Lowered(
             plan.schema, left.dicts + right.dicts, fn, out_cap_global, left.layout
+        )
+
+    def _lower_join_shuffle(self, plan: L.Join, left: Lowered, right: Lowered) -> Lowered:
+        from datafusion_tpu.columnar.table import round_up as _round_up
+        from datafusion_tpu.parallel.shuffle import hash_to_device, repartition
+
+        n = self.n_dev
+        lcap_local = left.capacity // n
+        rcap_local = right.capacity // n
+        # per-destination send capacity: 2x the balanced expectation,
+        # lane-aligned; totals/caps machinery grows it under skew
+        s_l = self._alloc_cap(max(128, -(-2 * lcap_local // n) // 128 * 128))
+        s_r = self._alloc_cap(max(128, -(-2 * rcap_local // n) // 128 * 128))
+        out_cap_local = self._alloc_cap(max(lcap_local * 2, n * s_l))
+        remaps = self._join_key_remaps(plan, left, right)
+
+        def keys_of(batch, side_cols, cap, which):
+            ks = []
+            for (li, ri), remap in zip(plan.on, remaps):
+                idx = li if which == "l" else ri
+                k, _ = _broadcast_col(side_cols[idx], cap)
+                if remap is not None:
+                    k = jnp.take(remap[0] if which == "l" else remap[1], k)
+                ks.append(k)
+            return ks
+
+        def fn(env) -> Batch:
+            from datafusion_tpu.ops import join as join_ops
+
+            lb = left.fn(env)
+            rb = right.fn(env)
+            lkeys = keys_of(lb, lb.cols, lcap_local, "l")
+            rkeys = keys_of(rb, rb.cols, rcap_local, "r")
+            ldst = hash_to_device(join_ops._pack_keys(lkeys), n)
+            rdst = hash_to_device(join_ops._pack_keys(rkeys), n)
+            lcols2, lsel2, lmax = repartition(
+                [_broadcast_col(c, lcap_local) for c in lb.cols], ldst, lb.sel, n, s_l
+            )
+            self.totals.append(lax.pmax(lmax, AXIS))
+            rcols2, rsel2, rmax = repartition(
+                [_broadcast_col(c, rcap_local) for c in rb.cols], rdst, rb.sel, n, s_r
+            )
+            self.totals.append(lax.pmax(rmax, AXIS))
+
+            lkeys2 = keys_of(None, lcols2, n * s_l, "l")
+            rkeys2 = keys_of(None, rcols2, n * s_r, "r")
+            p_idx, b_idx, out_sel, total = join_ops.inner_join_indices(
+                lkeys2, lsel2, rkeys2, rsel2, out_cap_local
+            )
+            # out_cap_local is a per-device capacity — compare the worst
+            # device's match count, not the global sum
+            self.totals.append(lax.pmax(total, AXIS))
+            lcols3 = join_ops.gather_columns(lcols2, p_idx)
+            rcols3 = join_ops.gather_columns(rcols2, b_idx)
+            return Batch(lcols3 + rcols3, out_sel)
+
+        return Lowered(
+            plan.schema,
+            left.dicts + right.dicts,
+            fn,
+            out_cap_local * n,
+            "partitioned",
         )
 
     def _join_key_remaps(self, plan, left, right):

@@ -104,12 +104,111 @@ class DistCompiler(PlanCompiler):
         return Lowered(base.schema, base.dicts, fn, table.capacity, "partitioned")
 
     def _lower_sort(self, plan: L.Sort) -> Lowered:
+        import os
+
         child = self.lower(plan.input)
+        strategy = os.environ.get("DFTPU_SORT_STRATEGY", "auto")
+        if (
+            child.layout == "partitioned"
+            and len(plan.exprs) == 1
+            and strategy in ("auto", "sample")
+        ):
+            return self._lower_sort_sample(plan, child)
         if child.layout == "partitioned":
-            # gather over ICI, then one vectorized multi-key sort per chip.
-            # (TODO: sample-sort with all_to_all range exchange for scale)
+            # multi-key fallback: gather over ICI, one sort per chip
             child = self._gather_batch(child)
         return self._sort_over(child, plan)
+
+    def _lower_sort_sample(self, plan: L.Sort, child: Lowered) -> Lowered:
+        """Distributed sample sort: local sort → sampled splitters
+        (all_gather over ICI) → range exchange (all_to_all) → local sort.
+        Device d ends up holding the d-th global key range, so the
+        concatenated shards ARE the globally sorted order. Ties across
+        devices are routed to a single device (searchsorted), keeping
+        equal keys together; cross-device stability by original row id is
+        not guaranteed (single-chip sort is fully stable)."""
+        from datafusion_tpu.parallel.shuffle import repartition
+
+        n = self.n_dev
+        local_cap = child.capacity // n
+        oversample = 16  # samples per device
+        s_cap = self._alloc_cap(max(128, -(-2 * local_cap // n) // 128 * 128))
+        se = plan.exprs[0]
+        keyc = compile_expr(se.expr, child.schema, child.dicts, self.fn_registry)
+
+        def fn(env) -> Batch:
+            b = child.fn(env)
+            kv = _broadcast_col(keyc.fn(b.cols), local_cap)
+            dkeys = sort_ops._directed_key(kv[0], kv[1], se.asc)
+            dkey = dkeys[-1]  # primary directed key (nulls-last flag folded
+            # into the sampling sentinel below when validity exists)
+            if len(dkeys) > 1:
+                # push NULL keys to the very top of the directed order
+                big = (
+                    jnp.asarray(jnp.inf, dkey.dtype)
+                    if jnp.issubdtype(dkey.dtype, jnp.floating)
+                    else jnp.asarray(jnp.iinfo(dkey.dtype).max, dkey.dtype)
+                )
+                dkey = jnp.where(dkeys[0].astype(jnp.bool_), big, dkey)
+
+            # local sort of the directed key (selected first)
+            cols_sorted, n_sel = sort_ops.sort_batch(
+                [((dkey, None), True)],
+                [_broadcast_col(c, local_cap) for c in b.cols] + [(dkey, None)],
+                b.sel,
+            )
+            dkey_sorted = cols_sorted[-1][0]
+            payload_sorted = cols_sorted[:-1]
+            iota = lax.broadcasted_iota(jnp.int32, (local_cap,), 0)
+            sel_sorted = iota < n_sel
+
+            # evenly-spaced samples of the selected prefix; empty shards
+            # contribute +inf-like sentinels that sort to the top
+            samp_pos = jnp.clip(
+                (lax.broadcasted_iota(jnp.int32, (oversample,), 0) + 1)
+                * jnp.maximum(n_sel, 1)
+                // (oversample + 1),
+                0,
+                local_cap - 1,
+            )
+            big = (
+                jnp.asarray(jnp.inf, dkey_sorted.dtype)
+                if jnp.issubdtype(dkey_sorted.dtype, jnp.floating)
+                else jnp.asarray(jnp.iinfo(dkey_sorted.dtype).max, dkey_sorted.dtype)
+            )
+            samples = jnp.where(
+                n_sel > 0, jnp.take(dkey_sorted, samp_pos), big
+            )
+            all_samples = lax.all_gather(samples, AXIS, axis=0, tiled=True)
+            ssorted = lax.sort([all_samples], num_keys=1)[0]
+            # n-1 splitters at even ranks
+            ranks = (
+                (lax.broadcasted_iota(jnp.int32, (n - 1,), 0) + 1)
+                * (n * oversample)
+                // n
+            )
+            splitters = jnp.take(ssorted, jnp.clip(ranks, 0, n * oversample - 1))
+
+            dst = jnp.searchsorted(splitters, dkey_sorted, side="right").astype(
+                jnp.int32
+            )
+            cols2, sel2, smax = repartition(
+                payload_sorted + [(dkey_sorted, None)], dst, sel_sorted, n, s_cap
+            )
+            self.totals.append(lax.pmax(smax, AXIS))
+            dkey2 = cols2[-1][0]
+            payload2 = cols2[:-1]
+
+            # final local sort of the received range
+            cols3, count3 = sort_ops.sort_batch(
+                [((dkey2, None), True)], payload2, sel2
+            )
+            out_iota = lax.broadcasted_iota(jnp.int32, (n * s_cap,), 0)
+            return Batch(cols3, out_iota < count3)
+
+        return Lowered(
+            child.schema, child.dicts, fn, n * s_cap * n, "partitioned"
+        )
 
     def _sort_over(self, child: Lowered, plan: L.Sort) -> Lowered:
         keys = [

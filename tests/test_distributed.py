@@ -95,6 +95,14 @@ def test_sort_limit_parity(mesh):
     check_parity(mesh, "SELECT k, v FROM t ORDER BY v DESC, k LIMIT 17", ordered=True)
 
 
+def test_sample_sort_single_key(mesh):
+    # single-key ORDER BY takes the distributed sample-sort path
+    # (splitters + all_to_all range exchange), not the gather fallback
+    check_parity(mesh, "SELECT v FROM t ORDER BY v", ordered=True)
+    check_parity(mesh, "SELECT v FROM t ORDER BY v DESC LIMIT 100", ordered=True)
+    check_parity(mesh, "SELECT v, k FROM t WHERE k < 20 ORDER BY v LIMIT 50", ordered=True)
+
+
 def test_limit_without_sort_global_rank(mesh):
     # LIMIT on partitioned data must take the first k rows in global row
     # order, not k per shard

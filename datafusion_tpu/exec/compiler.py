@@ -330,8 +330,27 @@ class PlanCompiler:
         return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
 
     def _lower_join(self, plan: L.Join) -> Lowered:
-        if plan.join_type is not L.JoinType.Inner:
-            raise NotImplementedError_(f"{plan.join_type!r} join not yet supported")
+        # RIGHT join = LEFT join with sides swapped + output columns
+        # permuted back to (left..., right...) order
+        if plan.join_type is L.JoinType.Right:
+            swapped = L.Join(
+                plan.right,
+                plan.left,
+                tuple((r, l) for l, r in plan.on),
+                L.JoinType.Left,
+                plan.right.schema.join(plan.left.schema),
+            )
+            inner = self._lower_join(swapped)
+            n_right = len(plan.right.schema)
+
+            def swap_fn(env, inner=inner, n_right=n_right) -> Batch:
+                b = inner.fn(env)
+                cols = b.cols[n_right:] + b.cols[:n_right]
+                return Batch(cols, b.sel)
+
+            dicts = inner.dicts[n_right:] + inner.dicts[:n_right]
+            return Lowered(plan.schema, dicts, swap_fn, inner.capacity, inner.layout)
+        keep_unmatched = plan.join_type is L.JoinType.Left
         left = self.lower(plan.left)
         right = self.lower(plan.right)
 
@@ -369,8 +388,9 @@ class PlanCompiler:
                     rk = jnp.take(remap[1], rk)
                 lkeys.append(lk)
                 rkeys.append(rk)
-            p_idx, b_idx, out_sel, total = join_ops.inner_join_indices(
-                lkeys, lb.sel, rkeys, rb.sel, out_cap
+            p_idx, b_idx, out_sel, matched, total = join_ops.join_indices(
+                lkeys, lb.sel, rkeys, rb.sel, out_cap,
+                keep_unmatched_probe=keep_unmatched,
             )
             self.totals.append(total)
             lcols = join_ops.gather_columns(
@@ -379,6 +399,12 @@ class PlanCompiler:
             rcols = join_ops.gather_columns(
                 [_broadcast_col(c, rb.capacity) for c in rb.cols], b_idx
             )
+            if keep_unmatched:
+                # unmatched probe rows: build side is NULL
+                rcols = [
+                    (d, matched if v is None else jnp.logical_and(v, matched))
+                    for d, v in rcols
+                ]
             return Batch(lcols + rcols, out_sel)
 
         return Lowered(plan.schema, left.dicts + right.dicts, fn, out_cap, left.layout)

@@ -42,11 +42,33 @@ def inner_join_indices(
     build_sel: jax.Array,
     out_capacity: int,
 ):
-    """Compute gather indices realizing the inner equi-join.
+    """Inner equi-join gather indices. Returns (probe_idx, build_idx,
+    out_sel, total); see join_indices."""
+    p, b, s, m, t = join_indices(
+        probe_keys, probe_sel, build_keys, build_sel, out_capacity,
+        keep_unmatched_probe=False,
+    )
+    return p, b, s, t
 
-    Returns (probe_idx, build_idx, out_sel, total) — arrays of length
-    out_capacity; `total` is the exact number of matches (may exceed
-    out_capacity, in which case the caller must recompile bigger).
+
+def join_indices(
+    probe_keys: Sequence[jax.Array],
+    probe_sel: jax.Array,
+    build_keys: Sequence[jax.Array],
+    build_sel: jax.Array,
+    out_capacity: int,
+    *,
+    keep_unmatched_probe: bool = False,
+):
+    """Compute gather indices realizing an equi-join.
+
+    keep_unmatched_probe=True gives LEFT-OUTER semantics: probe rows with
+    no build match emit one output row whose build side is NULL.
+
+    Returns (probe_idx, build_idx, out_sel, matched, total) — arrays of
+    length out_capacity; `matched` flags slots with a real build match;
+    `total` is the exact output row count (may exceed out_capacity, in
+    which case the caller must recompile bigger).
     """
     p_cap = int(probe_sel.shape[0])
     b_cap = int(build_sel.shape[0])
@@ -66,7 +88,11 @@ def inner_join_indices(
     end = jnp.searchsorted(bkey_sorted, pkey, side="right").astype(jnp.int32)
     end = jnp.minimum(end, n_build)  # sentinel rows never match real keys,
     start = jnp.minimum(start, end)  # but guard against key == sentinel
-    counts = jnp.where(probe_sel, end - start, 0)
+    match_counts = jnp.where(probe_sel, end - start, 0)
+    if keep_unmatched_probe:
+        counts = jnp.where(probe_sel, jnp.maximum(match_counts, 1), 0)
+    else:
+        counts = match_counts
 
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix
     total = jnp.sum(counts)
@@ -78,11 +104,12 @@ def inner_join_indices(
     ).astype(jnp.int32)
     probe_idx = jnp.clip(probe_idx, 0, p_cap - 1)
     within = out_iota - jnp.take(offsets, probe_idx)
+    matched = within < jnp.take(match_counts, probe_idx)
     build_pos = jnp.take(start, probe_idx) + within
     build_pos = jnp.clip(build_pos, 0, b_cap - 1)
     build_idx = jnp.take(b_perm, build_pos)
     out_sel = out_iota < total
-    return probe_idx, build_idx, out_sel, total
+    return probe_idx, build_idx, out_sel, matched, total
 
 
 def gather_columns(cols: Sequence[ColVal], idx: jax.Array) -> list[ColVal]:

@@ -264,8 +264,23 @@ class DistCompiler(PlanCompiler):
         """
         import os
 
-        if plan.join_type is not L.JoinType.Inner:
-            raise NotImplementedError_(f"{plan.join_type!r} join not yet supported")
+        if plan.join_type is L.JoinType.Right:
+            swapped = L.Join(
+                plan.right,
+                plan.left,
+                tuple((r, l) for l, r in plan.on),
+                L.JoinType.Left,
+                plan.right.schema.join(plan.left.schema),
+            )
+            inner = self._lower_join(swapped)
+            n_right = len(plan.right.schema)
+
+            def swap_fn(env, inner=inner, n_right=n_right) -> Batch:
+                b = inner.fn(env)
+                return Batch(b.cols[n_right:] + b.cols[:n_right], b.sel)
+
+            dicts = inner.dicts[n_right:] + inner.dicts[:n_right]
+            return Lowered(plan.schema, dicts, swap_fn, inner.capacity, inner.layout)
         left = self.lower(plan.left)
         right_low = self.lower(plan.right)
         strategy = os.environ.get("DFTPU_JOIN_STRATEGY", "auto")
@@ -300,8 +315,9 @@ class DistCompiler(PlanCompiler):
                     rk = jnp.take(remap[1], rk)
                 lkeys.append(lk)
                 rkeys.append(rk)
-            p_idx, b_idx, out_sel, total = join_ops.inner_join_indices(
-                lkeys, lb.sel, rkeys, rb.sel, out_cap_local
+            p_idx, b_idx, out_sel, matched, total = join_ops.join_indices(
+                lkeys, lb.sel, rkeys, rb.sel, out_cap_local,
+                keep_unmatched_probe=plan.join_type is L.JoinType.Left,
             )
             if partitioned:
                 total = lax.psum(total, AXIS)
@@ -312,6 +328,11 @@ class DistCompiler(PlanCompiler):
             rcols = join_ops.gather_columns(
                 [_broadcast_col(c, rb.capacity) for c in rb.cols], b_idx
             )
+            if plan.join_type is L.JoinType.Left:
+                rcols = [
+                    (d, matched if v is None else jnp.logical_and(v, matched))
+                    for d, v in rcols
+                ]
             return Batch(lcols + rcols, out_sel)
 
         return Lowered(
@@ -362,14 +383,20 @@ class DistCompiler(PlanCompiler):
 
             lkeys2 = keys_of(None, lcols2, n * s_l, "l")
             rkeys2 = keys_of(None, rcols2, n * s_r, "r")
-            p_idx, b_idx, out_sel, total = join_ops.inner_join_indices(
-                lkeys2, lsel2, rkeys2, rsel2, out_cap_local
+            p_idx, b_idx, out_sel, matched, total = join_ops.join_indices(
+                lkeys2, lsel2, rkeys2, rsel2, out_cap_local,
+                keep_unmatched_probe=plan.join_type is L.JoinType.Left,
             )
             # out_cap_local is a per-device capacity — compare the worst
             # device's match count, not the global sum
             self.totals.append(lax.pmax(total, AXIS))
             lcols3 = join_ops.gather_columns(lcols2, p_idx)
             rcols3 = join_ops.gather_columns(rcols2, b_idx)
+            if plan.join_type is L.JoinType.Left:
+                rcols3 = [
+                    (d, matched if v is None else jnp.logical_and(v, matched))
+                    for d, v in rcols3
+                ]
             return Batch(lcols3 + rcols3, out_sel)
 
         return Lowered(

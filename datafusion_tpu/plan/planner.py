@@ -109,6 +109,11 @@ class SqlToRel:
             if schema is None:
                 raise PlanError(f"no schema found for table {node.name}")
             return TableScan("default", node.name, schema, None)
+        if isinstance(node, A.SQLAliasedTable):
+            schema = self.schema_provider.get_table_meta(node.name)
+            if schema is None:
+                raise PlanError(f"no schema found for table {node.name}")
+            return TableScan("default", node.name, schema, None)
         if isinstance(node, A.SQLJoin):
             return self._plan_join(node)
         raise PlanError(f"sql_to_rel does not support this relation: {node!r}")
@@ -192,11 +197,12 @@ class SqlToRel:
         out: dict[str, tuple[int, Schema]] = {}
 
         def walk(node: A.AstNode, offset: int) -> int:
-            if isinstance(node, A.SQLIdentifier):
+            if isinstance(node, (A.SQLIdentifier, A.SQLAliasedTable)):
                 schema = self.schema_provider.get_table_meta(node.name)
                 if schema is None:
                     raise PlanError(f"no schema found for table {node.name}")
-                out[node.name] = (offset, schema)
+                key = node.alias if isinstance(node, A.SQLAliasedTable) else node.name
+                out[key] = (offset, schema)
                 return offset + len(schema)
             if isinstance(node, A.SQLJoin):
                 offset = walk(node.left, offset)

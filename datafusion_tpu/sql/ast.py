@@ -31,6 +31,14 @@ class SQLCompoundIdentifier(AstNode):
 
 
 @dataclass(frozen=True)
+class SQLAliasedTable(AstNode):
+    """FROM name [AS] alias — alias-qualified table reference."""
+
+    name: str
+    alias: str
+
+
+@dataclass(frozen=True)
 class SQLWildcard(AstNode):
     pass
 

@@ -274,8 +274,21 @@ class Parser:
             limit=limit,
         )
 
+    def _parse_table_ref(self) -> AstNode:
+        from datafusion_tpu.sql.ast import SQLAliasedTable
+
+        name = self.expect_ident()
+        if self.consume_keyword("AS"):
+            return SQLAliasedTable(name, self.expect_ident())
+        # bare alias: an identifier that is not a clause keyword
+        t = self.peek()
+        if t.kind is Tok.IDENT and t.upper not in _RESERVED_STOP:
+            self.i += 1
+            return SQLAliasedTable(name, t.value)
+        return SQLIdentifier(name)
+
     def _parse_relation(self) -> AstNode:
-        rel: AstNode = SQLIdentifier(self.expect_ident())
+        rel: AstNode = self._parse_table_ref()
         while True:
             kind: Optional[JoinKind] = None
             if self.consume_keyword("JOIN") or self.consume_keywords("INNER", "JOIN"):
@@ -290,7 +303,7 @@ class Parser:
                 kind = JoinKind.Right
             if kind is None:
                 return rel
-            right = SQLIdentifier(self.expect_ident())
+            right = self._parse_table_ref()
             self.expect_keyword("ON")
             on = self.parse_expr()
             rel = SQLJoin(rel, right, kind, on)

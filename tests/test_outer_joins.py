@@ -1,0 +1,103 @@
+"""LEFT/RIGHT OUTER JOIN tests — single-chip and distributed
+(the reference had no joins at all; ROADMAP.md:33)."""
+
+import numpy as np
+import pytest
+
+from datafusion_tpu import ExecutionContext, Table
+from datafusion_tpu.parallel.mesh import make_mesh
+
+
+def make_ctx(mesh=None):
+    ctx = ExecutionContext(mesh=mesh)
+    ctx.register_table(
+        "people",
+        Table.from_pydict(
+            {"pid": np.array([1, 2, 3], np.int32), "name": ["ann", "bob", "cat"]}
+        ),
+    )
+    ctx.register_table(
+        "orders",
+        Table.from_pydict(
+            {
+                "oid": np.array([10, 11, 12, 13], np.int32),
+                "pid": np.array([3, 1, 3, 9], np.int32),
+                "amount": np.array([5.0, 7.5, 2.5, 99.0], np.float64),
+            }
+        ),
+    )
+    return ctx
+
+
+LEFT_SQL = (
+    "SELECT orders.oid, people.name FROM orders "
+    "LEFT JOIN people ON orders.pid = people.pid ORDER BY oid"
+)
+LEFT_EXPECT = '10\t"cat"\n11\t"ann"\n12\t"cat"\n13\tNULL\n'
+
+RIGHT_SQL = (
+    "SELECT orders.oid, people.name FROM orders "
+    "RIGHT JOIN people ON orders.pid = people.pid ORDER BY name"
+)
+# bob (pid=2) has no orders → NULL oid; ann 1 order; cat 2 orders
+
+
+def test_left_join_single():
+    assert make_ctx().sql(LEFT_SQL).result_str() == LEFT_EXPECT
+
+
+def test_right_join_single():
+    out = make_ctx().sql(RIGHT_SQL).result_str()
+    lines = out.splitlines()
+    assert len(lines) == 4
+    assert 'NULL\t"bob"' in out
+    assert lines[0].endswith('"ann"')
+
+
+def test_left_join_distributed():
+    mesh = make_mesh()
+    assert make_ctx(mesh).sql(LEFT_SQL).result_str() == LEFT_EXPECT
+
+
+def test_right_join_distributed():
+    mesh = make_mesh()
+    single = make_ctx().sql(RIGHT_SQL).result_str()
+    dist = make_ctx(mesh).sql(RIGHT_SQL).result_str()
+    assert sorted(single.splitlines()) == sorted(dist.splitlines())
+
+
+def test_left_join_shuffle(monkeypatch):
+    monkeypatch.setenv("DFTPU_JOIN_STRATEGY", "shuffle")
+    mesh = make_mesh()
+    single = make_ctx().sql(LEFT_SQL).result_str()
+    dist = make_ctx(mesh).sql(LEFT_SQL).result_str()
+    assert single == dist == LEFT_EXPECT
+
+
+def test_left_join_aggregate_counts():
+    # COUNT skips NULLs from unmatched rows; COUNT(*)-style COUNT(oid) does not
+    ctx = make_ctx()
+    out = ctx.sql(
+        "SELECT COUNT(people.name), COUNT(orders.oid) FROM orders "
+        "LEFT JOIN people ON orders.pid = people.pid"
+    ).result_str()
+    assert out == "3\t4\n"
+
+
+def test_self_join_with_aliases():
+    # aliases make self-joins expressible (ambiguous without them)
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "emp",
+        Table.from_pydict(
+            {
+                "id": np.array([1, 2, 3], np.int32),
+                "boss": np.array([3, 3, 3], np.int32),
+                "name": ["ann", "bob", "cat"],
+            }
+        ),
+    )
+    out = ctx.sql(
+        "SELECT e.name, m.name FROM emp AS e JOIN emp AS m ON e.boss = m.id ORDER BY name"
+    ).result_str()
+    assert out == '"ann"\t"cat"\n"bob"\t"cat"\n"cat"\t"cat"\n'

@@ -3,27 +3,31 @@
 After the grouped-aggregate main sort (ops/aggregate.py), group ids are
 ascending. That makes every reduction windowed: a block of B rows can
 only touch group slots [gid[first], gid[first] + B] — each row advances
-the group id by at most one. So a sequential grid walks the blocks,
-keeps the full accumulator table in VMEM, and combines each block's
-contribution into a dynamic-start window:
+the group id by at most one. A sequential grid walks the blocks with the
+full accumulator table in VMEM and combines each block's contribution
+into a tile-aligned window:
 
-  * sum/count: one-hot [B, B] matmul on the MXU (~0.7 ns/row)
-  * min/max:   masked [B, B] reduce on the VPU
+  * sum/count: one-hot [SUB, W] matmuls on the MXU
+  * min/max:   masked [SUB, W] reduces on the VPU
 
 vs ~7 ns/row for XLA's scatter-based segment ops — and it replaces the
 secondary value-sorts for MIN/MAX too.
 
+TPU alignment: dynamic VMEM offsets must be multiples of the (8,128)
+tile = 1024 f32 elements, so the update window starts at
+align_down(gid[first], 1024) and spans W = 2048 ≥ 1024 + BLOCK slots.
+Row blocks are processed in SUB-row chunks to bound the [SUB, W]
+intermediates (~2 MB each).
+
 Accumulator identities make cross-block combining exact for count/min/
-max; float sums combine block partials in block order (deterministic,
-fixed shape), which is why the engine keeps XLA segment_sum where
-bit-exact row-order sums are required (CPU parity path) and uses this
-kernel on TPU.
+max; float sums combine partials in block order (deterministic, fixed
+shape) — the engine keeps XLA segment_sum where bit-exact row-order sums
+are required (CPU parity path) and uses this kernel on TPU.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,9 +35,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 512  # rows per grid step; one-hot is [BLOCK, BLOCK] in VMEM
-
-_F32_OPS = ("sum", "count", "min", "max")
+BLOCK = 1024  # rows per grid step (must be a multiple of ALIGN? no — ≤ ALIGN)
+SUB = 256  # rows per in-kernel chunk
+ALIGN = 1024  # f32 VMEM tile alignment, elements
+W = ALIGN + BLOCK  # update-window width (multiple of ALIGN)
 
 
 def _identity(op: str, dtype):
@@ -52,14 +57,13 @@ def _identity(op: str, dtype):
     )
 
 
-def _kernel(ops, out_pad, gid_ref, *refs):
+def _kernel(ops, gid_ref, *refs):
     nags = len(ops)
     val_refs = refs[:nags]
     mask_refs = refs[nags : 2 * nags]
     out_refs = refs[2 * nags : 3 * nags]
     step = pl.program_id(0)
 
-    # initialize accumulators on the first step
     @pl.when(step == 0)
     def _():
         for a, op in enumerate(ops):
@@ -69,42 +73,50 @@ def _kernel(ops, out_pad, gid_ref, *refs):
 
     gid = gid_ref[:]  # [BLOCK] int32, ascending; invalid rows hold big ids
     base = gid[0]
-    local = gid - base  # in [0, BLOCK) for valid rows
-    in_window = local < BLOCK
-    rows = lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
-    local_b = jnp.where(in_window, local, BLOCK)  # park out-of-window rows
-    onehot = (local_b[:, None] == cols).astype(jnp.float32)  # [BLOCK, BLOCK]
-    del rows
+    abase = pl.multiple_of((base // ALIGN) * ALIGN, ALIGN)
+    local = gid - abase  # in [0, ALIGN + BLOCK) = [0, W) for valid rows
+    in_window = jnp.logical_and(local >= 0, local < W)
+    cols = lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
 
     for a, op in enumerate(ops):
         v = val_refs[a][:]
-        m = jnp.logical_and(mask_refs[a][:].astype(jnp.bool_), in_window)
-        window = out_refs[a][pl.ds(base, BLOCK)]
+        m = jnp.logical_and(mask_refs[a][:].astype(jnp.int32) != 0, in_window)
+        # fold the mask into the int32 index: masked rows get local = W,
+        # which matches no window column (Mosaic can't broadcast-insert
+        # minor dims on sub-32-bit types, so no 2-D bool masks here)
+        lmask = jnp.where(m, local, W)
+        window = out_refs[a][pl.ds(abase, W)]
         if op in ("sum", "count"):
             vv = (
                 m.astype(jnp.float32)
                 if op == "count"
                 else jnp.where(m, v, jnp.zeros((), v.dtype)).astype(jnp.float32)
             )
-            contrib = jnp.dot(
-                vv[None, :], onehot, preferred_element_type=jnp.float32
-            )[0]
-            out_refs[a][pl.ds(base, BLOCK)] = window + contrib.astype(window.dtype)
+            contrib = jnp.zeros((W,), jnp.float32)
+            for s in range(BLOCK // SUB):
+                sl = slice(s * SUB, (s + 1) * SUB)
+                onehot = (lmask[sl][:, None] == cols).astype(jnp.float32)
+                contrib = contrib + jnp.dot(
+                    vv[sl][None, :], onehot, preferred_element_type=jnp.float32
+                )[0]
+            out_refs[a][pl.ds(abase, W)] = window + contrib.astype(window.dtype)
         else:
             big = _identity(op, v.dtype)
-            cell = jnp.where(
-                jnp.logical_and(onehot > 0, m[:, None]), v[:, None], big
-            )  # [BLOCK, BLOCK]
-            contrib = (
-                jnp.min(cell, axis=0) if op == "min" else jnp.max(cell, axis=0)
-            )
+            contrib = jnp.full((W,), big, v.dtype)
+            for s in range(BLOCK // SUB):
+                sl = slice(s * SUB, (s + 1) * SUB)
+                hit = lmask[sl][:, None] == cols
+                cell = jnp.where(hit, v[sl][:, None], big)
+                red = jnp.min(cell, axis=0) if op == "min" else jnp.max(cell, axis=0)
+                contrib = (
+                    jnp.minimum(contrib, red) if op == "min" else jnp.maximum(contrib, red)
+                )
             combined = (
                 jnp.minimum(window, contrib)
                 if op == "min"
                 else jnp.maximum(window, contrib)
             )
-            out_refs[a][pl.ds(base, BLOCK)] = combined
+            out_refs[a][pl.ds(abase, W)] = combined
 
 
 @functools.partial(jax.jit, static_argnames=("ops", "num_groups", "interpret"))
@@ -121,13 +133,14 @@ def segmented_reduce_sorted(
 
     gid: [N] int32 ascending for valid rows; invalid rows must hold an id
          >= num_groups AND sort after all valid rows.
-    values[a]: [N] (f32 for sum; any numeric for min/max)
+    values[a]: [N] (f32 for sum; f32/i32 for min/max)
     masks[a]: [N] bool — row contributes to aggregate a
-    Returns tuple of [num_groups] arrays.
+    Returns tuple of [num_groups] arrays (f32 for sum/count).
     """
     n = int(gid.shape[0])
     assert n % BLOCK == 0, f"input length {n} not a multiple of {BLOCK}"
-    out_pad = num_groups + BLOCK  # window updates may run past the end
+    # window starts are tile-aligned; pad so the last window fits
+    out_pad = ((num_groups + W) + ALIGN - 1) // ALIGN * ALIGN
 
     grid = (n // BLOCK,)
     in_specs = [pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)]
@@ -141,9 +154,11 @@ def segmented_reduce_sorted(
     for a, op in enumerate(ops):
         dt = jnp.float32 if op in ("sum", "count") else values[a].dtype
         out_shapes.append(jax.ShapeDtypeStruct((out_pad,), dt))
-        out_specs.append(pl.BlockSpec((out_pad,), lambda i: (0,), memory_space=pltpu.VMEM))
+        out_specs.append(
+            pl.BlockSpec((out_pad,), lambda i: (0,), memory_space=pltpu.VMEM)
+        )
 
-    kernel = functools.partial(_kernel, ops, out_pad)
+    kernel = functools.partial(_kernel, ops)
     outs = pl.pallas_call(
         kernel,
         grid=grid,

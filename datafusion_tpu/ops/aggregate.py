@@ -40,6 +40,12 @@ from datafusion_tpu.types import DataType, physical_np
 ColVal = tuple[jax.Array, Optional[jax.Array]]
 
 
+def segmented_reduce_sorted_import():
+    from datafusion_tpu.ops.pallas.segreduce import segmented_reduce_sorted
+
+    return segmented_reduce_sorted
+
+
 def _pallas_enabled() -> bool:
     """Use the pallas segmented-reduce kernel? Default: only on TPU
     backends (the XLA path stays for CPU parity runs).
@@ -178,92 +184,103 @@ def grouped_aggregate(
     n_sel = jnp.sum(sel_sorted.astype(jnp.int32))
 
     # compact boundary positions to the front: starts[g] = first row of
-    # group g in the sorted order (tiny 2-operand sort, no scatter)
-    comp = lax.sort([jnp.logical_not(boundary).astype(jnp.int8), iota], num_keys=1)
-    starts_full = jnp.concatenate(
-        [comp[1], jnp.zeros((1,), jnp.int32)]  # pad so the +1 slice is in range
-    )
-    starts = lax.slice(starts_full, (0,), (gcap,))
-    ends = jnp.where(
-        giota + 1 < n_groups,
-        lax.slice(starts_full, (1,), (gcap + 1,)),
-        n_sel,
-    )
-    group_sizes = jnp.where(giota < n_groups, ends - starts, 0)
+    # group g in the sorted order (tiny 2-operand sort, no scatter).
+    # Computed lazily — the pallas path usually doesn't need extents.
+    _extents: dict = {}
+
+    def extents():
+        if not _extents:
+            comp = lax.sort(
+                [jnp.logical_not(boundary).astype(jnp.int8), iota], num_keys=1
+            )
+            starts_full = jnp.concatenate(
+                [comp[1], jnp.zeros((1,), jnp.int32)]  # pad for the +1 slice
+            )
+            starts = lax.slice(starts_full, (0,), (gcap,))
+            ends = jnp.where(
+                giota + 1 < n_groups,
+                lax.slice(starts_full, (1,), (gcap + 1,)),
+                n_sel,
+            )
+            _extents["starts"] = starts
+            _extents["ends"] = ends
+            _extents["sizes"] = jnp.where(giota < n_groups, ends - starts, 0)
+        return _extents
 
     def at_starts(arr):
-        return jnp.take(arr, jnp.clip(starts, 0, capacity - 1))
+        return jnp.take(arr, jnp.clip(extents()["starts"], 0, capacity - 1))
 
     def at_ends(arr):
-        return jnp.take(arr, jnp.clip(ends - 1, 0, capacity - 1))
+        return jnp.take(arr, jnp.clip(extents()["ends"] - 1, 0, capacity - 1))
 
-    # ---- group key outputs: values at group starts ---------------------
-    out_keys = []
-    ki = 1
-    for kd, kv in key_cols:
-        if kv is not None:
-            knull = at_starts(sorted_ops[ki]).astype(jnp.bool_)  # null-first flag
-            ki += 1
-            kvalid = jnp.logical_not(knull)
-        else:
-            kvalid = None
-        out_keys.append((at_starts(sorted_ops[ki]), kvalid))
-        ki += 1
-
-    # ---- aggregates -----------------------------------------------------
-    # TPU fast path: one pallas pass over the sorted gids computes every
-    # eligible reduction (ops/pallas/segreduce.py) — no scatters, no
-    # secondary sorts. CPU/parity path keeps XLA ops (bit-exact row-order
-    # float sums).
+    # ---- TPU fast path setup -------------------------------------------
+    # one pallas pass over the sorted gids computes every eligible
+    # reduction AND the representative group keys (ops/pallas/segreduce.py)
+    # — no scatters, no secondary sorts, no extents. CPU/parity path keeps
+    # XLA ops (bit-exact row-order float sums).
+    use_pallas = _pallas_enabled() and capacity % 512 == 0 and gcap >= 1
+    k_ops: list[str] = []
+    k_vals: list[jax.Array] = []
+    k_masks: list[jax.Array] = []
+    k_slots: list[tuple] = []  # (kind, index) kind in {agg, cnt, key, keyvalid}
     pallas_results: dict[int, jax.Array] = {}
     pallas_counts: dict[int, jax.Array] = {}
-    if _pallas_enabled() and capacity % 512 == 0 and gcap >= 1:
-        from datafusion_tpu.ops.pallas.segreduce import segmented_reduce_sorted
+    pallas_keys: dict[int, jax.Array] = {}
+    pallas_keyvalid: dict[int, jax.Array] = {}
 
-        k_ops: list[str] = []
-        k_vals: list[jax.Array] = []
-        k_masks: list[jax.Array] = []
-        k_slots: list[tuple[int, str]] = []  # (spec index, role)
-        need_count: set[int] = set()
+    def _spec_mask(vpi):
+        if vpi is None:
+            return sel_sorted
+        return jnp.logical_and(sel_sorted, sorted_ops[vpi].astype(jnp.bool_))
+
+    if use_pallas:
+        counted: dict = {}  # (pi, vpi) -> kernel slot, deduped
         for si, (spec, pi, vpi) in enumerate(zip(specs, payload_plan, vpayload_plan)):
             d_sorted = sorted_ops[pi]
-            mask = sel_sorted if vpi is None else jnp.logical_and(
-                sel_sorted, sorted_ops[vpi].astype(jnp.bool_)
-            )
-            is_float = jnp.issubdtype(d_sorted.dtype, jnp.floating)
-            f32 = d_sorted.dtype == jnp.float32
-            i32 = d_sorted.dtype == jnp.int32
-            if spec.func in ("sum", "avg") and f32:
+            eligible = d_sorted.dtype in (jnp.float32, jnp.int32)
+            if spec.func in ("sum", "avg") and d_sorted.dtype == jnp.float32:
                 k_ops.append("sum")
                 k_vals.append(d_sorted)
-                k_masks.append(mask)
-                k_slots.append((si, "sum"))
-                need_count.add(si)
-            elif spec.func in ("min", "max") and (f32 or i32):
+                k_masks.append(_spec_mask(vpi))
+                k_slots.append(("agg", si))
+            elif spec.func in ("min", "max") and eligible:
                 k_ops.append(spec.func)
                 k_vals.append(d_sorted)
-                k_masks.append(mask)
-                k_slots.append((si, spec.func))
-                need_count.add(si)
-            elif spec.func == "count":
-                pass  # counts ride along below
-            else:
-                continue
-        for si in sorted(
-            need_count
-            | {i for i, s in enumerate(specs) if s.func == "count"}
-        ):
-            _, pi, vpi = specs[si], payload_plan[si], vpayload_plan[si]
-            mask = sel_sorted if vpi is None else jnp.logical_and(
-                sel_sorted, sorted_ops[vpi].astype(jnp.bool_)
+                k_masks.append(_spec_mask(vpi))
+                k_slots.append(("agg", si))
+            # counts: explicit COUNT, AVG denominators, and validity for
+            # NULLABLE args; non-null args are valid wherever the group
+            # exists, so no count op is needed for them
+            needs_cnt = spec.func == "count" or spec.func == "avg" or (
+                vpi is not None and spec.func in ("min", "max", "sum")
             )
-            k_ops.append("count")
-            k_vals.append(sorted_ops[pi].astype(jnp.float32))
-            k_masks.append(mask)
-            k_slots.append((si, "count"))
+            if needs_cnt and (pi, vpi) not in counted:
+                counted[(pi, vpi)] = len(k_ops)
+                k_ops.append("count")
+                k_vals.append(d_sorted.astype(jnp.float32))
+                k_masks.append(_spec_mask(vpi))
+                k_slots.append(("cnt", (pi, vpi)))
+
+        # representative group keys: max over the (constant-per-group) key
+        ki = 1
+        for kidx, (kd, kv) in enumerate(key_cols):
+            if kv is not None:
+                # null-first flag: group key is NULL iff min flag == 1
+                k_ops.append("max")
+                k_vals.append(sorted_ops[ki].astype(jnp.int32))
+                k_masks.append(sel_sorted)
+                k_slots.append(("keynull", kidx))
+                ki += 1
+            if sorted_ops[ki].dtype in (jnp.float32, jnp.int32):
+                k_ops.append("max")
+                k_vals.append(sorted_ops[ki])
+                k_masks.append(sel_sorted)
+                k_slots.append(("key", kidx))
+            ki += 1
+
         if k_ops:
             interp = jax.devices()[0].platform not in ("tpu", "axon")
-            outs = segmented_reduce_sorted(
+            outs = segmented_reduce_sorted_import()(
                 gid,
                 tuple(k_vals),
                 tuple(k_masks),
@@ -271,11 +288,40 @@ def grouped_aggregate(
                 num_groups=gcap,
                 interpret=interp,
             )
-            for (si, role), o in zip(k_slots, outs):
-                if role == "count":
-                    pallas_counts[si] = o.astype(jnp.int32)
-                else:
-                    pallas_results[si] = o
+            cnt_by_key = {}
+            for (kind, ident), o in zip(k_slots, outs):
+                if kind == "agg":
+                    pallas_results[ident] = o
+                elif kind == "cnt":
+                    cnt_by_key[ident] = o.astype(jnp.int32)
+                elif kind == "key":
+                    pallas_keys[ident] = o
+                elif kind == "keynull":
+                    pallas_keyvalid[ident] = o  # 1 where null-first flag set
+            for si, (spec, pi, vpi) in enumerate(
+                zip(specs, payload_plan, vpayload_plan)
+            ):
+                if (pi, vpi) in cnt_by_key:
+                    pallas_counts[si] = cnt_by_key[(pi, vpi)]
+
+    # ---- group key outputs ---------------------------------------------
+    out_keys = []
+    ki = 1
+    for kidx, (kd, kv) in enumerate(key_cols):
+        if kv is not None:
+            if kidx in pallas_keyvalid:
+                kvalid = pallas_keyvalid[kidx] == 0
+            else:
+                knull = at_starts(sorted_ops[ki]).astype(jnp.bool_)
+                kvalid = jnp.logical_not(knull)
+            ki += 1
+        else:
+            kvalid = None
+        if kidx in pallas_keys:
+            out_keys.append((pallas_keys[kidx], kvalid))
+        else:
+            out_keys.append((at_starts(sorted_ops[ki]), kvalid))
+        ki += 1
 
     # cache secondary value-sorts per (arg operand index) so MIN and MAX
     # of the same argument share one sort
@@ -292,12 +338,19 @@ def grouped_aggregate(
     out_aggs = []
     for si, (spec, pi, vpi) in enumerate(zip(specs, payload_plan, vpayload_plan)):
         d_sorted = sorted_ops[pi]
+        if si in pallas_results and spec.func != "avg" and vpi is None:
+            # non-null args: valid wherever the group exists (out_sel
+            # masks nonexistent groups) — no count needed
+            out_aggs.append(
+                (pallas_results[si].astype(physical_np(spec.out_dtype)), None)
+            )
+            continue
         if si in pallas_counts:
             mask = None
             valid_cnt = pallas_counts[si]
         elif vpi is None:
             mask = sel_sorted
-            valid_cnt = group_sizes
+            valid_cnt = extents()["sizes"]
         else:
             mask = jnp.logical_and(sel_sorted, sorted_ops[vpi].astype(jnp.bool_))
             valid_cnt = jax.ops.segment_sum(

@@ -35,7 +35,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 1024  # rows per grid step (must be a multiple of ALIGN? no — ≤ ALIGN)
+BLOCK = 1024  # rows per grid step (matches XLA's 1-D tile layout T(1024))
 SUB = 256  # rows per in-kernel chunk
 ALIGN = 1024  # f32 VMEM tile alignment, elements
 W = ALIGN + BLOCK  # update-window width (multiple of ALIGN)
@@ -57,11 +57,11 @@ def _identity(op: str, dtype):
     )
 
 
-def _kernel(ops, gid_ref, *refs):
+def _kernel(ops, mask_map, n_masks, gid_ref, *refs):
     nags = len(ops)
     val_refs = refs[:nags]
-    mask_refs = refs[nags : 2 * nags]
-    out_refs = refs[2 * nags : 3 * nags]
+    umask_refs = refs[nags : nags + n_masks]
+    out_refs = refs[nags + n_masks :]
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -78,45 +78,60 @@ def _kernel(ops, gid_ref, *refs):
     in_window = jnp.logical_and(local >= 0, local < W)
     cols = lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
 
+    # fold each mask into the int32 index: masked rows get local = W,
+    # which matches no window column (Mosaic can't broadcast-insert minor
+    # dims on sub-32-bit types, so no 2-D bool masks). One-hots are built
+    # per distinct mask and shared by every op using it.
+    lmasks: list = []
+    ms = []
+    for u in range(n_masks):
+        m = jnp.logical_and(umask_refs[u][:].astype(jnp.int32) != 0, in_window)
+        lmasks.append(jnp.where(m, local, W))
+        ms.append(m)
+    mask_key_of = list(mask_map)
+
+    contribs: list = []
     for a, op in enumerate(ops):
-        v = val_refs[a][:]
-        m = jnp.logical_and(mask_refs[a][:].astype(jnp.int32) != 0, in_window)
-        # fold the mask into the int32 index: masked rows get local = W,
-        # which matches no window column (Mosaic can't broadcast-insert
-        # minor dims on sub-32-bit types, so no 2-D bool masks here)
-        lmask = jnp.where(m, local, W)
+        dt = jnp.float32 if op in ("sum", "count") else val_refs[a].dtype
+        init = _identity(op, dt)
+        contribs.append(jnp.full((W,), init, dt))
+
+    for s in range(BLOCK // SUB):
+        sl = slice(s * SUB, (s + 1) * SUB)
+        onehots = [
+            (lm[sl][:, None] == cols).astype(jnp.float32) for lm in lmasks
+        ]
+        for a, op in enumerate(ops):
+            oh = onehots[mask_key_of[a]]
+            m = ms[mask_key_of[a]]
+            v = val_refs[a][:]
+            if op in ("sum", "count"):
+                vv = (
+                    m.astype(jnp.float32)
+                    if op == "count"
+                    else jnp.where(m, v, jnp.zeros((), v.dtype)).astype(jnp.float32)
+                )
+                contribs[a] = contribs[a] + jnp.dot(
+                    vv[sl][None, :], oh, preferred_element_type=jnp.float32
+                )[0]
+            else:
+                big = _identity(op, v.dtype)
+                cell = jnp.where(oh > 0, v[sl][:, None], big)
+                red = jnp.min(cell, axis=0) if op == "min" else jnp.max(cell, axis=0)
+                contribs[a] = (
+                    jnp.minimum(contribs[a], red)
+                    if op == "min"
+                    else jnp.maximum(contribs[a], red)
+                )
+
+    for a, op in enumerate(ops):
         window = out_refs[a][pl.ds(abase, W)]
         if op in ("sum", "count"):
-            vv = (
-                m.astype(jnp.float32)
-                if op == "count"
-                else jnp.where(m, v, jnp.zeros((), v.dtype)).astype(jnp.float32)
-            )
-            contrib = jnp.zeros((W,), jnp.float32)
-            for s in range(BLOCK // SUB):
-                sl = slice(s * SUB, (s + 1) * SUB)
-                onehot = (lmask[sl][:, None] == cols).astype(jnp.float32)
-                contrib = contrib + jnp.dot(
-                    vv[sl][None, :], onehot, preferred_element_type=jnp.float32
-                )[0]
-            out_refs[a][pl.ds(abase, W)] = window + contrib.astype(window.dtype)
+            out_refs[a][pl.ds(abase, W)] = window + contribs[a].astype(window.dtype)
+        elif op == "min":
+            out_refs[a][pl.ds(abase, W)] = jnp.minimum(window, contribs[a])
         else:
-            big = _identity(op, v.dtype)
-            contrib = jnp.full((W,), big, v.dtype)
-            for s in range(BLOCK // SUB):
-                sl = slice(s * SUB, (s + 1) * SUB)
-                hit = lmask[sl][:, None] == cols
-                cell = jnp.where(hit, v[sl][:, None], big)
-                red = jnp.min(cell, axis=0) if op == "min" else jnp.max(cell, axis=0)
-                contrib = (
-                    jnp.minimum(contrib, red) if op == "min" else jnp.maximum(contrib, red)
-                )
-            combined = (
-                jnp.minimum(window, contrib)
-                if op == "min"
-                else jnp.maximum(window, contrib)
-            )
-            out_refs[a][pl.ds(abase, W)] = combined
+            out_refs[a][pl.ds(abase, W)] = jnp.maximum(window, contribs[a])
 
 
 @functools.partial(jax.jit, static_argnames=("ops", "num_groups", "interpret"))
@@ -142,11 +157,22 @@ def segmented_reduce_sorted(
     # window starts are tile-aligned; pad so the last window fits
     out_pad = ((num_groups + W) + ALIGN - 1) // ALIGN * ALIGN
 
+    # dedupe mask arrays so ops sharing a mask share its one-hots
+    umasks: list = []
+    mask_map: list[int] = []
+    seen: dict[int, int] = {}
+    for m in masks:
+        mid = id(m)
+        if mid not in seen:
+            seen[mid] = len(umasks)
+            umasks.append(m)
+        mask_map.append(seen[mid])
+
     grid = (n // BLOCK,)
     in_specs = [pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)]
     for _ in values:
         in_specs.append(pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM))
-    for _ in masks:
+    for _ in umasks:
         in_specs.append(pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM))
 
     out_shapes = []
@@ -158,7 +184,7 @@ def segmented_reduce_sorted(
             pl.BlockSpec((out_pad,), lambda i: (0,), memory_space=pltpu.VMEM)
         )
 
-    kernel = functools.partial(_kernel, ops)
+    kernel = functools.partial(_kernel, ops, tuple(mask_map), len(umasks))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -166,5 +192,5 @@ def segmented_reduce_sorted(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(gid, *values, *[m.astype(jnp.int8) for m in masks])
+    )(gid, *values, *[m.astype(jnp.int8) for m in umasks])
     return tuple(o[:num_groups] for o in outs)

@@ -1,0 +1,152 @@
+"""Full benchmark suite — the BASELINE.md configs, one JSON line each.
+
+Usage: python benchmarks/bench_suite.py [--rows N] [--configs c1,c2,...]
+
+Configs (BASELINE.json):
+  c1: filter+project (uk_cities query shape)
+  c2: hash aggregate GROUP BY with MIN/MAX/SUM/COUNT
+  c3: sort by f32 key (radix-sort target)
+  c4: hash join large×small
+  c5: full pipeline scan→filter→join→aggregate→sort
+
+Timing: readback-fence slope (see bench.py) — block_until_ready is
+unreliable through the tunneled backend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+os.environ.setdefault("DFTPU_X64", "0")
+
+import numpy as np
+
+import jax
+
+
+def slope_time(fn, env, iters=None):
+    def run(k):
+        out = None
+        for _ in range(k):
+            out = fn(env)
+        np.asarray(jax.device_get(out[2][:1]))  # fence on sel
+
+    run(2)
+    if iters is None:
+        t0 = time.perf_counter()
+        run(1)
+        base = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(6)
+        est = max((time.perf_counter() - t0 - base) / 5, 1e-4)
+        iters = int(min(64, max(4, 2.0 / est)))
+    slopes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(1)
+        t1 = time.perf_counter()
+        run(1 + iters)
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / iters)
+    return max(statistics.median(slopes), 1e-9)
+
+
+def compile_query(sql, tables):
+    import datafusion_tpu as df
+    from datafusion_tpu.exec.compiler import compile_plan
+
+    ctx = df.ExecutionContext()
+    for name, t in tables.items():
+        ctx.register_table(name, t)
+    plan = ctx.plan(sql)
+    cq = compile_plan(plan, ctx._tables)
+    env = [[(c.data, c.validity) for c in t.columns] for t in cq._scan_tables]
+    return cq._jitted, env
+
+
+def main():
+    import datafusion_tpu as df
+    from datafusion_tpu.utils.roofline import chip_hbm_gbps
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1 << 25)
+    ap.add_argument("--dim-rows", type=int, default=1 << 21)
+    ap.add_argument("--configs", default="c1,c2,c3,c4,c5")
+    args = ap.parse_args()
+
+    n = args.rows
+    rng = np.random.default_rng(0)
+    lat = rng.random(n, dtype=np.float32) * 40 + 30
+    lng = rng.random(n, dtype=np.float32) * 360 - 180
+    k = rng.integers(0, 1 << 16, n).astype(np.int32)
+    big = df.Table.from_pydict({"k": k, "lat": lat, "lng": lng})
+
+    nd = args.dim_rows
+    dim = df.Table.from_pydict(
+        {
+            "pk": np.arange(nd, dtype=np.int32),
+            "w": rng.random(nd, dtype=np.float32),
+        }
+    )
+
+    bw = chip_hbm_gbps()
+    results = []
+    configs = set(args.configs.split(","))
+
+    def report(name, dt, bytes_per_row, note=""):
+        rows_s = n / dt
+        roof = bw * 1e9 / bytes_per_row
+        results.append(
+            {
+                "config": name,
+                "rows_per_s": round(rows_s, 1),
+                "ms": round(dt * 1e3, 2),
+                "vs_roofline": round(rows_s / roof, 4),
+                "note": note,
+            }
+        )
+        print(json.dumps(results[-1]), flush=True)
+
+    if "c1" in configs:
+        fn, env = compile_query(
+            "SELECT k, lat, lng, lat + lng FROM big WHERE lat > 51.0 AND lat < 53",
+            {"big": big},
+        )
+        report("c1_filter_project", slope_time(fn, env), 13, "read lat,lng; write sum+sel")
+
+    if "c2" in configs:
+        fn, env = compile_query(
+            "SELECT k, MIN(lat), MAX(lat), SUM(lng), COUNT(lat) FROM big GROUP BY k",
+            {"big": big},
+        )
+        report("c2_hash_aggregate", slope_time(fn, env), 12 + 5, "co-sort + pallas segreduce")
+
+    if "c3" in configs:
+        fn, env = compile_query("SELECT k, lat FROM big ORDER BY lat", {"big": big})
+        report("c3_sort", slope_time(fn, env), 2 * 12, "lax.sort 4-operand")
+
+    if "c4" in configs:
+        fn, env = compile_query(
+            "SELECT big.k, dim.w FROM big JOIN dim ON big.k = dim.pk",
+            {"big": big, "dim": dim},
+        )
+        report("c4_hash_join", slope_time(fn, env), 8 + 8, "sorted-probe join")
+
+    if "c5" in configs:
+        fn, env = compile_query(
+            "SELECT big.k, COUNT(big.lat), MAX(dim.w) FROM big "
+            "JOIN dim ON big.k = dim.pk WHERE big.lat > 40 GROUP BY k",
+            {"big": big, "dim": dim},
+        )
+        report("c5_full_pipeline", slope_time(fn, env), 12 + 12, "scan→filter→join→agg")
+
+    print(json.dumps({"suite": results}))
+
+
+if __name__ == "__main__":
+    main()

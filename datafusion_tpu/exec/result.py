@@ -72,5 +72,20 @@ class ResultTable:
             lines.append("\t".join(cells))
         return "".join(line + "\n" for line in lines)
 
+    def to_csv(self, path: str, *, header: bool = True) -> None:
+        """Write the result as CSV — realizes the reference's never-executed
+        PhysicalPlan::Write{filename} (physicalplan.rs:25-29)."""
+        import csv as _csv
+
+        colvals = [self.column_values(j) for j in range(self.num_columns)]
+        with open(path, "w", newline="") as f:
+            w = _csv.writer(f)
+            if header:
+                w.writerow(self.schema.names())
+            for i in range(self.num_rows):
+                w.writerow(
+                    ["" if colvals[j][i] is None else colvals[j][i] for j in range(self.num_columns)]
+                )
+
     def __repr__(self) -> str:
         return f"ResultTable({self.num_rows} rows × {self.num_columns} cols)\n" + self.result_str()

@@ -28,6 +28,7 @@ from datafusion_tpu.schema import Schema
 from datafusion_tpu.types import DataType, physical_np
 from datafusion_tpu.plan.logical import (
     AggregateFunction,
+    Alias,
     BinaryExpr,
     Cast,
     Column,
@@ -186,7 +187,7 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
 
         return CompiledExpr(sf_fn, expr.return_type)
 
-    if isinstance(expr, SortExpr):
+    if isinstance(expr, (SortExpr, Alias)):
         return _compile(expr.expr, schema, dicts, registry)
 
     if isinstance(expr, AggregateFunction):

@@ -187,6 +187,20 @@ class Cast(Expr):
 
 
 @dataclass(frozen=True, repr=False)
+class Alias(Expr):
+    """Named projection item `expr AS name` (beyond the reference)."""
+
+    expr: Expr
+    name: str
+
+    def get_type(self, schema: Schema) -> DataType:
+        return self.expr.get_type(schema)
+
+    def __repr__(self) -> str:
+        return f"{self.expr!r} AS {self.name}"
+
+
+@dataclass(frozen=True, repr=False)
 class SortExpr(Expr):
     """A sort key with direction (reference: Expr::Sort)."""
 
@@ -232,6 +246,9 @@ class AggregateFunction(Expr):
 
 
 def expr_to_field(e: Expr, input_schema: Schema) -> Field:
+    if isinstance(e, Alias):
+        inner = expr_to_field(e.expr, input_schema)
+        return Field(e.name, inner.dtype, inner.nullable)
     if isinstance(e, Column):
         return input_schema.field(e.index)
     if isinstance(e, Literal):
@@ -430,6 +447,8 @@ class Join(LogicalPlan):
 
 
 def expr_to_json(e: Expr):
+    if isinstance(e, Alias):
+        return {"Alias": {"expr": expr_to_json(e.expr), "name": e.name}}
     if isinstance(e, Column):
         return {"Column": e.index}
     if isinstance(e, Literal):
@@ -472,6 +491,8 @@ def expr_to_json(e: Expr):
 
 def expr_from_json(d) -> Expr:
     (kind, body), = d.items()
+    if kind == "Alias":
+        return Alias(expr_from_json(body["expr"]), body["name"])
     if kind == "Column":
         return Column(body)
     if kind == "Literal":

@@ -37,6 +37,8 @@ def collect_expr(e: L.Expr, accum: set[int]) -> None:
         collect_expr(e.expr, accum)
     elif isinstance(e, L.SortExpr):
         collect_expr(e.expr, accum)
+    elif isinstance(e, L.Alias):
+        collect_expr(e.expr, accum)
     elif isinstance(e, (L.ScalarFunction, L.AggregateFunction)):
         for a in e.args:
             collect_expr(a, accum)
@@ -57,6 +59,8 @@ def _remap_expr(e: L.Expr, mapping: dict[int, int]) -> L.Expr:
         return L.Cast(_remap_expr(e.expr, mapping), e.data_type)
     if isinstance(e, L.SortExpr):
         return L.SortExpr(_remap_expr(e.expr, mapping), e.asc)
+    if isinstance(e, L.Alias):
+        return L.Alias(_remap_expr(e.expr, mapping), e.name)
     if isinstance(e, L.ScalarFunction):
         return L.ScalarFunction(e.name, tuple(_remap_expr(a, mapping) for a in e.args), e.return_type)
     if isinstance(e, L.AggregateFunction):

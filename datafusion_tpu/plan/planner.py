@@ -20,6 +20,7 @@ from datafusion_tpu.types import DataType, ScalarValue, get_supertype
 from datafusion_tpu.plan.logical import (
     Aggregate,
     AggregateFunction,
+    Alias,
     BinaryExpr,
     Cast,
     Column,
@@ -142,10 +143,20 @@ class SqlToRel:
         for e in sel.projection:
             if isinstance(e, A.SQLWildcard):
                 proj_exprs.extend(Column(i) for i in range(len(input_schema)))
+            elif isinstance(e, A.SQLAliasedExpr):
+                proj_exprs.append(
+                    Alias(self.sql_to_rex(e.expr, input_schema, qualifiers), e.alias)
+                )
             else:
                 proj_exprs.append(self.sql_to_rex(e, input_schema, qualifiers))
 
-        aggr_exprs = [e for e in proj_exprs if isinstance(e, AggregateFunction)]
+        def _unwrap(e: Expr) -> Expr:
+            return e.expr if isinstance(e, Alias) else e
+
+        aggr_aliased = [
+            e for e in proj_exprs if isinstance(_unwrap(e), AggregateFunction)
+        ]
+        aggr_exprs = [_unwrap(e) for e in aggr_aliased]
 
         if sel.having is not None:
             raise PlanError("HAVING is not implemented yet")
@@ -156,8 +167,9 @@ class SqlToRel:
                 self.sql_to_rex(e, input_schema, qualifiers) for e in sel.group_by
             ]
             # output schema = group fields then aggregate fields, in that
-            # order regardless of SELECT order (reference: sqlplanner.rs:105-110)
-            all_fields = list(group_exprs) + list(aggr_exprs)
+            # order regardless of SELECT order (reference: sqlplanner.rs:105-110);
+            # aliases keep their names in the schema
+            all_fields = list(group_exprs) + list(aggr_aliased)
             agg_schema = Schema(exprlist_to_fields(all_fields, input_schema))
             plan: LogicalPlan = Aggregate(
                 agg_input, tuple(group_exprs), tuple(aggr_exprs), agg_schema
@@ -170,6 +182,15 @@ class SqlToRel:
         proj_input = selection_plan if selection_plan is not None else input_plan
         proj_schema = Schema(exprlist_to_fields(proj_exprs, input_schema))
         plan = Projection(tuple(proj_exprs), proj_input, proj_schema)
+        if sel.distinct:
+            # SELECT DISTINCT = group by every output column (beyond the
+            # reference; its sqlparser accepted no DISTINCT)
+            plan = Aggregate(
+                plan,
+                tuple(Column(i) for i in range(len(proj_schema))),
+                (),
+                proj_schema,
+            )
         return self._plan_order_limit(sel, plan, qualifiers)
 
     def _plan_order_limit(

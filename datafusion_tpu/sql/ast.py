@@ -94,6 +94,14 @@ class SQLFunction(AstNode):
 
 
 @dataclass(frozen=True)
+class SQLAliasedExpr(AstNode):
+    """projection item `expr AS name` (beyond the reference)."""
+
+    expr: AstNode
+    alias: str
+
+
+@dataclass(frozen=True)
 class SQLOrderByExpr(AstNode):
     expr: AstNode
     asc: bool
@@ -118,6 +126,7 @@ class SQLJoin(AstNode):
 @dataclass(frozen=True)
 class SQLSelect(AstNode):
     projection: tuple[AstNode, ...]
+    distinct: bool
     relation: Optional[AstNode]
     selection: Optional[AstNode]
     group_by: tuple[AstNode, ...]

@@ -228,11 +228,27 @@ class Parser:
         return base
 
     # ---- SELECT ----------------------------------------------------------
+    def _parse_projection_item(self) -> AstNode:
+        from datafusion_tpu.sql.ast import SQLAliasedExpr
+
+        e = self.parse_expr()
+        if self.consume_keyword("AS"):
+            return SQLAliasedExpr(e, self.expect_ident())
+        t = self.peek()
+        if (
+            t.kind is Tok.IDENT
+            and t.upper not in _RESERVED_STOP
+        ):
+            self.i += 1
+            return SQLAliasedExpr(e, t.value)
+        return e
+
     def _parse_select(self) -> SQLSelect:
         self.expect_keyword("SELECT")
-        projection = [self.parse_expr()]
+        distinct = self.consume_keyword("DISTINCT")
+        projection = [self._parse_projection_item()]
         while self.consume_op(","):
-            projection.append(self.parse_expr())
+            projection.append(self._parse_projection_item())
 
         relation: Optional[AstNode] = None
         if self.consume_keyword("FROM"):
@@ -266,6 +282,7 @@ class Parser:
 
         return SQLSelect(
             projection=tuple(projection),
+            distinct=distinct,
             relation=relation,
             selection=selection,
             group_by=tuple(group_by),

@@ -1,0 +1,67 @@
+"""Column aliases (SELECT expr AS name) and SELECT DISTINCT — beyond the
+reference's grammar."""
+
+import numpy as np
+
+from datafusion_tpu import ExecutionContext, Table
+from datafusion_tpu.parallel.mesh import make_mesh
+
+
+def ctx_with_t(mesh=None):
+    ctx = ExecutionContext(mesh=mesh)
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {
+                "a": np.array([1, 2, 2, 3, 3, 3], np.int32),
+                "b": np.array([1.0, 2.0, 2.0, 3.0, 9.0, 3.0], np.float64),
+                "s": ["x", "y", "y", "z", "z", "z"],
+            }
+        ),
+    )
+    return ctx
+
+
+def test_alias_names_output():
+    ctx = ctx_with_t()
+    res = ctx.sql("SELECT a + a AS double_a, b half FROM t LIMIT 1")
+    assert res.schema.names() == ["double_a", "half"]
+    assert res.result_str() == "2\t1.0\n"
+
+
+def test_alias_usable_in_order_by():
+    ctx = ctx_with_t()
+    out = ctx.sql("SELECT a * a AS sq FROM t ORDER BY sq DESC LIMIT 2").result_str()
+    assert out == "9\n9\n"
+
+
+def test_aliased_aggregate():
+    ctx = ctx_with_t()
+    res = ctx.sql("SELECT a, SUM(b) AS total FROM t GROUP BY a ORDER BY a")
+    assert res.schema.names() == ["a", "total"]
+    assert res.result_str() == "1\t1.0\n2\t4.0\n3\t15.0\n"
+
+
+def test_distinct_single_column():
+    ctx = ctx_with_t()
+    assert ctx.sql("SELECT DISTINCT a FROM t ORDER BY a").result_str() == "1\n2\n3\n"
+
+
+def test_distinct_multi_column():
+    ctx = ctx_with_t()
+    out = ctx.sql("SELECT DISTINCT a, b FROM t ORDER BY a, b").result_str()
+    assert out == "1\t1.0\n2\t2.0\n3\t3.0\n3\t9.0\n"
+
+
+def test_distinct_strings():
+    ctx = ctx_with_t()
+    out = ctx.sql("SELECT DISTINCT s FROM t ORDER BY s").result_str()
+    assert out == '"x"\n"y"\n"z"\n'
+
+
+def test_distinct_distributed():
+    single = ctx_with_t().sql("SELECT DISTINCT a, b FROM t ORDER BY a, b").result_str()
+    dist = ctx_with_t(make_mesh()).sql(
+        "SELECT DISTINCT a, b FROM t ORDER BY a, b"
+    ).result_str()
+    assert single == dist

@@ -93,6 +93,12 @@ def main(argv=None) -> int:
         default=0,
         help="run distributed over an N-device mesh (0 = single device)",
     )
+    parser.add_argument(
+        "--profile",
+        metavar="DIR",
+        help="capture a jax.profiler trace of the session into DIR "
+        "(inspect with tensorboard / xprof)",
+    )
     args = parser.parse_args(argv)
 
     mesh = None
@@ -103,10 +109,20 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(jax.devices()[: args.mesh])
     console = Console(ExecutionContext(mesh=mesh))
-    if args.script:
-        console.run_script(args.script)
-    else:
-        console.repl()
+    profile_cm = None
+    if args.profile:
+        import jax
+
+        profile_cm = jax.profiler.trace(args.profile)
+        profile_cm.__enter__()
+    try:
+        if args.script:
+            console.run_script(args.script)
+        else:
+            console.repl()
+    finally:
+        if profile_cm is not None:
+            profile_cm.__exit__(None, None, None)
     return 0
 
 

@@ -260,6 +260,49 @@ class PlanCompiler:
         ]
 
         if group_c:
+            # sort-free dense path: a single dictionary-coded key with a
+            # small static vocabulary IS the group id — no lax.sort, one
+            # pallas pass (ops/aggregate.py grouped_aggregate_dense)
+            kdict = group_c[0].dictionary if len(group_c) == 1 else None
+            dense_ok = (
+                kdict is not None
+                and 1 <= len(kdict) <= agg_ops.DENSE_MAX_GROUPS
+                and child.capacity % 1024 == 0
+                and agg_ops._pallas_enabled()
+            )
+            if dense_ok:
+                from datafusion_tpu.types import physical_np as _phys
+
+                for (name, arg, rt) in agg_meta:
+                    p = _phys(arg.dtype)
+                    if name in ("sum", "avg") and p != np.dtype(np.float32):
+                        dense_ok = False
+                    elif name in ("min", "max") and p not in (
+                        np.dtype(np.float32),
+                        np.dtype(np.int32),
+                    ):
+                        dense_ok = False
+                    elif name not in ("sum", "avg", "min", "max", "count"):
+                        dense_ok = False
+            if dense_ok:
+                dom = len(kdict)
+
+                def fn_dense(env) -> Batch:
+                    b = child.fn(env)
+                    keys = [_broadcast_col(c.fn(b.cols), b.capacity) for c in group_c]
+                    specs = [
+                        agg_ops.AggSpec(
+                            name, _broadcast_col(arg.fn(b.cols), b.capacity), rt
+                        )
+                        for (name, arg, rt) in agg_meta
+                    ]
+                    okeys, oaggs, osel, _ = agg_ops.grouped_aggregate_dense(
+                        keys, specs, b.sel, dom
+                    )
+                    return Batch(list(okeys) + list(oaggs), osel)
+
+                return Lowered(plan.schema, out_dicts, fn_dense, dom, child.layout)
+
             gcap = self._alloc_cap(min(child.capacity, self.DEFAULT_GROUP_CAPACITY))
 
             def fn(env) -> Batch:

@@ -122,6 +122,125 @@ def _key_sort_operands(key_cols, sel):
     return notsel, skeys
 
 
+DENSE_MAX_GROUPS = 2048  # = segreduce window width W
+
+
+def dense_eligible(key_cols, specs, sel) -> bool:
+    """Can this GROUP BY take the sort-free dense path? Single int32 key
+    column (dictionary codes qualify) with a statically known small
+    domain, every aggregate pallas-eligible, running on a TPU backend."""
+    if not _pallas_enabled():
+        return False
+    if len(key_cols) != 1:
+        return False
+    if int(sel.shape[0]) % 1024 != 0:
+        return False
+    kd, kv = key_cols[0]
+    if jnp.ndim(kd) != 1 or kd.dtype != jnp.int32:
+        return False
+    for spec in specs:
+        data, _ = spec.arg
+        data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
+        if spec.func in ("sum", "avg") and data.dtype != jnp.float32:
+            return False
+        if spec.func in ("min", "max") and data.dtype not in (jnp.float32, jnp.int32):
+            return False
+        if spec.func not in ("sum", "avg", "min", "max", "count"):
+            return False
+    return True
+
+
+def grouped_aggregate_dense(
+    key_cols: Sequence[ColVal],
+    specs: Sequence[AggSpec],
+    sel: jax.Array,
+    domain_size: int,
+):
+    """Sort-free GROUP BY for a single dense int key domain of statically
+    known size (≤ DENSE_MAX_GROUPS): the key IS the group id — one pallas
+    pass over the unsorted rows, no lax.sort at all. Group order is key
+    order (same as the sorted path). Returns the grouped_aggregate
+    contract: (out_keys, out_aggs, out_sel, n_groups)."""
+    segred = segmented_reduce_sorted_import()
+    capacity = int(sel.shape[0])
+    gcap = int(domain_size)
+    (kd, kv) = key_cols[0]
+    base_mask = sel if kv is None else jnp.logical_and(sel, kv)
+    gid = jnp.where(base_mask, jnp.clip(kd, 0, gcap - 1), gcap)
+
+    k_ops = ["count"]  # group-existence counts (also validity/avg)
+    k_vals = [kd.astype(jnp.float32)]
+    k_masks = [base_mask]
+    k_slots: list = [("exists", None)]
+    counted: dict = {}
+    for si, spec in enumerate(specs):
+        data, valid = spec.arg
+        data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
+        mask = base_mask if valid is None else jnp.logical_and(base_mask, valid)
+        if spec.func in ("sum", "avg"):
+            k_ops.append("sum")
+            k_vals.append(data)
+            k_masks.append(mask)
+            k_slots.append(("agg", si))
+        elif spec.func in ("min", "max"):
+            k_ops.append(spec.func)
+            k_vals.append(data)
+            k_masks.append(mask)
+            k_slots.append(("agg", si))
+        if spec.func == "count" or spec.func == "avg" or valid is not None:
+            ck = id(mask)
+            if ck not in counted:
+                counted[ck] = True
+                k_ops.append("count")
+                k_vals.append(data.astype(jnp.float32))
+                k_masks.append(mask)
+                k_slots.append(("cnt", id(mask)))
+
+    interp = jax.devices()[0].platform not in ("tpu", "axon")
+    outs = segred(
+        gid,
+        tuple(k_vals),
+        tuple(k_masks),
+        ops=tuple(k_ops),
+        num_groups=gcap,
+        interpret=interp,
+        dense=True,
+    )
+    results: dict = {}
+    counts: dict = {}
+    exists_cnt = None
+    for (kind, ident), o in zip(k_slots, outs):
+        if kind == "exists":
+            exists_cnt = o.astype(jnp.int32)
+        elif kind == "agg":
+            results[ident] = o
+        else:
+            counts[ident] = o.astype(jnp.int32)
+
+    giota = lax.broadcasted_iota(jnp.int32, (gcap,), 0)
+    out_sel = exists_cnt > 0
+    out_keys = [(giota, None if kv is None else out_sel)]
+
+    out_aggs = []
+    for si, spec in enumerate(specs):
+        data, valid = spec.arg
+        data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
+        mask = base_mask if valid is None else jnp.logical_and(base_mask, valid)
+        cnt = counts.get(id(mask), exists_cnt)
+        if spec.func == "count":
+            out_aggs.append((cnt.astype(physical_np(spec.out_dtype)), None))
+            continue
+        r = results[si]
+        if spec.func == "avg":
+            r = r / jnp.maximum(cnt, 1).astype(r.dtype)
+        validity = None if valid is None and spec.func != "avg" else cnt > 0
+        out_aggs.append((r.astype(physical_np(spec.out_dtype)), validity))
+
+    # n_groups reported as the domain size — always <= the compiled
+    # capacity, so the overflow-retry loop never fires on this path
+    return out_keys, out_aggs, out_sel, jnp.asarray(gcap, jnp.int32)
+
+
 def grouped_aggregate(
     key_cols: Sequence[ColVal],
     specs: Sequence[AggSpec],

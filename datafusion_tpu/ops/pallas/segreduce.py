@@ -57,7 +57,7 @@ def _identity(op: str, dtype):
     )
 
 
-def _kernel(ops, mask_map, n_masks, gid_ref, *refs):
+def _kernel(ops, mask_map, n_masks, dense, gid_ref, *refs):
     nags = len(ops)
     val_refs = refs[:nags]
     umask_refs = refs[nags : nags + n_masks]
@@ -71,10 +71,16 @@ def _kernel(ops, mask_map, n_masks, gid_ref, *refs):
                 out_refs[a].shape, _identity(op, out_refs[a].dtype)
             )
 
-    gid = gid_ref[:]  # [BLOCK] int32, ascending; invalid rows hold big ids
-    base = gid[0]
-    abase = pl.multiple_of((base // ALIGN) * ALIGN, ALIGN)
-    local = gid - abase  # in [0, ALIGN + BLOCK) = [0, W) for valid rows
+    gid = gid_ref[:]  # [BLOCK] int32; ascending unless dense mode
+    if dense:
+        # dense mode: every group id fits the [0, W) window — no sort
+        # needed upstream, ids may arrive in any order
+        abase = 0
+        local = gid
+    else:
+        base = gid[0]
+        abase = pl.multiple_of((base // ALIGN) * ALIGN, ALIGN)
+        local = gid - abase  # in [0, ALIGN + BLOCK) = [0, W) for valid rows
     in_window = jnp.logical_and(local >= 0, local < W)
     cols = lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
 
@@ -134,7 +140,9 @@ def _kernel(ops, mask_map, n_masks, gid_ref, *refs):
             out_refs[a][pl.ds(abase, W)] = jnp.maximum(window, contribs[a])
 
 
-@functools.partial(jax.jit, static_argnames=("ops", "num_groups", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("ops", "num_groups", "interpret", "dense")
+)
 def segmented_reduce_sorted(
     gid: jax.Array,
     values: tuple[jax.Array, ...],
@@ -143,17 +151,23 @@ def segmented_reduce_sorted(
     ops: tuple[str, ...],
     num_groups: int,
     interpret: bool = False,
+    dense: bool = False,
 ):
     """Reduce `values[a]` into per-group slots according to sorted `gid`.
 
     gid: [N] int32 ascending for valid rows; invalid rows must hold an id
-         >= num_groups AND sort after all valid rows.
+         >= num_groups AND sort after all valid rows. With dense=True the
+         ids may arrive in ANY order but must satisfy num_groups <= W
+         (small dense key domains, e.g. dictionary codes) — this is the
+         sort-free group-by path.
     values[a]: [N] (f32 for sum; f32/i32 for min/max)
     masks[a]: [N] bool — row contributes to aggregate a
     Returns tuple of [num_groups] arrays (f32 for sum/count).
     """
     n = int(gid.shape[0])
     assert n % BLOCK == 0, f"input length {n} not a multiple of {BLOCK}"
+    if dense:
+        assert num_groups <= W, f"dense mode requires num_groups <= {W}"
     # window starts are tile-aligned; pad so the last window fits
     out_pad = ((num_groups + W) + ALIGN - 1) // ALIGN * ALIGN
 
@@ -184,7 +198,7 @@ def segmented_reduce_sorted(
             pl.BlockSpec((out_pad,), lambda i: (0,), memory_space=pltpu.VMEM)
         )
 
-    kernel = functools.partial(_kernel, ops, tuple(mask_map), len(umasks))
+    kernel = functools.partial(_kernel, ops, tuple(mask_map), len(umasks), dense)
     outs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -93,6 +93,13 @@ class ExecutionContext:
     ) -> None:
         self.register_table(name, read_csv(path, schema, has_header=has_header))
 
+    def register_parquet(self, name: str, path: str, schema=None) -> None:
+        """Load a Parquet file (the reference parsed STORED AS PARQUET but
+        had no reader)."""
+        from datafusion_tpu.columnar.parquet import read_parquet
+
+        self.register_table(name, read_parquet(path, schema))
+
     def register_function(self, meta: FunctionMeta, fn: Optional[Callable] = None) -> None:
         """Register a scalar UDF; `fn` maps jax arrays → jax array.
         (reference: get_function_meta was unimplemented!, context.rs:255)"""
@@ -181,8 +188,14 @@ class ExecutionContext:
             from datafusion_tpu.columnar.ndjson import read_ndjson
 
             self.register_table(node.name, read_ndjson(node.location, schema))
+        elif node.file_type is A.FileType.Parquet:
+            from datafusion_tpu.columnar.parquet import read_parquet
+
+            self.register_table(
+                node.name,
+                read_parquet(node.location, schema if node.columns else None),
+            )
         else:
             raise NotImplementedError_(
-                f"STORED AS {node.file_type.value} is not supported yet "
-                "(the reference never implemented it either, SURVEY.md §2)"
+                f"STORED AS {node.file_type.value} is not supported"
             )

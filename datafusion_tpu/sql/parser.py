@@ -344,6 +344,8 @@ class Parser:
 
     def _parse_prefix(self) -> AstNode:
         t = self.next()
+        if t.kind is Tok.EOF:
+            raise ParserError("unexpected end of input, expected an expression")
         if t.kind is Tok.NUMBER:
             if "." in t.value or "e" in t.value or "E" in t.value:
                 return SQLDouble(float(t.value))
@@ -379,6 +381,10 @@ class Parser:
             return SQLIdentifier("TRUE")
         if up == "FALSE":
             return SQLIdentifier("FALSE")
+        if up in _RESERVED_STOP:
+            raise ParserError(
+                f"unexpected keyword {t.value!r} at offset {t.pos}, expected an expression"
+            )
         # function call?
         if self.peek().kind is Tok.OP and self.peek().value == "(":
             self.next()

@@ -142,4 +142,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # the tunneled TPU backend has intermittent outages; retry before
+    # giving up so driver-run benches survive a transient flake
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"[bench] attempt {attempt + 1} failed ({e}); retrying", file=sys.stderr)
+            time.sleep(60)

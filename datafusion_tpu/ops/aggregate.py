@@ -111,13 +111,41 @@ def ungrouped_aggregate(specs: Sequence[AggSpec], sel: jax.Array):
     return outs
 
 
+def to_sortable_int(x: jax.Array) -> jax.Array:
+    """Order-preserving bijection float32 → int32 (sign-magnitude to
+    two's-complement trick), enabling GROUP BY on float keys — the
+    reference's GroupByScalar had no float variant (aggregate.rs:66-76).
+    NaNs map to the top of the order. Identity for integer inputs."""
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        return x
+    if x.dtype == jnp.float64:  # CPU/x64 path keeps full f64 key precision
+        bits = lax.bitcast_convert_type(x, jnp.int64)
+        int_min = jnp.int64(-(2**63))
+    else:
+        bits = lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+        int_min = jnp.int32(-2147483648)
+    return jnp.where(bits < 0, int_min - bits, bits)  # self-inverse
+
+
+def from_sortable_int(bits: jax.Array, dtype) -> jax.Array:
+    """Inverse of to_sortable_int."""
+    if not jnp.issubdtype(jnp.dtype(dtype), jnp.floating):
+        return bits
+    if bits.dtype == jnp.int64:
+        orig = jnp.where(bits < 0, jnp.int64(-(2**63)) - bits, bits)
+        return lax.bitcast_convert_type(orig, jnp.float64).astype(dtype)
+    orig = jnp.where(bits < 0, jnp.int32(-2147483648) - bits, bits)
+    return lax.bitcast_convert_type(orig, jnp.float32).astype(dtype)
+
+
 def _key_sort_operands(key_cols, sel):
-    """Leading sort operands: not-selected flag then null-first key parts."""
+    """Leading sort operands: not-selected flag then null-first key parts.
+    Float keys ride their order-preserving int32 image."""
     skeys = []
     for kd, kv in key_cols:
         if kv is not None:
             skeys.append(jnp.logical_not(kv).astype(jnp.int8))
-        skeys.append(kd)
+        skeys.append(to_sortable_int(kd))
     notsel = jnp.logical_not(sel).astype(jnp.int8)
     return notsel, skeys
 
@@ -436,10 +464,9 @@ def grouped_aggregate(
             ki += 1
         else:
             kvalid = None
-        if kidx in pallas_keys:
-            out_keys.append((pallas_keys[kidx], kvalid))
-        else:
-            out_keys.append((at_starts(sorted_ops[ki]), kvalid))
+        raw = pallas_keys[kidx] if kidx in pallas_keys else at_starts(sorted_ops[ki])
+        # float keys were grouped via their order-preserving int image
+        out_keys.append((from_sortable_int(raw, kd.dtype), kvalid))
         ki += 1
 
     # cache secondary value-sorts per (arg operand index) so MIN and MAX

@@ -65,3 +65,32 @@ def test_distinct_distributed():
         "SELECT DISTINCT a, b FROM t ORDER BY a, b"
     ).result_str()
     assert single == dist
+
+
+def test_group_by_float_keys():
+    # beyond the reference: its GroupByScalar had no float variant
+    # (aggregate.rs:66-76) so float GROUP BY panicked; here it works via
+    # an order-preserving float->int bijection
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "f",
+        Table.from_pydict(
+            {
+                "price": np.array([1.5, -2.25, 1.5, 0.0, -2.25, 1.5], np.float64),
+                "q": np.array([1, 2, 3, 4, 5, 6], np.int32),
+            }
+        ),
+    )
+    out = ctx.sql(
+        "SELECT price, COUNT(q), SUM(q) FROM f GROUP BY price ORDER BY price"
+    ).result_str()
+    assert out == "-2.25\t2\t7\n0.0\t1\t4\n1.5\t3\t10\n"
+
+
+def test_distinct_float():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "f", Table.from_pydict({"x": np.array([2.5, 1.5, 2.5, -1.0], np.float32)})
+    )
+    out = ctx.sql("SELECT DISTINCT x FROM f ORDER BY x").result_str()
+    assert out == "-1.0\n1.5\n2.5\n"

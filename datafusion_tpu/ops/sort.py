@@ -37,25 +37,6 @@ def _directed_key(data: jax.Array, valid: Optional[jax.Array], asc: bool) -> lis
     return keys
 
 
-def sort_permutation(
-    keys: Sequence[tuple[ColVal, bool]],
-    sel: jax.Array,
-) -> tuple[jax.Array, jax.Array]:
-    """Return (perm, count): a permutation putting selected rows first in
-    key order; count = number of selected rows."""
-    capacity = int(sel.shape[0])
-    iota = lax.broadcasted_iota(jnp.int32, (capacity,), 0)
-    operands: list[jax.Array] = [jnp.logical_not(sel).astype(jnp.int8)]
-    for (data, valid), asc in keys:
-        data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
-        operands.extend(_directed_key(data, valid, asc))
-    operands.append(iota)  # final key: stable tie-break by original row
-    sorted_ops = lax.sort(operands, num_keys=len(operands))
-    perm = sorted_ops[-1]
-    count = jnp.sum(sel.astype(jnp.int32))
-    return perm, count
-
-
 def sort_batch(
     keys: Sequence[tuple[ColVal, bool]],
     cols: Sequence[ColVal],
@@ -101,16 +82,6 @@ def sort_batch(
         v = None if vi is None else sorted_ops[vi].astype(jnp.bool_)
         out_cols.append((d, v))
     return out_cols, count
-
-
-def apply_permutation(cols: Sequence[ColVal], perm: jax.Array) -> list[ColVal]:
-    out = []
-    for data, valid in cols:
-        data = jnp.broadcast_to(data, perm.shape) if jnp.ndim(data) == 0 else data
-        d = jnp.take(data, perm)
-        v = None if valid is None else jnp.take(valid, perm)
-        out.append((d, v))
-    return out
 
 
 def limit_mask(sel: jax.Array, limit: int) -> jax.Array:

@@ -158,8 +158,9 @@ class SqlToRel:
         ]
         aggr_exprs = [_unwrap(e) for e in aggr_aliased]
 
-        if sel.having is not None:
-            raise PlanError("HAVING is not implemented yet")
+        if sel.having is not None and not aggr_exprs:
+            # the reference erred here too (sqlplanner.rs:136-140)
+            raise PlanError("HAVING requires aggregate functions")
 
         if aggr_exprs:
             agg_input = selection_plan if selection_plan is not None else input_plan
@@ -174,6 +175,13 @@ class SqlToRel:
             plan: LogicalPlan = Aggregate(
                 agg_input, tuple(group_exprs), tuple(aggr_exprs), agg_schema
             )
+            if sel.having is not None:
+                # HAVING = selection over the aggregate output (beyond the
+                # reference, which always errored); identifiers resolve
+                # against the aggregate schema
+                plan = Selection(
+                    self.sql_to_rex(sel.having, agg_schema, None), plan
+                )
             # ORDER BY / LIMIT over aggregates — beyond the reference, which
             # silently dropped them on this path
             plan = self._plan_order_limit(sel, plan, qualifiers)

@@ -211,8 +211,20 @@ _COERCE_FROM: dict[DataType, frozenset[DataType]] = {
     _D.Int8: frozenset({_D.Int8}),
     _D.Int16: frozenset({_D.Int8, _D.Int16, _D.UInt8}),
     _D.Int32: frozenset({_D.Int8, _D.Int16, _D.Int32, _D.UInt8, _D.UInt16}),
+    # UInt64→Int64 is lossy above 2^63, but COUNT returns UInt64
+    # (reference: sqlplanner.rs:336) and comparing counts with integer
+    # literals (HAVING n > 1) must be plannable — pragmatic inclusion
     _D.Int64: frozenset(
-        {_D.Int8, _D.Int16, _D.Int32, _D.Int64, _D.UInt8, _D.UInt16, _D.UInt32}
+        {
+            _D.Int8,
+            _D.Int16,
+            _D.Int32,
+            _D.Int64,
+            _D.UInt8,
+            _D.UInt16,
+            _D.UInt32,
+            _D.UInt64,
+        }
     ),
     _D.UInt8: frozenset({_D.UInt8}),
     _D.UInt16: frozenset({_D.UInt8, _D.UInt16}),

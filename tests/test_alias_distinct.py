@@ -94,3 +94,26 @@ def test_distinct_float():
     )
     out = ctx.sql("SELECT DISTINCT x FROM f ORDER BY x").result_str()
     assert out == "-1.0\n1.5\n2.5\n"
+
+
+def test_having():
+    # beyond the reference (it raised 'HAVING is not implemented yet')
+    ctx = ctx_with_t()
+    out = ctx.sql(
+        "SELECT a, COUNT(b) AS n FROM t GROUP BY a HAVING n > 1 ORDER BY a"
+    ).result_str()
+    assert out == "2\t2\n3\t3\n"
+    out2 = ctx.sql(
+        "SELECT a, SUM(b) AS s FROM t GROUP BY a HAVING s > 3.5 ORDER BY a"
+    ).result_str()
+    assert out2 == "2\t4.0\n3\t15.0\n"
+
+
+def test_having_without_aggregate_errors():
+    import pytest
+
+    from datafusion_tpu.errors import PlanError
+
+    ctx = ctx_with_t()
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT a FROM t HAVING a > 1")

@@ -63,11 +63,7 @@ def col_of(res, j=0):
     return res.column_values(j)
 
 
-# c_uint64 excluded: the reference's supertype table maps (UInt64, Int64)
-# → Int64 (logicalplan.rs:473) and UInt64→Int64 coercion is lossy, so
-# comparing a UInt64 column with an integer literal is unplannable — a
-# limitation inherited from the reference's type lattice.
-@pytest.mark.parametrize("name", [n for n in NUMERIC if n != "c_uint64"])
+@pytest.mark.parametrize("name", NUMERIC)
 @pytest.mark.parametrize("op,npop", [
     (">", np.greater), ("<", np.less), (">=", np.greater_equal),
     ("<=", np.less_equal), ("=", np.equal), ("!=", np.not_equal),

@@ -241,6 +241,9 @@ class PlanCompiler:
 
     def _lower_aggregate(self, plan: L.Aggregate) -> Lowered:
         child = self.lower(plan.input)
+        return self._aggregate_over(plan, child)
+
+    def _aggregate_over(self, plan: L.Aggregate, child: Lowered) -> Lowered:
         group_c = [
             compile_expr(e, child.schema, child.dicts, self.fn_registry)
             for e in plan.group_exprs
@@ -252,7 +255,8 @@ class PlanCompiler:
             if len(e.args) != 1:
                 raise ExecutionError("aggregate functions take exactly one argument")
             arg_c = compile_expr(e.args[0], child.schema, child.dicts, self.fn_registry)
-            agg_meta.append((e.name.lower(), arg_c, e.return_type))
+            fname = "count_distinct" if (e.distinct and e.name.lower() == "count") else e.name.lower()
+            agg_meta.append((fname, arg_c, e.return_type))
 
         out_dicts = [c.dictionary for c in group_c] + [
             (arg.dictionary if rt is DataType.Utf8 else None)

@@ -96,6 +96,18 @@ def ungrouped_aggregate(specs: Sequence[AggSpec], sel: jax.Array):
         if spec.func == "count":
             outs.append((n.astype(physical_np(spec.out_dtype)), None))
             continue
+        if spec.func == "count_distinct":
+            # sort values (masked rows last); distinct = run starts
+            nm = jnp.logical_not(mask).astype(jnp.int8)
+            sres = lax.sort([nm, data], num_keys=2)
+            vs = sres[1]
+            cap = int(sel.shape[0])
+            io = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+            msorted = io < n
+            changed = jnp.logical_or(io == 0, vs != jnp.roll(vs, 1))
+            cnt = jnp.sum(jnp.logical_and(msorted, changed))
+            outs.append((cnt.astype(physical_np(spec.out_dtype)), None))
+            continue
         if spec.func == "min":
             r = jnp.min(jnp.where(mask, data, _sentinel(data.dtype, False)))
         elif spec.func == "max":
@@ -515,6 +527,33 @@ def grouped_aggregate(
             mask = sel_sorted if vpi is None else jnp.logical_and(
                 sel_sorted, sorted_ops[vpi].astype(jnp.bool_)
             )
+        if spec.func == "count_distinct":
+            # value-co-sort per group (valid rows first within the group);
+            # distinct values are runs — count run starts via exact
+            # integer prefix differences over the group extents
+            operands_cd = [notsel, *skeys]
+            if vpi is not None:
+                operands_cd.append(
+                    (1 - operands[vpi].astype(jnp.int8))
+                )
+            operands_cd.append(operands[pi])
+            vres = lax.sort(operands_cd, num_keys=len(operands_cd))
+            vs = vres[-1]
+            flag = jnp.logical_and(
+                sel_sorted, jnp.logical_or(boundary, vs != jnp.roll(vs, 1))
+            )
+            if vpi is not None:
+                flag = jnp.logical_and(flag, vres[-2] == 0)  # valid rows only
+            pref = jnp.cumsum(flag.astype(jnp.int32))
+            ex = extents()
+            starts, ends = ex["starts"], ex["ends"]
+            p_end = jnp.take(pref, jnp.clip(ends - 1, 0, capacity - 1))
+            p_before = jnp.where(
+                starts > 0, jnp.take(pref, jnp.clip(starts - 1, 0, capacity - 1)), 0
+            )
+            cntd = jnp.where(giota < n_groups, p_end - p_before, 0)
+            out_aggs.append((cntd.astype(physical_np(spec.out_dtype)), None))
+            continue
         if spec.func in ("min", "max") and vpi is None:
             # value-co-sorted path: min at group start, max at group end
             vs = minmax_sorted(pi)

@@ -431,8 +431,13 @@ class DistCompiler(PlanCompiler):
     # -- distributed aggregation ---------------------------------------
     def _lower_aggregate(self, plan: L.Aggregate) -> Lowered:
         child = self.lower(plan.input)
+        if any(getattr(e, "distinct", False) for e in plan.aggr_exprs):
+            # COUNT(DISTINCT) partials don't merge by summing; gather and
+            # aggregate replicated (repartition-by-key is the scalable
+            # upgrade)
+            child = self._gather_batch(child)
         if child.layout != "partitioned":
-            return super()._lower_aggregate(plan)
+            return self._aggregate_over(plan, child)
 
         group_c = [
             compile_expr(e, child.schema, child.dicts, self.fn_registry)

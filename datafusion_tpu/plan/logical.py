@@ -232,12 +232,16 @@ class AggregateFunction(Expr):
     name: str  # as written in SQL (reference keeps original case)
     args: tuple[Expr, ...]
     return_type: DataType
+    distinct: bool = False  # COUNT(DISTINCT x) — beyond the reference
 
     def get_type(self, schema: Schema) -> DataType:
         return self.return_type
 
     def __repr__(self) -> str:
-        return f"{self.name}({', '.join(repr(a) for a in self.args)})"
+        inner = ", ".join(repr(a) for a in self.args)
+        if self.distinct:
+            return f"{self.name}(DISTINCT {inner})"
+        return f"{self.name}({inner})"
 
 
 # ---------------------------------------------------------------------------
@@ -484,6 +488,7 @@ def expr_to_json(e: Expr):
                 "name": e.name,
                 "args": [expr_to_json(a) for a in e.args],
                 "return_type": e.return_type.value,
+                "distinct": e.distinct,
             }
         }
     raise PlanError(f"cannot serialize expr {e!r}")
@@ -521,6 +526,7 @@ def expr_from_json(d) -> Expr:
             body["name"],
             tuple(expr_from_json(a) for a in body["args"]),
             DataType(body["return_type"]),
+            body.get("distinct", False),
         )
     raise PlanError(f"cannot deserialize expr kind {kind}")
 

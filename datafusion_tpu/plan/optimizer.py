@@ -64,7 +64,9 @@ def _remap_expr(e: L.Expr, mapping: dict[int, int]) -> L.Expr:
     if isinstance(e, L.ScalarFunction):
         return L.ScalarFunction(e.name, tuple(_remap_expr(a, mapping) for a in e.args), e.return_type)
     if isinstance(e, L.AggregateFunction):
-        return L.AggregateFunction(e.name, tuple(_remap_expr(a, mapping) for a in e.args), e.return_type)
+        return L.AggregateFunction(
+            e.name, tuple(_remap_expr(a, mapping) for a in e.args), e.return_type, e.distinct
+        )
     return e
 
 

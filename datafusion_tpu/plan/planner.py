@@ -373,6 +373,8 @@ class SqlToRel:
     ) -> Expr:
         name = node.name
         low = name.lower()
+        if node.distinct and low != "count":
+            raise PlanError(f"DISTINCT is only supported with COUNT, not {name}")
         if low in _AGG_NAMES:
             args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
             if len(args) != 1:
@@ -386,7 +388,7 @@ class SqlToRel:
                 else self.sql_to_rex(a, schema, qualifiers)
                 for a in node.args
             )
-            return AggregateFunction(name, args, DataType.UInt64)
+            return AggregateFunction(name, args, DataType.UInt64, node.distinct)
         fm = self.schema_provider.get_function_meta(low)
         if fm is None:
             raise PlanError(f"Invalid function '{name}'")

@@ -91,6 +91,7 @@ class SQLIsNotNull(AstNode):
 class SQLFunction(AstNode):
     name: str
     args: tuple[AstNode, ...]
+    distinct: bool = False  # COUNT(DISTINCT x)
 
 
 @dataclass(frozen=True)

@@ -388,6 +388,7 @@ class Parser:
         # function call?
         if self.peek().kind is Tok.OP and self.peek().value == "(":
             self.next()
+            distinct = self.consume_keyword("DISTINCT")
             args: list[AstNode] = []
             if not self.consume_op(")"):
                 while True:
@@ -396,7 +397,7 @@ class Parser:
                         continue
                     self.expect_op(")")
                     break
-            return SQLFunction(t.value, tuple(args))
+            return SQLFunction(t.value, tuple(args), distinct)
         # compound identifier a.b
         if self.peek().kind is Tok.OP and self.peek().value == ".":
             self.next()

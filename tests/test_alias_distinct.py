@@ -117,3 +117,36 @@ def test_having_without_aggregate_errors():
     ctx = ctx_with_t()
     with pytest.raises(PlanError):
         ctx.sql("SELECT a FROM t HAVING a > 1")
+
+
+def test_count_distinct():
+    # the reference declared AggregateType::CountDistinct but never
+    # implemented it (expression.rs:36, aggregate.rs:319-342)
+    ctx = ctx_with_t()
+    out = ctx.sql(
+        "SELECT a, COUNT(DISTINCT b), COUNT(b) FROM t GROUP BY a ORDER BY a"
+    ).result_str()
+    # a=1: b={1.0}; a=2: b={2.0,2.0}->1 distinct; a=3: {3.0,9.0,3.0}->2
+    assert out == "1\t1\t1\n2\t1\t2\n3\t2\t3\n"
+
+
+def test_count_distinct_ungrouped():
+    ctx = ctx_with_t()
+    assert ctx.sql("SELECT COUNT(DISTINCT b) FROM t").result_str() == "4\n"
+    assert ctx.sql("SELECT COUNT(DISTINCT s) FROM t").result_str() == "3\n"
+
+
+def test_count_distinct_distributed():
+    sql = "SELECT a, COUNT(DISTINCT b) FROM t GROUP BY a ORDER BY a"
+    single = ctx_with_t().sql(sql).result_str()
+    dist = ctx_with_t(make_mesh()).sql(sql).result_str()
+    assert single == dist
+
+
+def test_sum_distinct_errors():
+    import pytest
+
+    from datafusion_tpu.errors import PlanError
+
+    with pytest.raises(PlanError, match="DISTINCT"):
+        ctx_with_t().sql("SELECT SUM(DISTINCT b) FROM t")

@@ -26,6 +26,9 @@ os.environ.setdefault("DFTPU_X64", "0")
 
 import numpy as np
 
+# allow running from any cwd: the repo root is one level up
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 

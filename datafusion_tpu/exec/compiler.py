@@ -403,10 +403,15 @@ class PlanCompiler:
 
         out_cap = self._alloc_cap(max(left.capacity, right.capacity))
 
-        # pre-compute dictionary remaps for string join keys
+        # pre-compute dictionary remaps for string join keys + static key
+        # bounds for int32 two-key packing
         remaps: list[Optional[tuple[jax.Array, jax.Array]]] = []
+        key_maxes: list[Optional[int]] = []
         for li, ri in plan.on:
             ld, rd = left.dicts[li], right.dicts[ri]
+            key_maxes.append(
+                len(set(ld) | set(rd)) if (ld is not None and rd is not None) else None
+            )
             if (ld is None) != (rd is None):
                 raise ExecutionError("join key type mismatch (Utf8 vs numeric)")
             if ld is not None and ld != rd:
@@ -438,6 +443,7 @@ class PlanCompiler:
             p_idx, b_idx, out_sel, matched, total = join_ops.join_indices(
                 lkeys, lb.sel, rkeys, rb.sel, out_cap,
                 keep_unmatched_probe=keep_unmatched,
+                key_maxes=key_maxes,
             )
             self.totals.append(total)
             lcols = join_ops.gather_columns(

@@ -22,17 +22,41 @@ from jax import lax
 ColVal = tuple[jax.Array, Optional[jax.Array]]
 
 
-def _pack_keys(keys: Sequence[jax.Array]) -> jax.Array:
-    """Combine up to two 32-bit key columns into one sortable int64.
-    Single keys pass through unchanged."""
+def _pack_keys(
+    keys: Sequence[jax.Array], key_maxes: Optional[Sequence[Optional[int]]] = None
+) -> jax.Array:
+    """Combine up to two key columns into one sortable integer.
+
+    Single keys pass through. Two keys pack into int64 when 64-bit mode
+    is available; otherwise (TPU benches run with x64 off, where int64
+    silently narrows to int32) they pack into int32 — which requires
+    statically known non-negative key bounds (`key_maxes`, e.g.
+    dictionary vocabulary sizes) whose bit widths sum to ≤ 31.
+    """
     if len(keys) == 1:
         return keys[0]
-    if len(keys) == 2:
+    if len(keys) != 2:
+        raise NotImplementedError("joins on >2 key columns not yet supported")
+    import jax as _jax
+
+    if _jax.config.jax_enable_x64:
         a = keys[0].astype(jnp.int64)
         b = keys[1].astype(jnp.int64)
-        # order-preserving pack for 32-bit-range keys
         return (a << 32) | (b & 0xFFFFFFFF)
-    raise NotImplementedError("joins on >2 key columns not yet supported")
+    maxes = list(key_maxes) if key_maxes else [None, None]
+    if maxes[0] is None or maxes[1] is None:
+        raise NotImplementedError(
+            "two-column joins without 64-bit support need statically "
+            "bounded keys (e.g. dictionary-coded strings)"
+        )
+    bits_b = max(int(maxes[1]).bit_length(), 1)
+    bits_a = max(int(maxes[0]).bit_length(), 1)
+    if bits_a + bits_b > 31:
+        raise NotImplementedError(
+            f"two-column join key domains too large to pack into int32 "
+            f"({bits_a}+{bits_b} bits)"
+        )
+    return (keys[0] << bits_b) | keys[1]
 
 
 def inner_join_indices(
@@ -59,6 +83,7 @@ def join_indices(
     out_capacity: int,
     *,
     keep_unmatched_probe: bool = False,
+    key_maxes: Optional[Sequence[Optional[int]]] = None,
 ):
     """Compute gather indices realizing an equi-join.
 
@@ -73,8 +98,8 @@ def join_indices(
     p_cap = int(probe_sel.shape[0])
     b_cap = int(build_sel.shape[0])
 
-    pkey = _pack_keys(probe_keys)
-    bkey = _pack_keys(build_keys)
+    pkey = _pack_keys(probe_keys, key_maxes)
+    bkey = _pack_keys(build_keys, key_maxes)
 
     # sort build side by key, unselected rows last via a +inf-like sentinel
     b_sentinel = jnp.asarray(jnp.iinfo(bkey.dtype).max, bkey.dtype)

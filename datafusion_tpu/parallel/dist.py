@@ -302,6 +302,7 @@ class DistCompiler(PlanCompiler):
         )
 
         remaps = self._join_key_remaps(plan, left, right)
+        key_maxes = self._join_key_maxes(plan, left, right)
 
         def fn(env) -> Batch:
             lb = left.fn(env)
@@ -318,6 +319,7 @@ class DistCompiler(PlanCompiler):
             p_idx, b_idx, out_sel, matched, total = join_ops.join_indices(
                 lkeys, lb.sel, rkeys, rb.sel, out_cap_local,
                 keep_unmatched_probe=plan.join_type is L.JoinType.Left,
+                key_maxes=key_maxes,
             )
             if partitioned:
                 total = lax.psum(total, AXIS)
@@ -352,6 +354,7 @@ class DistCompiler(PlanCompiler):
         s_r = self._alloc_cap(max(128, -(-2 * rcap_local // n) // 128 * 128))
         out_cap_local = self._alloc_cap(max(lcap_local * 2, n * s_l))
         remaps = self._join_key_remaps(plan, left, right)
+        key_maxes = self._join_key_maxes(plan, left, right)
 
         def keys_of(batch, side_cols, cap, which):
             ks = []
@@ -370,8 +373,10 @@ class DistCompiler(PlanCompiler):
             rb = right.fn(env)
             lkeys = keys_of(lb, lb.cols, lcap_local, "l")
             rkeys = keys_of(rb, rb.cols, rcap_local, "r")
-            ldst = hash_to_device(join_ops._pack_keys(lkeys), n)
-            rdst = hash_to_device(join_ops._pack_keys(rkeys), n)
+            from datafusion_tpu.parallel.shuffle import hash_keys_to_device
+
+            ldst = hash_keys_to_device(lkeys, n)
+            rdst = hash_keys_to_device(rkeys, n)
             lcols2, lsel2, lmax = repartition(
                 [_broadcast_col(c, lcap_local) for c in lb.cols], ldst, lb.sel, n, s_l
             )
@@ -386,6 +391,7 @@ class DistCompiler(PlanCompiler):
             p_idx, b_idx, out_sel, matched, total = join_ops.join_indices(
                 lkeys2, lsel2, rkeys2, rsel2, out_cap_local,
                 keep_unmatched_probe=plan.join_type is L.JoinType.Left,
+                key_maxes=key_maxes,
             )
             # out_cap_local is a per-device capacity — compare the worst
             # device's match count, not the global sum
@@ -406,6 +412,18 @@ class DistCompiler(PlanCompiler):
             out_cap_local * n,
             "partitioned",
         )
+
+    def _join_key_maxes(self, plan, left, right):
+        """Static key bounds for int32 packing of two-key joins (from
+        dictionary vocab sizes); None for unbounded numeric keys."""
+        maxes = []
+        for li, ri in plan.on:
+            ld, rd = left.dicts[li], right.dicts[ri]
+            if ld is not None and rd is not None:
+                maxes.append(len(set(ld) | set(rd)))
+            else:
+                maxes.append(None)
+        return maxes
 
     def _join_key_remaps(self, plan, left, right):
         remaps = []

@@ -28,6 +28,19 @@ from datafusion_tpu.parallel.mesh import AXIS
 ColVal = tuple[jax.Array, Optional[jax.Array]]
 
 
+def hash_keys_to_device(keys, n_dev: int) -> jax.Array:
+    """Route multi-column keys: mix each column and combine — avoids any
+    need for exact width-packing (collisions only affect balance, not
+    correctness, since both sides hash identically)."""
+    h = None
+    for k in keys:
+        m = k.astype(jnp.uint32) * jnp.uint32(2654435761)
+        m = m ^ (m >> 16)
+        h = m if h is None else (h * jnp.uint32(31) + m)
+    h = h ^ (h >> 13)
+    return (h % jnp.uint32(n_dev)).astype(jnp.int32)
+
+
 def hash_to_device(key: jax.Array, n_dev: int) -> jax.Array:
     """Route a key column to a destination device: multiplicative mixing
     then mod n_dev (stable across chips; dictionary codes are

@@ -101,3 +101,38 @@ def test_self_join_with_aliases():
         "SELECT e.name, m.name FROM emp AS e JOIN emp AS m ON e.boss = m.id ORDER BY name"
     ).result_str()
     assert out == '"ann"\t"cat"\n"bob"\t"cat"\n"cat"\t"cat"\n'
+
+
+def test_two_key_join_int32_packing():
+    # with x64 off (the TPU configuration), two-key joins pack into int32
+    # using static dictionary bounds — exercised in a subprocess
+    import subprocess
+    import sys as _sys
+    import os as _os
+
+    code = """
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import datafusion_tpu as df
+ctx = df.ExecutionContext()
+ctx.register_table("a", df.Table.from_pydict({
+    "c1": ["x", "x", "y", "z"], "c2": ["p", "q", "p", "q"],
+    "v": np.arange(4, dtype=np.int32)}))
+ctx.register_table("b", df.Table.from_pydict({
+    "d1": ["x", "y", "z"], "d2": ["q", "p", "z"],
+    "w": np.array([10, 20, 30], np.int32)}))
+out = ctx.sql(
+    "SELECT a.v, b.w FROM a JOIN b ON a.c1 = b.d1 AND a.c2 = b.d2 ORDER BY v"
+).result_str()
+assert out == "1\\t10\\n2\\t20\\n", repr(out)
+print("ok")
+"""
+    proc = subprocess.run(
+        [_sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env={**_os.environ, "DFTPU_X64": "0", "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "ok" in proc.stdout

@@ -71,6 +71,35 @@ class SchemaProvider(Protocol):
 _AGG_NAMES = {"min", "max", "sum", "avg"}
 
 
+def _aggregates_in(e: Expr) -> list:
+    """All AggregateFunction nodes within an expression tree."""
+    out: list = []
+
+    def walk(x: Expr) -> None:
+        if isinstance(x, AggregateFunction):
+            out.append(x)
+            return
+        if isinstance(x, Alias):
+            walk(x.expr)
+        elif isinstance(x, BinaryExpr):
+            walk(x.left)
+            walk(x.right)
+        elif isinstance(x, Cast):
+            walk(x.expr)
+        elif isinstance(x, (IsNull, IsNotNull)):
+            walk(x.expr)
+        elif isinstance(x, ScalarFunction):
+            for a in x.args:
+                walk(a)
+
+    walk(e)
+    return out
+
+
+def _contains_aggregate(e: Expr) -> bool:
+    return bool(_aggregates_in(e))
+
+
 def convert_data_type(type_name: str) -> DataType:
     """SQL type name → logical type (reference: sqlplanner.rs:379-393)."""
     up = type_name.upper()
@@ -158,6 +187,20 @@ class SqlToRel:
         ]
         aggr_exprs = [_unwrap(e) for e in aggr_aliased]
 
+        # expressions OVER aggregates (SELECT MAX(b)-MIN(b), ...) take the
+        # projection-over-aggregate path — beyond both engines' bare-
+        # aggregate handling
+        composite = [
+            e
+            for e in proj_exprs
+            if not isinstance(_unwrap(e), AggregateFunction)
+            and _contains_aggregate(e)
+        ]
+        if composite:
+            return self._plan_composite_aggregates(
+                sel, proj_exprs, input_plan, selection_plan, input_schema, qualifiers
+            )
+
         if sel.having is not None and not aggr_exprs:
             # the reference erred here too (sqlplanner.rs:136-140)
             raise PlanError("HAVING requires aggregate functions")
@@ -199,6 +242,80 @@ class SqlToRel:
                 (),
                 proj_schema,
             )
+        return self._plan_order_limit(sel, plan, qualifiers)
+
+    def _plan_composite_aggregates(
+        self, sel, proj_exprs, input_plan, selection_plan, input_schema, qualifiers
+    ) -> LogicalPlan:
+        """Plan SELECT items that compute over aggregate results:
+        Aggregate(group, uniq_aggs) → Projection(rewritten exprs).
+        Output columns follow SELECT order (no group-first quirk here)."""
+        agg_input = selection_plan if selection_plan is not None else input_plan
+        group_exprs = [
+            self.sql_to_rex(e, input_schema, qualifiers) for e in sel.group_by
+        ]
+        # collect unique aggregates across projection + HAVING
+        agg_list: list[AggregateFunction] = []
+
+        def collect(e: Expr) -> None:
+            for a in _aggregates_in(e):
+                if a not in agg_list:
+                    agg_list.append(a)
+
+        for e in proj_exprs:
+            collect(e)
+        having_rex = None
+        if sel.having is not None:
+            having_rex = self.sql_to_rex(sel.having, input_schema, qualifiers)
+            collect(having_rex)
+        if not agg_list:
+            raise PlanError("internal: composite path without aggregates")
+
+        all_fields = list(group_exprs) + list(agg_list)
+        agg_schema = Schema(exprlist_to_fields(all_fields, input_schema))
+        plan: LogicalPlan = Aggregate(
+            agg_input, tuple(group_exprs), tuple(agg_list), agg_schema
+        )
+
+        n_group = len(group_exprs)
+
+        def rewrite(e: Expr) -> Expr:
+            # aggregates → their column in the aggregate output; group
+            # exprs → their group column
+            if isinstance(e, AggregateFunction):
+                return Column(n_group + agg_list.index(e))
+            for gi, g in enumerate(group_exprs):
+                if e == g:
+                    return Column(gi)
+            if isinstance(e, Alias):
+                return Alias(rewrite(e.expr), e.name)
+            if isinstance(e, BinaryExpr):
+                return BinaryExpr(rewrite(e.left), e.op, rewrite(e.right))
+            if isinstance(e, Cast):
+                return Cast(rewrite(e.expr), e.data_type)
+            if isinstance(e, ScalarFunction):
+                return ScalarFunction(
+                    e.name, tuple(rewrite(a) for a in e.args), e.return_type
+                )
+            if isinstance(e, (IsNull,)):
+                return IsNull(rewrite(e.expr))
+            if isinstance(e, (IsNotNull,)):
+                return IsNotNull(rewrite(e.expr))
+            if isinstance(e, Literal):
+                return e
+            if isinstance(e, Column):
+                raise PlanError(
+                    "column reference in an aggregate query must be a "
+                    "GROUP BY expression"
+                )
+            return e
+
+        if having_rex is not None:
+            plan = Selection(rewrite(having_rex), plan)
+
+        new_exprs = tuple(rewrite(e) for e in proj_exprs)
+        proj_schema = Schema(exprlist_to_fields(new_exprs, agg_schema))
+        plan = Projection(new_exprs, plan, proj_schema)
         return self._plan_order_limit(sel, plan, qualifiers)
 
     def _plan_order_limit(

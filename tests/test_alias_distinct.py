@@ -150,3 +150,32 @@ def test_sum_distinct_errors():
 
     with pytest.raises(PlanError, match="DISTINCT"):
         ctx_with_t().sql("SELECT SUM(DISTINCT b) FROM t")
+
+
+def test_expressions_over_aggregates():
+    # neither engine supported SELECT items computing over aggregate
+    # results; here they plan as Projection over Aggregate
+    ctx = ctx_with_t()
+    out = ctx.sql("SELECT MAX(b) - MIN(b) FROM t").result_str()
+    assert out == "8.0\n"
+    out2 = ctx.sql(
+        "SELECT a, MAX(b) - MIN(b) AS spread, SUM(b) / COUNT(b) AS mean "
+        "FROM t GROUP BY a ORDER BY a"
+    ).result_str()
+    assert out2 == "1\t0.0\t1.0\n2\t0.0\t2.0\n3\t6.0\t5.0\n"
+
+
+def test_composite_aggregate_select_order():
+    # composite path outputs in SELECT order (no group-first quirk)
+    ctx = ctx_with_t()
+    res = ctx.sql("SELECT SUM(b) * 2 AS d, a FROM t GROUP BY a ORDER BY a")
+    assert res.schema.names() == ["d", "a"]
+    assert res.result_str() == "2.0\t1\n8.0\t2\n30.0\t3\n"
+
+
+def test_having_with_unprojected_aggregate():
+    ctx = ctx_with_t()
+    out = ctx.sql(
+        "SELECT a, SUM(b) * 1.0 AS s FROM t GROUP BY a HAVING COUNT(b) > 1 ORDER BY a"
+    ).result_str()
+    assert out == "2\t4.0\n3\t15.0\n"

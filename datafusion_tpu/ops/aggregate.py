@@ -165,31 +165,6 @@ def _key_sort_operands(key_cols, sel):
 DENSE_MAX_GROUPS = 2048  # = segreduce window width W
 
 
-def dense_eligible(key_cols, specs, sel) -> bool:
-    """Can this GROUP BY take the sort-free dense path? Single int32 key
-    column (dictionary codes qualify) with a statically known small
-    domain, every aggregate pallas-eligible, running on a TPU backend."""
-    if not _pallas_enabled():
-        return False
-    if len(key_cols) != 1:
-        return False
-    if int(sel.shape[0]) % 1024 != 0:
-        return False
-    kd, kv = key_cols[0]
-    if jnp.ndim(kd) != 1 or kd.dtype != jnp.int32:
-        return False
-    for spec in specs:
-        data, _ = spec.arg
-        data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
-        if spec.func in ("sum", "avg") and data.dtype != jnp.float32:
-            return False
-        if spec.func in ("min", "max") and data.dtype not in (jnp.float32, jnp.int32):
-            return False
-        if spec.func not in ("sum", "avg", "min", "max", "count"):
-            return False
-    return True
-
-
 def grouped_aggregate_dense(
     key_cols: Sequence[ColVal],
     specs: Sequence[AggSpec],

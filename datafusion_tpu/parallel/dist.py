@@ -343,7 +343,7 @@ class DistCompiler(PlanCompiler):
 
     def _lower_join_shuffle(self, plan: L.Join, left: Lowered, right: Lowered) -> Lowered:
         from datafusion_tpu.columnar.table import round_up as _round_up
-        from datafusion_tpu.parallel.shuffle import hash_to_device, repartition
+        from datafusion_tpu.parallel.shuffle import repartition
 
         n = self.n_dev
         lcap_local = left.capacity // n

@@ -41,16 +41,6 @@ def hash_keys_to_device(keys, n_dev: int) -> jax.Array:
     return (h % jnp.uint32(n_dev)).astype(jnp.int32)
 
 
-def hash_to_device(key: jax.Array, n_dev: int) -> jax.Array:
-    """Route a key column to a destination device: multiplicative mixing
-    then mod n_dev (stable across chips; dictionary codes are
-    table-global so string keys hash consistently)."""
-    k = key.astype(jnp.uint32)
-    k = k * jnp.uint32(2654435761)
-    k = k ^ (k >> 16)
-    return (k % jnp.uint32(n_dev)).astype(jnp.int32)
-
-
 def repartition(
     cols: Sequence[ColVal],
     dst: jax.Array,

@@ -12,10 +12,12 @@ echo "== unit tests =="
 python -m pytest tests/ -q
 
 echo "== example: csv_sql =="
-python examples/csv_sql.py | head -3
+python examples/csv_sql.py > /tmp/dftpu_ex1.txt
+head -3 /tmp/dftpu_ex1.txt
 
 echo "== example: distributed_sql =="
-python examples/distributed_sql.py | head -5
+python examples/distributed_sql.py > /tmp/dftpu_ex2.txt
+head -5 /tmp/dftpu_ex2.txt
 
 echo "== console script mode =="
 tmp=$(mktemp -d)

@@ -142,3 +142,9 @@ def test_distributed_string_group_by(mesh, data_dir):
     a = single.sql(sql).result_str()
     b = dist.sql(sql).result_str()
     assert a == b == '"one"\t1.1\t2.2\n"three"\t1.0\t2.0\n"two"\t3.3\t5.5\n'
+
+
+def test_distributed_literal_only_query(mesh):
+    # EmptyRelation under a mesh: every device computes the same row
+    ctx = ExecutionContext(mesh=mesh)
+    assert ctx.sql("SELECT 1 + 2").result_str() == "3\n"

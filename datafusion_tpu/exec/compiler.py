@@ -305,7 +305,8 @@ class PlanCompiler:
                     )
                     return Batch(list(okeys) + list(oaggs), osel)
 
-                return Lowered(plan.schema, out_dicts, fn_dense, dom, child.layout)
+                # dom+1 slots: the extra slot carries the NULL-key group
+                return Lowered(plan.schema, out_dicts, fn_dense, dom + 1, child.layout)
 
             gcap = self._alloc_cap(min(child.capacity, self.DEFAULT_GROUP_CAPACITY))
 

@@ -162,7 +162,7 @@ def _key_sort_operands(key_cols, sel):
     return notsel, skeys
 
 
-DENSE_MAX_GROUPS = 2048  # = segreduce window width W
+DENSE_MAX_GROUPS = 2047  # domain + NULL slot must fit the W=2048 window
 
 
 def grouped_aggregate_dense(
@@ -178,10 +178,18 @@ def grouped_aggregate_dense(
     contract: (out_keys, out_aggs, out_sel, n_groups)."""
     segred = segmented_reduce_sorted_import()
     capacity = int(sel.shape[0])
-    gcap = int(domain_size)
+    dom = int(domain_size)
     (kd, kv) = key_cols[0]
-    base_mask = sel if kv is None else jnp.logical_and(sel, kv)
-    gid = jnp.where(base_mask, jnp.clip(kd, 0, gcap - 1), gcap)
+    # slot layout: [0, dom) = key codes; slot dom = NULL-key group (used
+    # only when the key column is nullable); slot dom+1 = unselected rows
+    gcap = dom + 1
+    if kv is None:
+        gid = jnp.where(sel, jnp.clip(kd, 0, dom - 1), gcap)
+    else:
+        gid = jnp.where(
+            sel, jnp.where(kv, jnp.clip(kd, 0, dom - 1), dom), gcap
+        )
+    base_mask = sel
 
     k_ops = ["count"]  # group-existence counts (also validity/avg)
     k_vals = [kd.astype(jnp.float32)]
@@ -234,7 +242,8 @@ def grouped_aggregate_dense(
 
     giota = lax.broadcasted_iota(jnp.int32, (gcap,), 0)
     out_sel = exists_cnt > 0
-    out_keys = [(giota, None if kv is None else out_sel)]
+    # slot dom is the NULL-key group: key value invalid there
+    out_keys = [(jnp.clip(giota, 0, dom - 1), None if kv is None else giota < dom)]
 
     out_aggs = []
     for si, spec in enumerate(specs):
@@ -352,7 +361,9 @@ def grouped_aggregate(
     # reduction AND the representative group keys (ops/pallas/segreduce.py)
     # — no scatters, no secondary sorts, no extents. CPU/parity path keeps
     # XLA ops (bit-exact row-order float sums).
-    use_pallas = _pallas_enabled() and capacity % 512 == 0 and gcap >= 1
+    from datafusion_tpu.ops.pallas.segreduce import BLOCK as _SEG_BLOCK
+
+    use_pallas = _pallas_enabled() and capacity % _SEG_BLOCK == 0 and gcap >= 1
     k_ops: list[str] = []
     k_vals: list[jax.Array] = []
     k_masks: list[jax.Array] = []

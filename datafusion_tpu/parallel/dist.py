@@ -413,6 +413,124 @@ class DistCompiler(PlanCompiler):
             "partitioned",
         )
 
+    def _try_lower_dense_dist(
+        self, plan, child, group_c, agg_meta, out_dicts, local_cap
+    ):
+        from datafusion_tpu.ops.aggregate import DENSE_MAX_GROUPS, _pallas_enabled
+        from datafusion_tpu.types import physical_np as _phys
+
+        kdict = group_c[0].dictionary if len(group_c) == 1 else None
+        if not (
+            kdict is not None
+            and 1 <= len(kdict) <= DENSE_MAX_GROUPS
+            and local_cap % 1024 == 0
+            and _pallas_enabled()
+        ):
+            return None
+        for (name, arg, rt) in agg_meta:
+            p = _phys(arg.dtype)
+            if name in ("sum", "avg") and p != np.dtype(np.float32):
+                return None
+            if name in ("min", "max") and p not in (
+                np.dtype(np.float32),
+                np.dtype(np.int32),
+            ):
+                return None
+            if name not in ("sum", "avg", "min", "max", "count"):
+                return None
+        dom = len(kdict)
+
+        def fn(env) -> Batch:
+            from datafusion_tpu.ops.aggregate import (
+                segmented_reduce_sorted_import,
+            )
+
+            b = child.fn(env)
+            (kd, kv) = _broadcast_col(group_c[0].fn(b.cols), local_cap)
+            # slot dom = NULL-key group; slot dom+1 = unselected
+            if kv is None:
+                gid = jnp.where(b.sel, jnp.clip(kd, 0, dom - 1), dom + 1)
+            else:
+                gid = jnp.where(
+                    b.sel, jnp.where(kv, jnp.clip(kd, 0, dom - 1), dom), dom + 1
+                )
+            base_mask = b.sel
+
+            k_ops = ["count"]
+            k_vals = [kd.astype(jnp.float32)]
+            k_masks = [base_mask]
+            k_slots: list = [("exists", None)]
+            counted: dict = {}
+            for si, (name, argc, rt) in enumerate(agg_meta):
+                data, valid = _broadcast_col(argc.fn(b.cols), local_cap)
+                mask = base_mask if valid is None else jnp.logical_and(base_mask, valid)
+                if name in ("sum", "avg"):
+                    k_ops.append("sum")
+                    k_vals.append(data)
+                    k_masks.append(mask)
+                    k_slots.append(("agg", si))
+                elif name in ("min", "max"):
+                    k_ops.append(name)
+                    k_vals.append(data)
+                    k_masks.append(mask)
+                    k_slots.append(("agg", si))
+                if name in ("count", "avg") or valid is not None:
+                    ck = id(mask)
+                    if ck not in counted:
+                        counted[ck] = True
+                        k_ops.append("count")
+                        k_vals.append(data.astype(jnp.float32))
+                        k_masks.append(mask)
+                        k_slots.append(("cnt", id(mask)))
+                        # remember which mask belongs to this spec
+                counted.setdefault(("mask_of", si), id(mask))
+
+            interp = jax.devices()[0].platform not in ("tpu", "axon")
+            outs = segmented_reduce_sorted_import()(
+                gid,
+                tuple(k_vals),
+                tuple(k_masks),
+                ops=tuple(k_ops),
+                num_groups=dom + 1,
+                interpret=interp,
+                dense=True,
+            )
+            # merge per-shard dense tables over ICI
+            results: dict = {}
+            counts: dict = {}
+            exists_cnt = None
+            for (kind, ident), o, op in zip(k_slots, outs, k_ops):
+                if op == "count" or op == "sum":
+                    merged = lax.psum(o, AXIS)
+                elif op == "min":
+                    merged = lax.pmin(o, AXIS)
+                else:
+                    merged = lax.pmax(o, AXIS)
+                if kind == "exists":
+                    exists_cnt = merged.astype(jnp.int32)
+                elif kind == "agg":
+                    results[ident] = merged
+                else:
+                    counts[ident] = merged.astype(jnp.int32)
+
+            giota = lax.broadcasted_iota(jnp.int32, (dom + 1,), 0)
+            out_sel = exists_cnt > 0
+            out_keys = [(jnp.clip(giota, 0, dom - 1), giota < dom)]
+
+            out_cols = list(out_keys)
+            for si, (name, argc, rt) in enumerate(agg_meta):
+                cnt = counts.get(counted.get(("mask_of", si)), exists_cnt)
+                if name == "count":
+                    out_cols.append((cnt.astype(physical_np(rt)), None))
+                    continue
+                r = results[si]
+                if name == "avg":
+                    r = r / jnp.maximum(cnt, 1).astype(r.dtype)
+                out_cols.append((r.astype(physical_np(rt)), cnt > 0))
+            return Batch(out_cols, out_sel)
+
+        return Lowered(plan.schema, out_dicts, fn, dom + 1, "replicated")
+
     def _join_key_maxes(self, plan, left, right):
         """Static key bounds for int32 packing of two-key joins (from
         dictionary vocab sizes); None for unbounded numeric keys."""
@@ -473,6 +591,15 @@ class DistCompiler(PlanCompiler):
             for (_, arg, rt) in agg_meta
         ]
         local_cap = child.capacity // self.n_dev
+
+        # dense distributed path: a dictionary-coded key's slots align
+        # across shards, so per-shard dense tables merge with plain
+        # psum/pmin/pmax collectives — no gather, no re-aggregation
+        dense = self._try_lower_dense_dist(
+            plan, child, group_c, agg_meta, out_dicts, local_cap
+        )
+        if dense is not None:
+            return dense
         # static group slots per shard; overflow detected via the max local
         # group count and retried bigger (run() loop)
         gcap_local = self._alloc_cap(min(local_cap, self.DEFAULT_GROUP_CAPACITY))

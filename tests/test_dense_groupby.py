@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from datafusion_tpu import ExecutionContext, Table
+from datafusion_tpu import DataType, Field, Schema
 
 
 def build(monkeypatch, pallas: bool, seed=1, n=5000, ncity=200):
@@ -58,3 +59,56 @@ def test_dense_empty_result(monkeypatch):
     ctx = build(monkeypatch, pallas=True)
     res = ctx.sql("SELECT city, COUNT(v) FROM t WHERE v > 2.0 GROUP BY city")
     assert res.num_rows == 0
+
+
+def test_dense_null_key_group(monkeypatch):
+    # nullable dict key: NULL keys form their own group on both paths
+    import numpy as np
+
+    from datafusion_tpu import DataType as D, Field, Schema, Table
+
+    vals = ["a", "b", "a", "b", "a"]
+    validity = np.array([True, True, False, True, False])
+    for pallas in (False, True):
+        monkeypatch.setenv("DFTPU_PALLAS", "1" if pallas else "0")
+        ctx = ExecutionContext()
+        schema = Schema([Field("s", D.Utf8, True), Field("x", D.Int32, False)])
+        ctx.register_table(
+            "t",
+            Table.from_arrays(
+                schema,
+                [vals, np.arange(5, dtype=np.int32)],
+                validity=[validity, None],
+            ),
+        )
+        out = ctx.sql("SELECT s, COUNT(x) FROM t GROUP BY s").result_str()
+        lines = sorted(out.splitlines())
+        assert lines == ['"a"\t1', '"b"\t2', "NULL\t2"], (pallas, lines)
+
+
+def test_dense_distributed(monkeypatch):
+    # distributed dense path: psum/pmin/pmax slot merges over the mesh
+    import numpy as np
+
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("DFTPU_PALLAS", "1")
+    rng = np.random.default_rng(5)
+    n = 4096
+    cities = [f"c{i:02d}" for i in range(50)]
+    data = {
+        "city": [cities[i] for i in rng.integers(0, 50, n)],
+        "v": rng.random(n).astype(np.float32),
+    }
+    sql = "SELECT city, COUNT(v), MIN(v), MAX(v), AVG(v) FROM t GROUP BY city ORDER BY city"
+    ctx1 = ExecutionContext()
+    ctx1.register_table("t", Table.from_pydict(data))
+    ctx2 = ExecutionContext(mesh=make_mesh())
+    ctx2.register_table("t", Table.from_pydict(data))
+    a, b = ctx1.sql(sql).result_str(), ctx2.sql(sql).result_str()
+    la, lb = a.splitlines(), b.splitlines()
+    assert len(la) == len(lb) == 50
+    for ra, rb in zip(la, lb):
+        for x, y in zip(ra.split("\t"), rb.split("\t")):
+            if x != y:
+                assert abs(float(x) - float(y)) <= 1e-4 * max(1.0, abs(float(x)))

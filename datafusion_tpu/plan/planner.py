@@ -144,6 +144,8 @@ class SqlToRel:
             if schema is None:
                 raise PlanError(f"no schema found for table {node.name}")
             return TableScan("default", node.name, schema, None)
+        if isinstance(node, A.SQLDerivedTable):
+            return self._plan_select(node.select)
         if isinstance(node, A.SQLJoin):
             return self._plan_join(node)
         raise PlanError(f"sql_to_rel does not support this relation: {node!r}")
@@ -343,6 +345,10 @@ class SqlToRel:
         out: dict[str, tuple[int, Schema]] = {}
 
         def walk(node: A.AstNode, offset: int) -> int:
+            if isinstance(node, A.SQLDerivedTable):
+                schema = self._plan_select(node.select).schema
+                out[node.alias] = (offset, schema)
+                return offset + len(schema)
             if isinstance(node, (A.SQLIdentifier, A.SQLAliasedTable)):
                 schema = self.schema_provider.get_table_meta(node.name)
                 if schema is None:
@@ -458,6 +464,15 @@ class SqlToRel:
                 )
             if node.op == "Plus":
                 return self.sql_to_rex(node.expr, schema, qualifiers)
+            if node.op == "Not":
+                inner = self.sql_to_rex(node.expr, schema, qualifiers)
+                if inner.get_type(schema) is not DataType.Boolean:
+                    raise PlanError("NOT requires a boolean expression")
+                # desugar: NOT x ⟺ x = false (the reference parsed
+                # Operator::Not but never executed it)
+                return BinaryExpr(
+                    inner, Operator.Eq, Literal(ScalarValue.boolean(False))
+                )
             raise PlanError(f"unsupported unary operator {node.op}")
 
         if isinstance(node, A.SQLBinaryExpr):

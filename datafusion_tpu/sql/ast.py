@@ -31,6 +31,14 @@ class SQLCompoundIdentifier(AstNode):
 
 
 @dataclass(frozen=True)
+class SQLDerivedTable(AstNode):
+    """FROM (SELECT ...) [AS] alias — a subquery as a relation."""
+
+    select: "SQLSelect"
+    alias: str
+
+
+@dataclass(frozen=True)
 class SQLAliasedTable(AstNode):
     """FROM name [AS] alias — alias-qualified table reference."""
 

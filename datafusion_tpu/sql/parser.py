@@ -49,7 +49,9 @@ _PREC = {
     ">": 20,
     ">=": 20,
     "LIKE": 20,
-    "NOT": 20,  # as start of NOT LIKE
+    "IN": 20,
+    "BETWEEN": 20,
+    "NOT": 20,  # as start of NOT LIKE / NOT IN / NOT BETWEEN
     "+": 30,
     "-": 30,
     "*": 40,
@@ -292,8 +294,14 @@ class Parser:
         )
 
     def _parse_table_ref(self) -> AstNode:
-        from datafusion_tpu.sql.ast import SQLAliasedTable
+        from datafusion_tpu.sql.ast import SQLAliasedTable, SQLDerivedTable
 
+        if self.consume_op("("):
+            inner = self._parse_select()
+            self.expect_op(")")
+            self.consume_keyword("AS")
+            alias = self.expect_ident()
+            return SQLDerivedTable(inner, alias)
         name = self.expect_ident()
         if self.consume_keyword("AS"):
             return SQLAliasedTable(name, self.expect_ident())
@@ -341,6 +349,32 @@ class Parser:
         if t.kind is Tok.IDENT:
             return _PREC.get(t.upper, 0)
         return 0
+
+    def _parse_in_list(self, left: AstNode, negated: bool) -> AstNode:
+        """x IN (v1, v2, ...) desugars to an OR-chain of equalities
+        (x NOT IN → AND-chain of inequalities)."""
+        self.expect_op("(")
+        items = [self.parse_expr()]
+        while self.consume_op(","):
+            items.append(self.parse_expr())
+        self.expect_op(")")
+        op, comb = ("NotEq", "And") if negated else ("Eq", "Or")
+        expr: AstNode = SQLBinaryExpr(left, op, items[0])
+        for item in items[1:]:
+            expr = SQLBinaryExpr(expr, comb, SQLBinaryExpr(left, op, item))
+        return expr
+
+    def _parse_between(self, left: AstNode, negated: bool) -> AstNode:
+        """x BETWEEN a AND b desugars to x >= a AND x <= b."""
+        lo = self.parse_expr(11)  # bind tighter than AND
+        self.expect_keyword("AND")
+        hi = self.parse_expr(11)
+        expr: AstNode = SQLBinaryExpr(
+            SQLBinaryExpr(left, "GtEq", lo), "And", SQLBinaryExpr(left, "LtEq", hi)
+        )
+        if negated:
+            return SQLUnary("Not", expr)
+        return expr
 
     def _parse_prefix(self) -> AstNode:
         t = self.next()
@@ -413,8 +447,16 @@ class Parser:
             up = t.upper
             if up in ("AND", "OR", "LIKE"):
                 return SQLBinaryExpr(left, _BINOP_NAME[up], self.parse_expr(precedence))
+            if up == "IN":
+                return self._parse_in_list(left, negated=False)
+            if up == "BETWEEN":
+                return self._parse_between(left, negated=False)
             if up == "NOT" and self.consume_keyword("LIKE"):
                 return SQLBinaryExpr(left, "NotLike", self.parse_expr(precedence))
+            if up == "NOT" and self.consume_keyword("IN"):
+                return self._parse_in_list(left, negated=True)
+            if up == "NOT" and self.consume_keyword("BETWEEN"):
+                return self._parse_between(left, negated=True)
             if up == "IS":
                 if self.consume_keywords("NOT", "NULL"):
                     return SQLIsNotNull(left)

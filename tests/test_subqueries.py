@@ -1,0 +1,75 @@
+"""Derived-table subqueries, IN lists, BETWEEN — beyond the reference's
+grammar."""
+
+import numpy as np
+
+from datafusion_tpu import ExecutionContext, Table
+
+
+def make_ctx():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {
+                "k": np.array([1, 2, 3, 4, 5, 6], np.int32),
+                "g": ["a", "a", "b", "b", "c", "c"],
+                "v": np.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0], np.float64),
+            }
+        ),
+    )
+    return ctx
+
+
+def test_in_list():
+    ctx = make_ctx()
+    assert ctx.sql("SELECT k FROM t WHERE k IN (2, 4, 9)").result_str() == "2\n4\n"
+    assert (
+        ctx.sql("SELECT k FROM t WHERE k NOT IN (1, 2, 3, 4)").result_str()
+        == "5\n6\n"
+    )
+    assert (
+        ctx.sql("SELECT k FROM t WHERE g IN ('a', 'c') ORDER BY k").result_str()
+        == "1\n2\n5\n6\n"
+    )
+
+
+def test_between():
+    ctx = make_ctx()
+    assert ctx.sql("SELECT k FROM t WHERE v BETWEEN 20 AND 40").result_str() == "2\n3\n4\n"
+    assert (
+        ctx.sql("SELECT k FROM t WHERE k NOT BETWEEN 2 AND 5").result_str() == "1\n6\n"
+    )
+    # BETWEEN binds tighter than surrounding AND
+    assert (
+        ctx.sql("SELECT k FROM t WHERE v BETWEEN 20 AND 40 AND k > 2").result_str()
+        == "3\n4\n"
+    )
+
+
+def test_derived_table():
+    ctx = make_ctx()
+    out = ctx.sql(
+        "SELECT big_v FROM (SELECT k, v * 2 AS big_v FROM t WHERE k > 3) sub "
+        "ORDER BY big_v"
+    ).result_str()
+    assert out == "80.0\n100.0\n120.0\n"
+
+
+def test_derived_table_with_aggregate():
+    ctx = make_ctx()
+    out = ctx.sql(
+        "SELECT g, total FROM (SELECT g, SUM(v) AS total FROM t GROUP BY g) agg "
+        "WHERE total > 40 ORDER BY g"
+    ).result_str()
+    assert out == '"b"\t70.0\n"c"\t110.0\n'
+
+
+def test_join_with_derived_table():
+    ctx = make_ctx()
+    out = ctx.sql(
+        "SELECT t.k, agg.total FROM t "
+        "JOIN (SELECT g, SUM(v) AS total FROM t GROUP BY g) AS agg ON t.g = agg.g "
+        "WHERE t.k < 3 ORDER BY k"
+    ).result_str()
+    assert out == "1\t30.0\n2\t30.0\n"

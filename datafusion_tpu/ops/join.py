@@ -106,13 +106,47 @@ def join_indices(
     bkey_m = jnp.where(build_sel, bkey, b_sentinel)
     b_iota = lax.broadcasted_iota(jnp.int32, (b_cap,), 0)
     bkey_sorted, b_perm = lax.sort([bkey_m, b_iota], num_keys=1)
-    n_build = jnp.sum(build_sel.astype(jnp.int32))
 
-    # ranged match per probe row (mask out probe rows not selected)
-    start = jnp.searchsorted(bkey_sorted, pkey, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(bkey_sorted, pkey, side="right").astype(jnp.int32)
-    end = jnp.minimum(end, n_build)  # sentinel rows never match real keys,
-    start = jnp.minimum(start, end)  # but guard against key == sentinel
+    # ---- per-probe match ranges via ONE combined sort -------------------
+    # (searchsorted costs ~200ns/elem on TPU — log₂(build) serial gather
+    # passes; a combined sort + prefix scans is ~15x cheaper)
+    p_sentinel = jnp.asarray(jnp.iinfo(pkey.dtype).max, pkey.dtype)
+    pkey_m = jnp.where(probe_sel, pkey, p_sentinel)
+    allk = jnp.concatenate([bkey_m, pkey_m])
+    isprobe = jnp.concatenate(
+        [jnp.zeros(b_cap, jnp.int8), jnp.ones(p_cap, jnp.int8)]
+    )
+    src = lax.broadcasted_iota(jnp.int32, (b_cap + p_cap,), 0)
+    ks, flags, srcs = lax.sort([allk, isprobe, src], num_keys=2)  # builds first on ties
+    isb = (flags == 0)
+    # bprefix[i] = number of SELECTED builds in positions < i (exclusive)
+    bsel_sorted = jnp.logical_and(isb, ks != b_sentinel)
+    bincl = jnp.cumsum(bsel_sorted.astype(jnp.int32))
+    bprefix = bincl - bsel_sorted.astype(jnp.int32)
+    # run boundaries over distinct keys; per-element:
+    #   start_of_run = builds with key <  k   (forward cummax at boundaries)
+    #   end_of_run   = builds with key <= k   (backward cummin of next-run starts)
+    comb = b_cap + p_cap
+    iota_all = lax.broadcasted_iota(jnp.int32, (comb,), 0)
+    boundary = jnp.logical_or(iota_all == 0, ks != jnp.roll(ks, 1))
+    start_run = lax.cummax(jnp.where(boundary, bprefix, -1))
+    nb = jnp.where(boundary, bprefix, comb + 1)
+    end_run_next = jnp.flip(lax.cummin(jnp.flip(jnp.roll(nb, -1).at[-1].set(comb + 1))))
+    end_run = jnp.minimum(end_run_next, bincl[-1])
+    # scatter ranks back to original probe rows
+    probe_pos = jnp.clip(srcs - b_cap, 0, p_cap - 1)
+    pmask = jnp.logical_not(isb)
+    start = (
+        jnp.zeros(p_cap, jnp.int32)
+        .at[jnp.where(pmask, probe_pos, p_cap)]
+        .max(jnp.where(pmask, start_run, 0), mode="drop")
+    )
+    end = (
+        jnp.zeros(p_cap, jnp.int32)
+        .at[jnp.where(pmask, probe_pos, p_cap)]
+        .max(jnp.where(pmask, end_run, 0), mode="drop")
+    )
+    start = jnp.minimum(start, end)
     match_counts = jnp.where(probe_sel, end - start, 0)
     if keep_unmatched_probe:
         counts = jnp.where(probe_sel, jnp.maximum(match_counts, 1), 0)
@@ -122,13 +156,20 @@ def join_indices(
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix
     total = jnp.sum(counts)
 
+    # ---- expansion: map each output slot to its probe row ---------------
+    # scatter each active row's index at its first slot, then cummax
+    # forward-fills the run (probe_idx is monotone by construction)
     out_iota = lax.broadcasted_iota(jnp.int32, (out_capacity,), 0)
-    # map each output slot to its probe row: last row whose offset <= k
-    probe_idx = (
-        jnp.searchsorted(offsets + counts, out_iota, side="right")
-    ).astype(jnp.int32)
-    probe_idx = jnp.clip(probe_idx, 0, p_cap - 1)
-    within = out_iota - jnp.take(offsets, probe_idx)
+    p_rows = lax.broadcasted_iota(jnp.int32, (p_cap,), 0)
+    active = counts > 0
+    scatter_pos = jnp.where(active, offsets, out_capacity)  # OOB → dropped
+    probe_idx = lax.cummax(
+        jnp.zeros(out_capacity, jnp.int32).at[scatter_pos].max(p_rows, mode="drop")
+    )
+    offs_slot = lax.cummax(
+        jnp.zeros(out_capacity, jnp.int32).at[scatter_pos].max(offsets, mode="drop")
+    )
+    within = out_iota - offs_slot
     matched = within < jnp.take(match_counts, probe_idx)
     build_pos = jnp.take(start, probe_idx) + within
     build_pos = jnp.clip(build_pos, 0, b_cap - 1)

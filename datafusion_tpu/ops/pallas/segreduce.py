@@ -96,17 +96,57 @@ def _kernel(ops, mask_map, n_masks, dense, gid_ref, *refs):
         ms.append(m)
     mask_key_of = list(mask_map)
 
+    # segmented scans: per-mask run-min/run-max of each f32 min/max op,
+    # evaluated at run ends — placement then becomes an MXU matmul of a
+    # single-contributor one-hot (exact for one nonzero per column)
+    # instead of a [SUB, W] VPU reduce. int32 min/max keeps the VPU cell
+    # path (f32 matmul placement is only exact to 2^24 for ints).
+    def seg_scan(v, gid_arr, combine):
+        out = v
+        shift = 1
+        while shift < BLOCK:
+            prev = pltpu.roll(out, shift, 0)
+            same = gid_arr == pltpu.roll(gid_arr, shift, 0)
+            row = lax.broadcasted_iota(jnp.int32, (BLOCK,), 0)
+            ok = jnp.logical_and(same, row >= shift)
+            out = jnp.where(ok, combine(out, prev), out)
+            shift *= 2
+        return out
+
+    nextg = pltpu.roll(gid, BLOCK - 1, 0)  # == roll by -1
+    row_i = lax.broadcasted_iota(jnp.int32, (BLOCK,), 0)
+    is_end = jnp.logical_or(row_i == BLOCK - 1, gid != nextg)
+
     contribs: list = []
+    scanned: dict[int, jax.Array] = {}
     for a, op in enumerate(ops):
         dt = jnp.float32 if op in ("sum", "count") else val_refs[a].dtype
         init = _identity(op, dt)
         contribs.append(jnp.full((W,), init, dt))
+        if op in ("min", "max") and val_refs[a].dtype == jnp.float32 and not dense:
+            v = val_refs[a][:]
+            m = ms[mask_key_of[a]]
+            big = _identity(op, v.dtype)
+            vm = jnp.where(m, v, big)  # masked rows are neutral in the scan
+            comb = jnp.minimum if op == "min" else jnp.maximum
+            # scan within equal-gid runs (requires sorted gids — not dense)
+            scanned[a] = seg_scan(vm, gid, comb)
 
+    # placement one-hot for scanned ops uses the raw (unmasked) local
+    # index: the run-end row itself may be masked, but it still carries
+    # the run's scanned value
+    need_local_oh = bool(scanned)
     for s in range(BLOCK // SUB):
         sl = slice(s * SUB, (s + 1) * SUB)
         onehots = [
             (lm[sl][:, None] == cols).astype(jnp.float32) for lm in lmasks
         ]
+        local_w = jnp.where(in_window, local, W)
+        oh_local = (
+            (local_w[sl][:, None] == cols).astype(jnp.float32)
+            if need_local_oh
+            else None
+        )
         for a, op in enumerate(ops):
             oh = onehots[mask_key_of[a]]
             m = ms[mask_key_of[a]]
@@ -120,6 +160,32 @@ def _kernel(ops, mask_map, n_masks, dense, gid_ref, *refs):
                 contribs[a] = contribs[a] + jnp.dot(
                     vv[sl][None, :], oh, preferred_element_type=jnp.float32
                 )[0]
+            elif a in scanned:
+                big = _identity(op, v.dtype)
+                # place each run-end's scanned value; exactly one
+                # contributor per window column ⇒ the dot IS the value.
+                # fully-masked runs carry ±inf — map them to 0 and rely on
+                # the presence dot to restore the identity.
+                sv = scanned[a][sl]
+                ev = jnp.where(is_end[sl], sv, jnp.zeros((), sv.dtype))
+                ev = jnp.where(jnp.isfinite(ev), ev, jnp.zeros((), sv.dtype))
+                pres = jnp.where(
+                    jnp.logical_and(is_end[sl], jnp.isfinite(sv)),
+                    jnp.ones((), jnp.float32),
+                    jnp.zeros((), jnp.float32),
+                )
+                val_dot = jnp.dot(
+                    ev[None, :], oh_local, preferred_element_type=jnp.float32
+                )[0]
+                pres_dot = jnp.dot(
+                    pres[None, :], oh_local, preferred_element_type=jnp.float32
+                )[0]
+                placed = jnp.where(pres_dot > 0, val_dot, big)
+                contribs[a] = (
+                    jnp.minimum(contribs[a], placed)
+                    if op == "min"
+                    else jnp.maximum(contribs[a], placed)
+                )
             else:
                 big = _identity(op, v.dtype)
                 cell = jnp.where(oh > 0, v[sl][:, None], big)

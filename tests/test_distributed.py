@@ -148,3 +148,27 @@ def test_distributed_literal_only_query(mesh):
     # EmptyRelation under a mesh: every device computes the same row
     ctx = ExecutionContext(mesh=mesh)
     assert ctx.sql("SELECT 1 + 2").result_str() == "3\n"
+
+
+def test_distributed_having_and_composites(mesh):
+    check_parity(
+        mesh,
+        "SELECT k, MAX(v) - MIN(v) AS spread FROM t GROUP BY k HAVING COUNT(v) > 100 ORDER BY k",
+        approx=True,
+    )
+
+
+def test_distributed_count_distinct_parity(mesh):
+    check_parity(
+        mesh,
+        "SELECT k, COUNT(DISTINCT w) FROM t GROUP BY k ORDER BY k",
+        ordered=True,
+    )
+
+
+def test_distributed_derived_table(mesh):
+    check_parity(
+        mesh,
+        "SELECT s FROM (SELECT k, SUM(w) AS s FROM t GROUP BY k) sub WHERE s > 0 ORDER BY s",
+        ordered=True,
+    )

@@ -413,6 +413,64 @@ class DistCompiler(PlanCompiler):
             "partitioned",
         )
 
+    def _lower_aggregate_repartition(self, plan: L.Aggregate, child: Lowered) -> Lowered:
+        """Shuffle rows by hash(group keys) over ICI, then aggregate
+        locally — each group exists on exactly one device. Output layout
+        is 'partitioned' (concatenated shards = the full group multiset)."""
+        from datafusion_tpu.parallel.shuffle import hash_keys_to_device, repartition
+
+        n = self.n_dev
+        local_cap = child.capacity // n
+        s_cap = self._alloc_cap(max(128, -(-2 * local_cap // n) // 128 * 128))
+        group_c = [
+            compile_expr(e, child.schema, child.dicts, self.fn_registry)
+            for e in plan.group_exprs
+        ]
+        agg_meta = []
+        for e in plan.aggr_exprs:
+            fname = (
+                "count_distinct"
+                if (getattr(e, "distinct", False) and e.name.lower() == "count")
+                else e.name.lower()
+            )
+            arg_c = compile_expr(
+                e.args[0], child.schema, child.dicts, self.fn_registry
+            )
+            agg_meta.append((fname, arg_c, e.return_type))
+        out_dicts = [c.dictionary for c in group_c] + [
+            (arg.dictionary if rt is DataType.Utf8 else None)
+            for (_, arg, rt) in agg_meta
+        ]
+        ex_cap = n * s_cap
+        gcap_local = self._alloc_cap(
+            min(ex_cap, self.DEFAULT_GROUP_CAPACITY)
+        )
+
+        def fn(env) -> Batch:
+            b = child.fn(env)
+            key_vals = [
+                _broadcast_col(c.fn(b.cols), local_cap)[0] for c in group_c
+            ]
+            dst = hash_keys_to_device(key_vals, n)
+            cols2, sel2, smax = repartition(
+                [_broadcast_col(c, local_cap) for c in b.cols], dst, b.sel, n, s_cap
+            )
+            self.totals.append(lax.pmax(smax, AXIS))
+            keys2 = [_broadcast_col(c.fn(cols2), ex_cap) for c in group_c]
+            specs2 = [
+                agg_ops.AggSpec(name, _broadcast_col(arg.fn(cols2), ex_cap), rt)
+                for (name, arg, rt) in agg_meta
+            ]
+            okeys, oaggs, osel, n_g = agg_ops.grouped_aggregate(
+                keys2, specs2, sel2, gcap_local
+            )
+            self.totals.append(lax.pmax(n_g, AXIS))
+            return Batch(list(okeys) + list(oaggs), osel)
+
+        return Lowered(
+            plan.schema, out_dicts, fn, gcap_local * n, "partitioned"
+        )
+
     def _try_lower_dense_dist(
         self, plan, child, group_c, agg_meta, out_dicts, local_cap
     ):
@@ -566,11 +624,22 @@ class DistCompiler(PlanCompiler):
 
     # -- distributed aggregation ---------------------------------------
     def _lower_aggregate(self, plan: L.Aggregate) -> Lowered:
+        import os
+
         child = self.lower(plan.input)
-        if any(getattr(e, "distinct", False) for e in plan.aggr_exprs):
-            # COUNT(DISTINCT) partials don't merge by summing; gather and
-            # aggregate replicated (repartition-by-key is the scalable
-            # upgrade)
+        strategy = os.environ.get("DFTPU_AGG_STRATEGY", "auto")
+        has_distinct = any(
+            getattr(e, "distinct", False) for e in plan.aggr_exprs
+        )
+        if child.layout == "partitioned" and plan.group_exprs and (
+            strategy == "repartition" or (strategy == "auto" and has_distinct)
+        ):
+            # repartition rows by group-key hash: every group lands wholly
+            # on one device, so ANY aggregate (including COUNT DISTINCT)
+            # is a purely local computation afterwards
+            return self._lower_aggregate_repartition(plan, child)
+        if has_distinct:
+            # ungrouped DISTINCT partials don't merge; gather + replicate
             child = self._gather_batch(child)
         if child.layout != "partitioned":
             return self._aggregate_over(plan, child)

@@ -172,3 +172,18 @@ def test_distributed_derived_table(mesh):
         "SELECT s FROM (SELECT k, SUM(w) AS s FROM t GROUP BY k) sub WHERE s > 0 ORDER BY s",
         ordered=True,
     )
+
+
+def test_repartition_aggregate_strategy(mesh, monkeypatch):
+    # force the repartition-by-key strategy for general aggregates
+    monkeypatch.setenv("DFTPU_AGG_STRATEGY", "repartition")
+    check_parity(
+        mesh,
+        "SELECT k, MIN(v), MAX(v), COUNT(v), SUM(w) FROM t GROUP BY k ORDER BY k",
+        ordered=True,
+    )
+    check_parity(
+        mesh,
+        "SELECT k, COUNT(DISTINCT w) FROM t GROUP BY k ORDER BY k",
+        ordered=True,
+    )

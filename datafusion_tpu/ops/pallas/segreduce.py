@@ -57,11 +57,13 @@ def _identity(op: str, dtype):
     )
 
 
-def _kernel(ops, mask_map, n_masks, dense, gid_ref, *refs):
+def _kernel(ops, mask_map, n_masks, dense, has_ends, gid_ref, *refs):
     nags = len(ops)
     val_refs = refs[:nags]
     umask_refs = refs[nags : nags + n_masks]
-    out_refs = refs[nags + n_masks :]
+    rest = refs[nags + n_masks :]
+    end_ref = rest[0] if has_ends else None
+    out_refs = rest[1 if has_ends else 0 :]
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -101,21 +103,28 @@ def _kernel(ops, mask_map, n_masks, dense, gid_ref, *refs):
     # single-contributor one-hot (exact for one nonzero per column)
     # instead of a [SUB, W] VPU reduce. int32 min/max keeps the VPU cell
     # path (f32 matmul placement is only exact to 2^24 for ints).
+    # NOTE: shift-right via zero-pad + offset-0 slice, not pltpu.roll —
+    # Mosaic lowers pltpu.roll to tpu.dynamic_rotate, which rejects 1-D
+    # vectors ("Unsupported 1D shape"); rows < shift are masked anyway so
+    # the pad fill never matters.
+    def _shift_right(v, shift):
+        return lax.slice(jnp.pad(v, (shift, 0)), (0,), (BLOCK,))
+
     def seg_scan(v, gid_arr, combine):
         out = v
         shift = 1
         while shift < BLOCK:
-            prev = pltpu.roll(out, shift, 0)
-            same = gid_arr == pltpu.roll(gid_arr, shift, 0)
+            prev = _shift_right(out, shift)
+            same = gid_arr == _shift_right(gid_arr, shift)
             row = lax.broadcasted_iota(jnp.int32, (BLOCK,), 0)
             ok = jnp.logical_and(same, row >= shift)
             out = jnp.where(ok, combine(out, prev), out)
             shift *= 2
         return out
 
-    nextg = pltpu.roll(gid, BLOCK - 1, 0)  # == roll by -1
-    row_i = lax.broadcasted_iota(jnp.int32, (BLOCK,), 0)
-    is_end = jnp.logical_or(row_i == BLOCK - 1, gid != nextg)
+    # run-end flags come in precomputed (negative shifts don't lower on
+    # 1-D Mosaic vectors; XLA computes them outside the kernel for free)
+    is_end = end_ref[:].astype(jnp.int32) != 0 if has_ends else None
 
     contribs: list = []
     scanned: dict[int, jax.Array] = {}
@@ -123,7 +132,12 @@ def _kernel(ops, mask_map, n_masks, dense, gid_ref, *refs):
         dt = jnp.float32 if op in ("sum", "count") else val_refs[a].dtype
         init = _identity(op, dt)
         contribs.append(jnp.full((W,), init, dt))
-        if op in ("min", "max") and val_refs[a].dtype == jnp.float32 and not dense:
+        if (
+            op in ("min", "max")
+            and val_refs[a].dtype == jnp.float32
+            and not dense
+            and has_ends
+        ):
             v = val_refs[a][:]
             m = ms[mask_key_of[a]]
             big = _identity(op, v.dtype)
@@ -157,8 +171,16 @@ def _kernel(ops, mask_map, n_masks, dense, gid_ref, *refs):
                     if op == "count"
                     else jnp.where(m, v, jnp.zeros((), v.dtype)).astype(jnp.float32)
                 )
+                # count: 0/1 products are bf16-exact, default MXU precision
+                # is fine. sum: the DEFAULT precision rounds the f32 value
+                # operand to bf16 in the MXU (measured ~0.4% relative error
+                # on real v5e hardware) — force the multi-pass f32 product.
+                prec = None if op == "count" else lax.Precision.HIGHEST
                 contribs[a] = contribs[a] + jnp.dot(
-                    vv[sl][None, :], oh, preferred_element_type=jnp.float32
+                    vv[sl][None, :],
+                    oh,
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
                 )[0]
             elif a in scanned:
                 big = _identity(op, v.dtype)
@@ -175,7 +197,10 @@ def _kernel(ops, mask_map, n_masks, dense, gid_ref, *refs):
                     jnp.zeros((), jnp.float32),
                 )
                 val_dot = jnp.dot(
-                    ev[None, :], oh_local, preferred_element_type=jnp.float32
+                    ev[None, :],
+                    oh_local,
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,  # carries real f32 values
                 )[0]
                 pres_dot = jnp.dot(
                     pres[None, :], oh_local, preferred_element_type=jnp.float32
@@ -206,9 +231,15 @@ def _kernel(ops, mask_map, n_masks, dense, gid_ref, *refs):
             out_refs[a][pl.ds(abase, W)] = jnp.maximum(window, contribs[a])
 
 
-@functools.partial(
-    jax.jit, static_argnames=("ops", "num_groups", "interpret", "dense")
-)
+def _segscan_enabled() -> bool:
+    """Segmented-scan MXU placement for f32 MIN/MAX (v2). Off by default:
+    the in-kernel log-shift scan needs 1-D shifts Mosaic currently rejects
+    at larger offsets; DFTPU_SEGSCAN=1 re-enables for experiments."""
+    import os
+
+    return os.environ.get("DFTPU_SEGSCAN", "0") == "1"
+
+
 def segmented_reduce_sorted(
     gid: jax.Array,
     values: tuple[jax.Array, ...],
@@ -218,6 +249,33 @@ def segmented_reduce_sorted(
     num_groups: int,
     interpret: bool = False,
     dense: bool = False,
+):
+    return _segmented_reduce_sorted(
+        gid,
+        values,
+        masks,
+        ops=ops,
+        num_groups=num_groups,
+        interpret=interpret,
+        dense=dense,
+        segscan=_segscan_enabled(),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ops", "num_groups", "interpret", "dense", "segscan"),
+)
+def _segmented_reduce_sorted(
+    gid: jax.Array,
+    values: tuple[jax.Array, ...],
+    masks: tuple[jax.Array, ...],
+    *,
+    ops: tuple[str, ...],
+    num_groups: int,
+    interpret: bool = False,
+    dense: bool = False,
+    segscan: bool = False,
 ):
     """Reduce `values[a]` into per-group slots according to sorted `gid`.
 
@@ -248,11 +306,27 @@ def segmented_reduce_sorted(
             umasks.append(m)
         mask_map.append(seen[mid])
 
+    # The segmented-scan min/max path needs per-block run-end flags; they
+    # use shifts Mosaic can't lower on 1-D vectors, so XLA computes them
+    # here (outside the kernel) and ships them in as one extra i8 input.
+    has_ends = segscan and not dense and any(
+        op in ("min", "max") and values[a].dtype == jnp.float32
+        for a, op in enumerate(ops)
+    )
+    extra = []
+    if has_ends:
+        iota = jnp.arange(n, dtype=jnp.int32)
+        nextg = jnp.concatenate([gid[1:], jnp.full((1,), -1, gid.dtype)])
+        is_end = jnp.logical_or(iota % BLOCK == BLOCK - 1, gid != nextg)
+        extra.append(is_end.astype(jnp.int8))
+
     grid = (n // BLOCK,)
     in_specs = [pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)]
     for _ in values:
         in_specs.append(pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM))
     for _ in umasks:
+        in_specs.append(pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM))
+    for _ in extra:
         in_specs.append(pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM))
 
     out_shapes = []
@@ -264,7 +338,9 @@ def segmented_reduce_sorted(
             pl.BlockSpec((out_pad,), lambda i: (0,), memory_space=pltpu.VMEM)
         )
 
-    kernel = functools.partial(_kernel, ops, tuple(mask_map), len(umasks), dense)
+    kernel = functools.partial(
+        _kernel, ops, tuple(mask_map), len(umasks), dense, has_ends
+    )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -272,5 +348,5 @@ def segmented_reduce_sorted(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(gid, *values, *[m.astype(jnp.int8) for m in umasks])
+    )(gid, *values, *[m.astype(jnp.int8) for m in umasks], *extra)
     return tuple(o[:num_groups] for o in outs)

@@ -284,20 +284,61 @@ def grouped_aggregate(
 
     notsel, skeys = _key_sort_operands(key_cols, sel)
 
+    # ---- choose a value-ordered sort arg for MIN/MAX --------------------
+    # The arg referenced by the most MIN/MAX specs rides the main sort as
+    # extra sort keys (after the group keys, before the iota tie-break):
+    # rows within each group become value-ordered, so the group MIN is the
+    # value at the group's first row and the MAX at row start+count-1 —
+    # two tiny gathers instead of per-row reduce work. A nullable arg gets
+    # a not-valid flag key first so NULLs sink to the group's tail.
+    mm_votes: dict[int, int] = {}
+    mm_args: dict[int, ColVal] = {}
+    for spec in specs:
+        data, valid = spec.arg
+        if spec.func in ("min", "max") and jnp.ndim(data) != 0:
+            mm_votes[id(data)] = mm_votes.get(id(data), 0) + 1
+            mm_args[id(data)] = (data, valid)
+    chosen_vid: Optional[int] = (
+        max(mm_votes, key=lambda i: mm_votes[i]) if mm_votes else None
+    )
+
     # ---- main co-sort: keys + iota + every distinct payload ------------
     payload_plan: list[int] = []  # operand index per spec (data)
     vpayload_plan: list[Optional[int]] = []  # operand index per spec (validity)
-    operands = [notsel, *skeys, iota]
-    num_keys = len(operands)
+    operands = [notsel, *skeys]
+    vsort_idx: Optional[int] = None
     seen: dict[int, int] = {}
+    if chosen_vid is not None:
+        vdata, vvalid = mm_args[chosen_vid]
+        if vvalid is not None:
+            operands.append(jnp.logical_not(vvalid).astype(jnp.int8))
+        vimage = to_sortable_int(vdata)
+        vsort_idx = len(operands)
+        operands.append(vimage)
+        if vimage is vdata:  # ints pass through — payloads can reuse it
+            seen[id(vdata)] = vsort_idx
+    operands.append(iota)
+    num_keys = len(operands)
     for spec in specs:
         data, valid = spec.arg
         data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
         key_id = id(data)
+        handled_by_vsort = (
+            key_id == chosen_vid and spec.func in ("min", "max")
+        )
         if key_id not in seen:
-            seen[key_id] = len(operands)
-            operands.append(data)
-        payload_plan.append(seen[key_id])
+            if handled_by_vsort:
+                # float chosen arg: its sortable image already rides as a
+                # key; MIN/MAX recover through from_sortable_int, so the
+                # raw column need not be moved again — unless another spec
+                # references it, which registers it below on its own turn
+                payload_plan.append(vsort_idx)
+            else:
+                seen[key_id] = len(operands)
+                operands.append(data)
+                payload_plan.append(seen[key_id])
+        else:
+            payload_plan.append(seen[key_id])
         if valid is not None:
             vid = id(valid)
             if vid not in seen:
@@ -309,7 +350,9 @@ def grouped_aggregate(
 
     sorted_ops = lax.sort(operands, num_keys=num_keys)
     sel_sorted = jnp.logical_not(sorted_ops[0].astype(jnp.bool_))
-    sorted_keys = sorted_ops[1 : num_keys - 1]
+    # group boundaries come from the GROUP-key operands only — the
+    # value-order keys (and iota) must not split groups
+    sorted_keys = sorted_ops[1 : 1 + len(skeys)]
 
     # ---- boundaries, group ids, group extents --------------------------
     first = iota == 0
@@ -367,21 +410,44 @@ def grouped_aggregate(
     k_ops: list[str] = []
     k_vals: list[jax.Array] = []
     k_masks: list[jax.Array] = []
-    k_slots: list[tuple] = []  # (kind, index) kind in {agg, cnt, key, keyvalid}
+    k_slots: list[tuple] = []  # (kind, index) kind in {agg, cnt}
     pallas_results: dict[int, jax.Array] = {}
     pallas_counts: dict[int, jax.Array] = {}
-    pallas_keys: dict[int, jax.Array] = {}
-    pallas_keyvalid: dict[int, jax.Array] = {}
 
     def _spec_mask(vpi):
         if vpi is None:
             return sel_sorted
         return jnp.logical_and(sel_sorted, sorted_ops[vpi].astype(jnp.bool_))
 
+    def _handled(spec) -> bool:
+        return (
+            chosen_vid is not None
+            and spec.func in ("min", "max")
+            and id(spec.arg[0]) == chosen_vid
+        )
+
     if use_pallas:
-        counted: dict = {}  # (pi, vpi) -> kernel slot, deduped
+        counted: dict[int, int] = {}  # id(mask) -> kernel slot (counts are
+        # value-independent, so every op sharing a mask shares one slot)
+        zeros_src = sel_sorted.astype(jnp.float32)
+
+        def _ensure_count(mask) -> None:
+            if id(mask) not in counted:
+                counted[id(mask)] = len(k_ops)
+                k_ops.append("count")
+                k_vals.append(zeros_src)
+                k_masks.append(mask)
+                k_slots.append(("cnt", id(mask)))
+
+        # group sizes drive the extents (starts = exclusive cumsum), the
+        # out_sel mask, and every non-null valid count — always computed
+        _ensure_count(sel_sorted)
         for si, (spec, pi, vpi) in enumerate(zip(specs, payload_plan, vpayload_plan)):
             d_sorted = sorted_ops[pi]
+            if _handled(spec):
+                if vpi is not None:
+                    _ensure_count(_spec_mask(vpi))  # max needs the valid count
+                continue
             eligible = d_sorted.dtype in (jnp.float32, jnp.int32)
             if spec.func in ("sum", "avg") and d_sorted.dtype == jnp.float32:
                 k_ops.append("sum")
@@ -395,33 +461,12 @@ def grouped_aggregate(
                 k_slots.append(("agg", si))
             # counts: explicit COUNT, AVG denominators, and validity for
             # NULLABLE args; non-null args are valid wherever the group
-            # exists, so no count op is needed for them
+            # exists, so the group-sizes count covers them
             needs_cnt = spec.func == "count" or spec.func == "avg" or (
                 vpi is not None and spec.func in ("min", "max", "sum")
             )
-            if needs_cnt and (pi, vpi) not in counted:
-                counted[(pi, vpi)] = len(k_ops)
-                k_ops.append("count")
-                k_vals.append(d_sorted.astype(jnp.float32))
-                k_masks.append(_spec_mask(vpi))
-                k_slots.append(("cnt", (pi, vpi)))
-
-        # representative group keys: max over the (constant-per-group) key
-        ki = 1
-        for kidx, (kd, kv) in enumerate(key_cols):
-            if kv is not None:
-                # null-first flag: group key is NULL iff min flag == 1
-                k_ops.append("max")
-                k_vals.append(sorted_ops[ki].astype(jnp.int32))
-                k_masks.append(sel_sorted)
-                k_slots.append(("keynull", kidx))
-                ki += 1
-            if sorted_ops[ki].dtype in (jnp.float32, jnp.int32):
-                k_ops.append("max")
-                k_vals.append(sorted_ops[ki])
-                k_masks.append(sel_sorted)
-                k_slots.append(("key", kidx))
-            ki += 1
+            if needs_cnt:
+                _ensure_count(_spec_mask(vpi))
 
         if k_ops:
             interp = jax.devices()[0].platform not in ("tpu", "axon")
@@ -433,36 +478,37 @@ def grouped_aggregate(
                 num_groups=gcap,
                 interpret=interp,
             )
-            cnt_by_key = {}
+            cnt_by_mask = {}
             for (kind, ident), o in zip(k_slots, outs):
                 if kind == "agg":
                     pallas_results[ident] = o
-                elif kind == "cnt":
-                    cnt_by_key[ident] = o.astype(jnp.int32)
-                elif kind == "key":
-                    pallas_keys[ident] = o
-                elif kind == "keynull":
-                    pallas_keyvalid[ident] = o  # 1 where null-first flag set
+                else:
+                    cnt_by_mask[ident] = o.astype(jnp.int32)
             for si, (spec, pi, vpi) in enumerate(
                 zip(specs, payload_plan, vpayload_plan)
             ):
-                if (pi, vpi) in cnt_by_key:
-                    pallas_counts[si] = cnt_by_key[(pi, vpi)]
+                mid = id(_spec_mask(vpi))
+                if mid in cnt_by_mask:
+                    pallas_counts[si] = cnt_by_mask[mid]
+            # group extents for free: sizes → exclusive-cumsum starts.
+            # Replaces the boundary-compaction sort on this path.
+            sizes_p = cnt_by_mask[id(sel_sorted)]
+            starts_p = jnp.cumsum(sizes_p) - sizes_p
+            _extents["starts"] = starts_p
+            _extents["ends"] = starts_p + sizes_p
+            _extents["sizes"] = sizes_p
 
     # ---- group key outputs ---------------------------------------------
     out_keys = []
     ki = 1
     for kidx, (kd, kv) in enumerate(key_cols):
         if kv is not None:
-            if kidx in pallas_keyvalid:
-                kvalid = pallas_keyvalid[kidx] == 0
-            else:
-                knull = at_starts(sorted_ops[ki]).astype(jnp.bool_)
-                kvalid = jnp.logical_not(knull)
+            knull = at_starts(sorted_ops[ki]).astype(jnp.bool_)
+            kvalid = jnp.logical_not(knull)
             ki += 1
         else:
             kvalid = None
-        raw = pallas_keys[kidx] if kidx in pallas_keys else at_starts(sorted_ops[ki])
+        raw = at_starts(sorted_ops[ki])
         # float keys were grouped via their order-preserving int image
         out_keys.append((from_sortable_int(raw, kd.dtype), kvalid))
         ki += 1
@@ -482,6 +528,26 @@ def grouped_aggregate(
     out_aggs = []
     for si, (spec, pi, vpi) in enumerate(zip(specs, payload_plan, vpayload_plan)):
         d_sorted = sorted_ops[pi]
+        if _handled(spec):
+            # value-ordered main sort: the group MIN is the value at the
+            # group's first row, the MAX at start + valid_count - 1
+            # (NULLs sink to each group's tail via the not-valid key)
+            vs = sorted_ops[vsort_idx]
+            if vpi is None:
+                cnt = extents()["sizes"]
+            elif si in pallas_counts:
+                cnt = pallas_counts[si]
+            else:
+                cnt = jax.ops.segment_sum(
+                    _spec_mask(vpi).astype(jnp.int32), gid, num_segments=gcap
+                )
+            pos = extents()["starts"] if spec.func == "min" else (
+                extents()["starts"] + cnt - 1
+            )
+            raw = jnp.take(vs, jnp.clip(pos, 0, capacity - 1))
+            r = from_sortable_int(raw, mm_args[chosen_vid][0].dtype)
+            out_aggs.append((r.astype(physical_np(spec.out_dtype)), cnt > 0))
+            continue
         if si in pallas_results and spec.func != "avg" and vpi is None:
             # non-null args: valid wherever the group exists (out_sel
             # masks nonexistent groups) — no count needed

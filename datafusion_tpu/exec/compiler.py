@@ -166,7 +166,71 @@ class PlanCompiler:
             return self._lower_join(plan)
         if isinstance(plan, L.EmptyRelation):
             return self._lower_empty(plan)
+        if isinstance(plan, L.Union):
+            return self._lower_union(plan)
         raise NotImplementedError_(f"cannot lower plan node {type(plan).__name__}")
+
+    # ------------------------------------------------------------------
+    def _lower_union(self, plan: L.Union) -> Lowered:
+        """UNION ALL: concatenate the children's columns and selection
+        masks (output capacity = sum of child capacities). String columns
+        with differing dictionaries remap into the merged vocabulary."""
+        children = [self.lower(c) for c in plan.inputs]
+        layouts = {c.layout for c in children}
+        if len(layouts) != 1:
+            raise NotImplementedError_(
+                "UNION of differently-distributed inputs is not supported"
+            )
+        cap = sum(c.capacity for c in children)
+        ncols = len(plan.schema)
+        out_dicts: list[Optional[tuple[str, ...]]] = []
+        remaps: list[list[Optional[jax.Array]]] = []  # [child][col]
+        for j in range(ncols):
+            ds = [c.dicts[j] for c in children]
+            if all(d is None for d in ds):
+                out_dicts.append(None)
+                for_col = [None] * len(children)
+            elif any(d is None for d in ds):
+                raise ExecutionError(f"UNION column {j} mixes Utf8 and numeric")
+            elif all(d == ds[0] for d in ds):
+                out_dicts.append(ds[0])
+                for_col = [None] * len(children)
+            else:
+                merged = tuple(sorted(set().union(*ds)))
+                out_dicts.append(merged)
+                for_col = [
+                    jnp.asarray(
+                        np.searchsorted(
+                            merged, np.asarray(d, dtype=object).astype(str)
+                        ),
+                        dtype=jnp.int32,
+                    )
+                    for d in ds
+                ]
+            remaps.append(for_col)
+
+        def fn(env) -> Batch:
+            bs = [c.fn(env) for c in children]
+            cols: list[ColVal] = []
+            for j in range(ncols):
+                any_valid = any(b.cols[j][1] is not None for b in bs)
+                parts_d, parts_v = [], []
+                for ci, b in enumerate(bs):
+                    d, v = _broadcast_col(b.cols[j], b.capacity)
+                    if remaps[j][ci] is not None:
+                        d = jnp.take(remaps[j][ci], d)
+                    parts_d.append(d)
+                    if any_valid:
+                        parts_v.append(
+                            v if v is not None else jnp.ones((b.capacity,), jnp.bool_)
+                        )
+                dd = jnp.concatenate(parts_d)
+                vv = jnp.concatenate(parts_v) if any_valid else None
+                cols.append((dd, vv))
+            sel = jnp.concatenate([b.sel for b in bs])
+            return Batch(cols, sel)
+
+        return Lowered(plan.schema, out_dicts, fn, cap, children[0].layout)
 
     # ------------------------------------------------------------------
     def _lower_empty(self, plan: L.EmptyRelation) -> Lowered:

@@ -30,6 +30,7 @@ from datafusion_tpu.plan.logical import (
     AggregateFunction,
     Alias,
     BinaryExpr,
+    Case,
     Cast,
     Column,
     Expr,
@@ -186,6 +187,48 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
             return fn(*datas), valid
 
         return CompiledExpr(sf_fn, expr.return_type)
+
+    if isinstance(expr, Case):
+        out_dt = expr.get_type(schema)
+        if out_dt is DataType.Utf8:
+            raise NotImplementedError_(
+                "CASE producing Utf8 is not supported on device"
+            )
+        branches = [
+            (_compile(c, schema, dicts, registry), _compile(r, schema, dicts, registry))
+            for c, r in expr.branches
+        ]
+        else_c = (
+            _compile(expr.else_expr, schema, dicts, registry)
+            if expr.else_expr is not None
+            else None
+        )
+        np_dt = physical_np(out_dt)
+
+        def _sel_valid(take, v_true, v_false):
+            if v_true is None and v_false is None:
+                return None
+            vt = jnp.ones((), jnp.bool_) if v_true is None else v_true
+            vf = jnp.ones((), jnp.bool_) if v_false is None else v_false
+            return jnp.where(take, vt, vf)
+
+        def case_fn(cols, branches=branches, else_c=else_c, np_dt=np_dt):
+            if else_c is not None:
+                acc_d, acc_v = else_c.fn(cols)
+                acc_d = acc_d.astype(np_dt)
+            else:  # no ELSE: unmatched rows are NULL
+                acc_d = jnp.zeros((), np_dt)
+                acc_v = jnp.zeros((), jnp.bool_)
+            # later WHEN arms lose to earlier ones: fold back-to-front
+            for cond_c, res_c in reversed(branches):
+                cd, cv = cond_c.fn(cols)
+                take = cd if cv is None else jnp.logical_and(cd, cv)  # NULL→false
+                rd, rv = res_c.fn(cols)
+                acc_d = jnp.where(take, rd.astype(np_dt), acc_d)
+                acc_v = _sel_valid(take, rv, acc_v)
+            return acc_d, acc_v
+
+        return CompiledExpr(case_fn, out_dt)
 
     if isinstance(expr, (SortExpr, Alias)):
         return _compile(expr.expr, schema, dicts, registry)

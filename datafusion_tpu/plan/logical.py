@@ -201,6 +201,25 @@ class Alias(Expr):
 
 
 @dataclass(frozen=True, repr=False)
+class Case(Expr):
+    """CASE WHEN cond THEN result ... [ELSE result] END (beyond the
+    reference). The planner coerces every result arm (and the ELSE) to a
+    common supertype, so arm 0's type is the expression's type. With no
+    ELSE, unmatched rows are NULL."""
+
+    branches: tuple[tuple[Expr, Expr], ...]
+    else_expr: Optional[Expr] = None
+
+    def get_type(self, schema: Schema) -> DataType:
+        return self.branches[0][1].get_type(schema)
+
+    def __repr__(self) -> str:
+        parts = " ".join(f"WHEN {c!r} THEN {r!r}" for c, r in self.branches)
+        tail = f" ELSE {self.else_expr!r}" if self.else_expr is not None else ""
+        return f"CASE {parts}{tail} END"
+
+
+@dataclass(frozen=True, repr=False)
 class SortExpr(Expr):
     """A sort key with direction (reference: Expr::Sort)."""
 
@@ -274,6 +293,8 @@ def expr_to_field(e: Expr, input_schema: Schema) -> Field:
         return Field("binary_expr", DataType.Boolean, True)
     if isinstance(e, SortExpr):
         return expr_to_field(e.expr, input_schema)
+    if isinstance(e, Case):
+        return Field("case", e.get_type(input_schema), True)
     raise PlanError(f"Cannot determine schema type for expression {e!r}")
 
 
@@ -444,6 +465,25 @@ class Join(LogicalPlan):
         )
 
 
+@dataclass(repr=False)
+class Union(LogicalPlan):
+    """UNION ALL of same-arity inputs (beyond the reference; the planner
+    coerces each input's columns to a common supertype and plain UNION
+    wraps this node in a distinct Aggregate)."""
+
+    inputs: tuple[LogicalPlan, ...]
+    schema: Schema
+
+    def children(self):
+        return self.inputs
+
+    def _fmt(self, indent: int) -> str:
+        body = "".join(
+            self._child_fmt(indent) + c._fmt(indent + 1) for c in self.inputs
+        )
+        return "Union" + body
+
+
 # ---------------------------------------------------------------------------
 # JSON serde — the plan-shipping format the reference intended
 # (logicalplan.rs:612-651 round-trip test).
@@ -491,6 +531,15 @@ def expr_to_json(e: Expr):
                 "distinct": e.distinct,
             }
         }
+    if isinstance(e, Case):
+        return {
+            "Case": {
+                "branches": [
+                    [expr_to_json(c), expr_to_json(r)] for c, r in e.branches
+                ],
+                "else": None if e.else_expr is None else expr_to_json(e.else_expr),
+            }
+        }
     raise PlanError(f"cannot serialize expr {e!r}")
 
 
@@ -527,6 +576,13 @@ def expr_from_json(d) -> Expr:
             tuple(expr_from_json(a) for a in body["args"]),
             DataType(body["return_type"]),
             body.get("distinct", False),
+        )
+    if kind == "Case":
+        return Case(
+            tuple(
+                (expr_from_json(c), expr_from_json(r)) for c, r in body["branches"]
+            ),
+            None if body["else"] is None else expr_from_json(body["else"]),
         )
     raise PlanError(f"cannot deserialize expr kind {kind}")
 
@@ -596,6 +652,13 @@ def plan_to_json(p: LogicalPlan):
                 "schema": _schema_to_json(p.schema),
             }
         }
+    if isinstance(p, Union):
+        return {
+            "Union": {
+                "inputs": [plan_to_json(c) for c in p.inputs],
+                "schema": _schema_to_json(p.schema),
+            }
+        }
     raise PlanError(f"cannot serialize plan {type(p).__name__}")
 
 
@@ -639,6 +702,11 @@ def plan_from_json(d) -> LogicalPlan:
             plan_from_json(body["right"]),
             tuple(tuple(x) for x in body["on"]),
             JoinType(body["join_type"]),
+            _schema_from_json(body["schema"]),
+        )
+    if kind == "Union":
+        return Union(
+            tuple(plan_from_json(c) for c in body["inputs"]),
             _schema_from_json(body["schema"]),
         )
     raise PlanError(f"cannot deserialize plan kind {kind}")

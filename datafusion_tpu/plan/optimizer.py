@@ -42,6 +42,16 @@ def collect_expr(e: L.Expr, accum: set[int]) -> None:
     elif isinstance(e, (L.ScalarFunction, L.AggregateFunction)):
         for a in e.args:
             collect_expr(a, accum)
+    elif isinstance(e, L.Case):
+        for c, r in e.branches:
+            collect_expr(c, accum)
+            collect_expr(r, accum)
+        if e.else_expr is not None:
+            collect_expr(e.else_expr, accum)
+    else:
+        # unknown node: failing loudly beats silently under-collecting,
+        # which would narrow scans past columns the expression reads
+        raise TypeError(f"collect_expr: unhandled expression {type(e).__name__}")
 
 
 def _remap_expr(e: L.Expr, mapping: dict[int, int]) -> L.Expr:
@@ -67,7 +77,15 @@ def _remap_expr(e: L.Expr, mapping: dict[int, int]) -> L.Expr:
         return L.AggregateFunction(
             e.name, tuple(_remap_expr(a, mapping) for a in e.args), e.return_type, e.distinct
         )
-    return e
+    if isinstance(e, L.Case):
+        return L.Case(
+            tuple(
+                (_remap_expr(c, mapping), _remap_expr(r, mapping))
+                for c, r in e.branches
+            ),
+            None if e.else_expr is None else _remap_expr(e.else_expr, mapping),
+        )
+    raise TypeError(f"_remap_expr: unhandled expression {type(e).__name__}")
 
 
 def push_down_projection(plan: L.LogicalPlan) -> L.LogicalPlan:

@@ -22,6 +22,7 @@ from datafusion_tpu.plan.logical import (
     AggregateFunction,
     Alias,
     BinaryExpr,
+    Case,
     Cast,
     Column,
     EmptyRelation,
@@ -40,6 +41,7 @@ from datafusion_tpu.plan.logical import (
     Sort,
     SortExpr,
     TableScan,
+    Union,
     exprlist_to_fields,
 )
 
@@ -145,10 +147,54 @@ class SqlToRel:
                 raise PlanError(f"no schema found for table {node.name}")
             return TableScan("default", node.name, schema, None)
         if isinstance(node, A.SQLDerivedTable):
-            return self._plan_select(node.select)
+            return self.sql_to_rel(node.select)
         if isinstance(node, A.SQLJoin):
             return self._plan_join(node)
+        if isinstance(node, A.SQLUnion):
+            return self._plan_union(node)
         raise PlanError(f"sql_to_rel does not support this relation: {node!r}")
+
+    # ------------------------------------------------------------------
+    def _plan_union(self, node: A.SQLUnion) -> LogicalPlan:
+        """UNION [ALL] (beyond the reference). Sides must have equal column
+        counts; each column pair coerces to its supertype. Output names
+        come from the left side. Plain UNION adds a distinct Aggregate."""
+        left = self.sql_to_rel(node.left)
+        right = self.sql_to_rel(node.right)
+        ls, rs = left.schema, right.schema
+        if len(ls) != len(rs):
+            raise PlanError(
+                f"UNION sides have different column counts ({len(ls)} vs {len(rs)})"
+            )
+        fields = []
+        lcasts: list[Expr] = []
+        rcasts: list[Expr] = []
+        need_l = need_r = False
+        for i in range(len(ls)):
+            lt, rt = ls.field(i).dtype, rs.field(i).dtype
+            st = get_supertype(lt, rt)
+            if st is None:
+                raise PlanError(
+                    f"UNION column {i} has no common supertype ({lt!r} vs {rt!r})"
+                )
+            fields.append(Field(ls.field(i).name, st, True))
+            lcasts.append(Column(i).cast_to(st, ls))
+            rcasts.append(Column(i).cast_to(st, rs))
+            need_l = need_l or st != lt
+            need_r = need_r or st != rt
+        schema = Schema(fields)
+        if need_l:
+            left = Projection(tuple(lcasts), left, schema)
+        if need_r:
+            right = Projection(tuple(rcasts), right, schema)
+        plan: LogicalPlan = Union((left, right), schema)
+        if not node.all:
+            # plain UNION = distinct over all columns (same desugaring as
+            # SELECT DISTINCT)
+            plan = Aggregate(
+                plan, tuple(Column(i) for i in range(len(schema))), (), schema
+            )
+        return plan
 
     # ------------------------------------------------------------------
     def _plan_select(self, sel: A.SQLSelect) -> LogicalPlan:
@@ -346,7 +392,7 @@ class SqlToRel:
 
         def walk(node: A.AstNode, offset: int) -> int:
             if isinstance(node, A.SQLDerivedTable):
-                schema = self._plan_select(node.select).schema
+                schema = self.sql_to_rel(node.select).schema
                 out[node.alias] = (offset, schema)
                 return offset + len(schema)
             if isinstance(node, (A.SQLIdentifier, A.SQLAliasedTable)):
@@ -480,6 +526,45 @@ class SqlToRel:
             left = self.sql_to_rex(node.left, schema, qualifiers)
             right = self.sql_to_rex(node.right, schema, qualifiers)
             return self._coerced_binary(left, op, right, schema)
+
+        if isinstance(node, A.SQLCase):
+            whens: list[tuple[Expr, Expr]] = []
+            for c, r in node.whens:
+                if node.operand is not None:
+                    # simple form: CASE x WHEN v THEN r → x = v
+                    cond = self._coerced_binary(
+                        self.sql_to_rex(node.operand, schema, qualifiers),
+                        Operator.Eq,
+                        self.sql_to_rex(c, schema, qualifiers),
+                        schema,
+                    )
+                else:
+                    cond = self.sql_to_rex(c, schema, qualifiers)
+                    if cond.get_type(schema) is not DataType.Boolean:
+                        raise PlanError("CASE WHEN condition must be boolean")
+                whens.append((cond, self.sql_to_rex(r, schema, qualifiers)))
+            else_e = (
+                self.sql_to_rex(node.else_expr, schema, qualifiers)
+                if node.else_expr is not None
+                else None
+            )
+            # every result arm coerces to one common supertype
+            st = whens[0][1].get_type(schema)
+            arms = [r.get_type(schema) for _, r in whens[1:]]
+            if else_e is not None:
+                arms.append(else_e.get_type(schema))
+            for t in arms:
+                st2 = get_supertype(st, t)
+                if st2 is None:
+                    raise PlanError(
+                        f"CASE result arms have no common supertype "
+                        f"({st!r} vs {t!r})"
+                    )
+                st = st2
+            whens = [(c, r.cast_to(st, schema)) for c, r in whens]
+            if else_e is not None:
+                else_e = else_e.cast_to(st, schema)
+            return Case(tuple(whens), else_e)
 
         if isinstance(node, A.SQLFunction):
             return self._plan_function(node, schema, qualifiers)

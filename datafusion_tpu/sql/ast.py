@@ -103,6 +103,25 @@ class SQLFunction(AstNode):
 
 
 @dataclass(frozen=True)
+class SQLUnion(AstNode):
+    """left UNION [ALL] right (beyond the reference)."""
+
+    left: AstNode
+    right: AstNode
+    all: bool
+
+
+@dataclass(frozen=True)
+class SQLCase(AstNode):
+    """CASE [operand] WHEN cond THEN result ... [ELSE result] END
+    (beyond the reference, whose sqlparser 0.2.1 had no CASE grammar)."""
+
+    operand: Optional[AstNode]
+    whens: tuple[tuple[AstNode, AstNode], ...]
+    else_expr: Optional[AstNode]
+
+
+@dataclass(frozen=True)
 class SQLAliasedExpr(AstNode):
     """projection item `expr AS name` (beyond the reference)."""
 

@@ -101,6 +101,11 @@ _RESERVED_STOP = {
     "LIKE",
     "SELECT",
     "UNION",
+    "CASE",
+    "WHEN",
+    "THEN",
+    "ELSE",
+    "END",
 }
 
 
@@ -166,9 +171,19 @@ class Parser:
         if self.consume_keywords("CREATE", "EXTERNAL", "TABLE"):
             return self._parse_create_external_table()
         if self.peek().kind is Tok.IDENT and self.peek().upper == "SELECT":
-            return self._parse_select()
+            return self._parse_select_set()
         t = self.peek()
         raise ParserError(f"unexpected token {t.value!r} at offset {t.pos}")
+
+    def _parse_select_set(self) -> AstNode:
+        """SELECT ... [UNION [ALL] SELECT ...]*, left-associative."""
+        from datafusion_tpu.sql.ast import SQLUnion
+
+        node: AstNode = self._parse_select()
+        while self.consume_keyword("UNION"):
+            all_ = self.consume_keyword("ALL")
+            node = SQLUnion(node, self._parse_select(), all_)
+        return node
 
     def _parse_create_external_table(self) -> SQLCreateExternalTable:
         # (reference: dfparser.rs:101-207)
@@ -297,7 +312,7 @@ class Parser:
         from datafusion_tpu.sql.ast import SQLAliasedTable, SQLDerivedTable
 
         if self.consume_op("("):
-            inner = self._parse_select()
+            inner = self._parse_select_set()
             self.expect_op(")")
             self.consume_keyword("AS")
             alias = self.expect_ident()
@@ -407,6 +422,23 @@ class Parser:
             type_name = self._parse_type_name()
             self.expect_op(")")
             return SQLCast(inner, type_name)
+        if up == "CASE":
+            from datafusion_tpu.sql.ast import SQLCase
+
+            operand = None
+            nt = self.peek()
+            if not (nt.kind is Tok.IDENT and nt.upper == "WHEN"):
+                operand = self.parse_expr()
+            whens: list[tuple[AstNode, AstNode]] = []
+            while self.consume_keyword("WHEN"):
+                cond = self.parse_expr()
+                self.expect_keyword("THEN")
+                whens.append((cond, self.parse_expr()))
+            if not whens:
+                raise ParserError("CASE requires at least one WHEN clause")
+            else_e = self.parse_expr() if self.consume_keyword("ELSE") else None
+            self.expect_keyword("END")
+            return SQLCase(operand, tuple(whens), else_e)
         if up == "NOT":
             return SQLUnary("Not", self.parse_expr(15))
         if up == "NULL":

@@ -467,6 +467,17 @@ class PlanCompiler:
         right = self.lower(plan.right)
 
         out_cap = self._alloc_cap(max(left.capacity, right.capacity))
+        # optimistic strategy slot: budget 0 duplicate-matched probes. The
+        # compact (one-output-row-per-probe, FK/star-schema) join runs
+        # first; if the data has multi-match probes the dup count
+        # overflows this slot and the standard retry recompiles with the
+        # general expand strategy (see ops/join.py join_columns).
+        dup_cap = self._alloc_cap(0)
+        strategy = "expand" if dup_cap > 0 else "compact"
+        import os
+
+        if os.environ.get("DFTPU_LOCAL_JOIN") == "expand":  # test/debug override
+            strategy = "expand"
 
         # pre-compute dictionary remaps for string join keys + static key
         # bounds for int32 two-key packing
@@ -505,18 +516,20 @@ class PlanCompiler:
                     rk = jnp.take(remap[1], rk)
                 lkeys.append(lk)
                 rkeys.append(rk)
-            p_idx, b_idx, out_sel, matched, total = join_ops.join_indices(
-                lkeys, lb.sel, rkeys, rb.sel, out_cap,
+            lcols, rcols, matched, out_sel, total, dups = join_ops.join_columns(
+                lkeys,
+                lb.sel,
+                [_broadcast_col(c, lb.capacity) for c in lb.cols],
+                rkeys,
+                rb.sel,
+                [_broadcast_col(c, rb.capacity) for c in rb.cols],
+                out_cap,
                 keep_unmatched_probe=keep_unmatched,
                 key_maxes=key_maxes,
+                strategy=strategy,
             )
             self.totals.append(total)
-            lcols = join_ops.gather_columns(
-                [_broadcast_col(c, lb.capacity) for c in lb.cols], p_idx
-            )
-            rcols = join_ops.gather_columns(
-                [_broadcast_col(c, rb.capacity) for c in rb.cols], b_idx
-            )
+            self.totals.append(dups if strategy == "compact" else jnp.zeros((), jnp.int32))
             if keep_unmatched:
                 # unmatched probe rows: build side is NULL
                 rcols = [

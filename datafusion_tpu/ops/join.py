@@ -186,3 +186,196 @@ def gather_columns(cols: Sequence[ColVal], idx: jax.Array) -> list[ColVal]:
         v = None if valid is None else jnp.take(valid, idx)
         out.append((d, v))
     return out
+
+
+def _dup_count(match_counts: jax.Array) -> jax.Array:
+    """Number of probe rows with >1 build match — the runtime signal that
+    the compact strategy's one-row-per-probe assumption is violated."""
+    return jnp.sum((match_counts > 1).astype(jnp.int32))
+
+
+def join_columns(
+    probe_keys: Sequence[jax.Array],
+    probe_sel: jax.Array,
+    probe_cols: Sequence[ColVal],
+    build_keys: Sequence[jax.Array],
+    build_sel: jax.Array,
+    build_cols: Sequence[ColVal],
+    out_capacity: int,
+    *,
+    keep_unmatched_probe: bool = False,
+    key_maxes: Optional[Sequence[Optional[int]]] = None,
+    strategy: str = "compact",
+):
+    """Materialize an equi-join's output columns.
+
+    Returns (out_probe_cols, out_build_cols, build_matched, out_sel,
+    total, dups):
+      total — exact output row count (> out_capacity ⇒ caller recompiles
+              with a larger capacity)
+      dups  — probe rows with more than one build match. The "compact"
+              strategy is only correct when dups == 0 (one output row per
+              probe, the FK/star-schema case); the caller treats dups as a
+              capacity-slot overflow against a 0 budget and recompiles
+              with strategy="expand".
+
+    Why two strategies: on TPU a random gather costs ~7 ns/elem but a
+    lax.sort payload operand ~0.7 ns/elem (PERFLOG.md). The general
+    expand path pays scatter+gather per output column; the compact path
+    rides every probe column through the two sorts as payload operands
+    and never materializes gather indices, ~6x faster end-to-end.
+    """
+    if strategy == "expand":
+        p_idx, b_idx, out_sel, matched, total = join_indices(
+            probe_keys, probe_sel, build_keys, build_sel, out_capacity,
+            keep_unmatched_probe=keep_unmatched_probe, key_maxes=key_maxes,
+        )
+        # dup count from the output layout: a probe with k matches fills k
+        # consecutive slots, so count probes owning adjacent equal slots
+        adj = jnp.logical_and(
+            p_idx == jnp.roll(p_idx, 1),
+            jnp.logical_and(out_sel, jnp.roll(out_sel, 1)),
+        )
+        iota = lax.broadcasted_iota(jnp.int32, (out_capacity,), 0)
+        adj = jnp.logical_and(adj, iota > 0)
+        # count distinct probes with an adjacent duplicate slot
+        first_dup = jnp.logical_and(
+            adj, jnp.logical_or(iota == 1, p_idx != jnp.roll(p_idx, 2))
+        )
+        dups = jnp.sum(first_dup.astype(jnp.int32))
+        pcols = gather_columns(probe_cols, p_idx)
+        bcols = gather_columns(build_cols, b_idx)
+        return pcols, bcols, matched, out_sel, total, dups
+
+    if strategy != "compact":
+        raise ValueError(f"unknown join strategy {strategy!r}")
+
+    p_cap = int(probe_sel.shape[0])
+    b_cap = int(build_sel.shape[0])
+    comb = b_cap + p_cap
+
+    pkey = _pack_keys(probe_keys, key_maxes)
+    bkey = _pack_keys(build_keys, key_maxes)
+    b_sentinel = jnp.asarray(jnp.iinfo(bkey.dtype).max, bkey.dtype)
+    p_sentinel = jnp.asarray(jnp.iinfo(pkey.dtype).max, pkey.dtype)
+    bkey_m = jnp.where(build_sel, bkey, b_sentinel)
+    pkey_m = jnp.where(probe_sel, pkey, p_sentinel)
+
+    # ---- build-side sort carries the build columns as payloads ----------
+    b_ops = [bkey_m]
+    b_plan: list[tuple[int, Optional[int]]] = []
+    seen: dict[int, int] = {}
+    for data, valid in build_cols:
+        data = jnp.broadcast_to(data, (b_cap,)) if jnp.ndim(data) == 0 else data
+        if id(data) not in seen:
+            seen[id(data)] = len(b_ops)
+            b_ops.append(data)
+        di = seen[id(data)]
+        vi = None
+        if valid is not None:
+            if id(valid) not in seen:
+                seen[id(valid)] = len(b_ops)
+                b_ops.append(valid.astype(jnp.int8))
+            vi = seen[id(valid)]
+        b_plan.append((di, vi))
+    b_sorted = lax.sort(b_ops, num_keys=1)
+
+    # ---- combined sort carries the probe columns as payloads ------------
+    allk = jnp.concatenate([bkey_m, pkey_m])
+    isprobe = jnp.concatenate([jnp.zeros(b_cap, jnp.int8), jnp.ones(p_cap, jnp.int8)])
+    src = lax.broadcasted_iota(jnp.int32, (comb,), 0)
+    c_ops = [allk, isprobe, src]
+    c_plan: list[tuple[int, Optional[int]]] = []
+    seen = {}
+    for data, valid in probe_cols:
+        data = jnp.broadcast_to(data, (p_cap,)) if jnp.ndim(data) == 0 else data
+        if id(data) not in seen:
+            seen[id(data)] = len(c_ops)
+            pad = jnp.zeros((b_cap,), data.dtype)
+            c_ops.append(jnp.concatenate([pad, data]))
+        di = seen[id(data)]
+        vi = None
+        if valid is not None:
+            if id(valid) not in seen:
+                seen[id(valid)] = len(c_ops)
+                c_ops.append(
+                    jnp.concatenate([jnp.zeros((b_cap,), jnp.int8), valid.astype(jnp.int8)])
+                )
+            vi = seen[id(valid)]
+        c_plan.append((di, vi))
+    c_sorted = lax.sort(c_ops, num_keys=2)  # builds first on key ties
+    ks, flags = c_sorted[0], c_sorted[1]
+
+    # ---- per-position match run [start_run, end_run) over sorted builds -
+    isb = flags == 0
+    bsel_sorted = jnp.logical_and(isb, ks != b_sentinel)
+    bincl = jnp.cumsum(bsel_sorted.astype(jnp.int32))
+    bprefix = bincl - bsel_sorted.astype(jnp.int32)
+    iota_all = lax.broadcasted_iota(jnp.int32, (comb,), 0)
+    boundary = jnp.logical_or(iota_all == 0, ks != jnp.roll(ks, 1))
+    start_run = lax.cummax(jnp.where(boundary, bprefix, -1))
+    nb = jnp.where(boundary, bprefix, comb + 1)
+    end_run_next = jnp.flip(lax.cummin(jnp.flip(jnp.roll(nb, -1).at[-1].set(comb + 1))))
+    end_run = jnp.minimum(end_run_next, bincl[-1])
+    start_run = jnp.minimum(start_run, end_run)
+
+    is_psel = jnp.logical_and(jnp.logical_not(isb), ks != p_sentinel)
+    count_run = end_run - start_run
+    matched = jnp.logical_and(is_psel, count_run > 0)
+    dups = jnp.sum(jnp.logical_and(is_psel, count_run > 1).astype(jnp.int32))
+    keep = jnp.logical_and(is_psel, matched) if not keep_unmatched_probe else is_psel
+    total = jnp.sum(keep.astype(jnp.int32))
+
+    # ---- fetch each kept probe's single build row ------------------------
+    bpos = jnp.clip(start_run, 0, b_cap - 1)
+    fetched: list[ColVal] = []
+    for di, vi in b_plan:
+        d = jnp.take(b_sorted[di], bpos)
+        v = None if vi is None else jnp.take(b_sorted[vi], bpos).astype(jnp.bool_)
+        fetched.append((d, v))
+
+    # ---- compaction sort: kept rows to the front, original probe order --
+    k_ops = [jnp.logical_not(keep).astype(jnp.int8), c_sorted[2]]
+    probe_slot: dict[int, int] = {}
+    for di, vi in c_plan:
+        for idx in (di, vi):
+            if idx is not None and idx not in probe_slot:
+                probe_slot[idx] = len(k_ops)
+                k_ops.append(c_sorted[idx])
+    build_slot: list[tuple[int, Optional[int]]] = []
+    seen = {}
+    for j, (d, v) in enumerate(fetched):
+        if id(d) not in seen:
+            seen[id(d)] = len(k_ops)
+            k_ops.append(d)
+        di = seen[id(d)]
+        vi = None
+        if v is not None:
+            if id(v) not in seen:
+                seen[id(v)] = len(k_ops)
+                k_ops.append(v.astype(jnp.int8))
+            vi = seen[id(v)]
+        build_slot.append((di, vi))
+    matched_slot = len(k_ops)
+    k_ops.append(matched.astype(jnp.int8))
+    compacted = lax.sort(k_ops, num_keys=2)
+
+    def _fit(a: jax.Array) -> jax.Array:
+        if comb >= out_capacity:
+            return lax.slice(a, (0,), (out_capacity,))
+        return jnp.pad(a, (0, out_capacity - comb))
+
+    out_pcols: list[ColVal] = []
+    for di, vi in c_plan:
+        d = _fit(compacted[probe_slot[di]])
+        v = None if vi is None else _fit(compacted[probe_slot[vi]]).astype(jnp.bool_)
+        out_pcols.append((d, v))
+    out_bcols: list[ColVal] = []
+    for di, vi in build_slot:
+        d = _fit(compacted[di])
+        v = None if vi is None else _fit(compacted[vi]).astype(jnp.bool_)
+        out_bcols.append((d, v))
+    out_matched = _fit(compacted[matched_slot]).astype(jnp.bool_)
+    out_iota = lax.broadcasted_iota(jnp.int32, (out_capacity,), 0)
+    out_sel = out_iota < total
+    return out_pcols, out_bcols, out_matched, out_sel, total, dups

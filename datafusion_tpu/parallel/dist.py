@@ -295,6 +295,14 @@ class DistCompiler(PlanCompiler):
         right = self._gather_batch(right_low)
 
         out_cap_global = self._alloc_cap(max(left.capacity, right.capacity))
+        # optimistic compact join with dup-overflow fallback to expand
+        # (see exec/compiler.py _lower_join and ops/join.py join_columns)
+        dup_cap = self._alloc_cap(0)
+        local_strategy = (
+            "expand"
+            if dup_cap > 0 or os.environ.get("DFTPU_LOCAL_JOIN") == "expand"
+            else "compact"
+        )
         partitioned = left.layout == "partitioned"
         out_cap_local = out_cap_global // self.n_dev if partitioned else out_cap_global
         left_cap_local = (
@@ -316,19 +324,24 @@ class DistCompiler(PlanCompiler):
                     rk = jnp.take(remap[1], rk)
                 lkeys.append(lk)
                 rkeys.append(rk)
-            p_idx, b_idx, out_sel, matched, total = join_ops.join_indices(
-                lkeys, lb.sel, rkeys, rb.sel, out_cap_local,
+            lcols, rcols, matched, out_sel, total, dups = join_ops.join_columns(
+                lkeys,
+                lb.sel,
+                [_broadcast_col(c, left_cap_local) for c in lb.cols],
+                rkeys,
+                rb.sel,
+                [_broadcast_col(c, rb.capacity) for c in rb.cols],
+                out_cap_local,
                 keep_unmatched_probe=plan.join_type is L.JoinType.Left,
                 key_maxes=key_maxes,
+                strategy=local_strategy,
             )
             if partitioned:
                 total = lax.psum(total, AXIS)
+                dups = lax.pmax(dups, AXIS)
             self.totals.append(total)
-            lcols = join_ops.gather_columns(
-                [_broadcast_col(c, left_cap_local) for c in lb.cols], p_idx
-            )
-            rcols = join_ops.gather_columns(
-                [_broadcast_col(c, rb.capacity) for c in rb.cols], b_idx
+            self.totals.append(
+                dups if local_strategy == "compact" else jnp.zeros((), jnp.int32)
             )
             if plan.join_type is L.JoinType.Left:
                 rcols = [
@@ -353,6 +366,14 @@ class DistCompiler(PlanCompiler):
         s_l = self._alloc_cap(max(128, -(-2 * lcap_local // n) // 128 * 128))
         s_r = self._alloc_cap(max(128, -(-2 * rcap_local // n) // 128 * 128))
         out_cap_local = self._alloc_cap(max(lcap_local * 2, n * s_l))
+        import os as _os
+
+        dup_cap = self._alloc_cap(0)
+        local_strategy = (
+            "expand"
+            if dup_cap > 0 or _os.environ.get("DFTPU_LOCAL_JOIN") == "expand"
+            else "compact"
+        )
         remaps = self._join_key_remaps(plan, left, right)
         key_maxes = self._join_key_maxes(plan, left, right)
 
@@ -388,16 +409,26 @@ class DistCompiler(PlanCompiler):
 
             lkeys2 = keys_of(None, lcols2, n * s_l, "l")
             rkeys2 = keys_of(None, rcols2, n * s_r, "r")
-            p_idx, b_idx, out_sel, matched, total = join_ops.join_indices(
-                lkeys2, lsel2, rkeys2, rsel2, out_cap_local,
+            lcols3, rcols3, matched, out_sel, total, dups = join_ops.join_columns(
+                lkeys2,
+                lsel2,
+                lcols2,
+                rkeys2,
+                rsel2,
+                rcols2,
+                out_cap_local,
                 keep_unmatched_probe=plan.join_type is L.JoinType.Left,
                 key_maxes=key_maxes,
+                strategy=local_strategy,
             )
             # out_cap_local is a per-device capacity — compare the worst
             # device's match count, not the global sum
             self.totals.append(lax.pmax(total, AXIS))
-            lcols3 = join_ops.gather_columns(lcols2, p_idx)
-            rcols3 = join_ops.gather_columns(rcols2, b_idx)
+            self.totals.append(
+                lax.pmax(dups, AXIS)
+                if local_strategy == "compact"
+                else jnp.zeros((), jnp.int32)
+            )
             if plan.join_type is L.JoinType.Left:
                 rcols3 = [
                     (d, matched if v is None else jnp.logical_and(v, matched))

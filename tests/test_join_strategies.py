@@ -1,0 +1,112 @@
+"""Compact vs expand local-join strategies (ops/join.py join_columns).
+
+The compact (FK/star-schema) strategy rides probe columns through the
+sorts and assumes one output row per probe; duplicate-matched probes are
+detected at runtime and the compiler retries with the expand strategy
+via the capacity-overflow mechanism (exec/compiler.py _lower_join)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import datafusion_tpu as df
+
+
+def _rows(r):
+    return sorted(tuple(row.values()) for row in r.to_pylist())
+
+
+def _ctx(seed=0, n=5000, d=512, dup=False):
+    rng = np.random.default_rng(seed)
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "p",
+        df.Table.from_pydict(
+            {
+                "k": rng.integers(0, d, n).astype(np.int32),
+                "x": rng.random(n).astype(np.float32),
+            }
+        ),
+    )
+    bk = np.arange(d, dtype=np.int32)
+    if dup:
+        bk = np.concatenate([bk, rng.integers(0, d, d // 4).astype(np.int32)])
+    ctx.register_table(
+        "b",
+        df.Table.from_pydict(
+            {"k": bk, "w": rng.random(len(bk)).astype(np.float32)}
+        ),
+    )
+    return ctx
+
+
+JOINS = [
+    "SELECT p.k, p.x, b.w FROM p JOIN b ON p.k = b.k",
+    "SELECT p.k, b.w FROM p LEFT JOIN b ON p.k = b.k",
+    "SELECT p.k, b.w FROM p JOIN b ON p.k = b.k WHERE p.x > 0.5",
+    "SELECT p.k, COUNT(p.x), MAX(b.w) FROM p JOIN b ON p.k = b.k GROUP BY p.k",
+]
+
+
+@pytest.mark.parametrize("sql", JOINS)
+@pytest.mark.parametrize("dup", [False, True])
+def test_compact_matches_expand(sql, dup, monkeypatch):
+    got = _rows(_ctx(dup=dup).sql(sql))  # default: compact (+auto fallback)
+    monkeypatch.setenv("DFTPU_LOCAL_JOIN", "expand")
+    want = _rows(_ctx(dup=dup).sql(sql))
+    assert got == want
+
+
+def test_dup_fallback_produces_all_pairs():
+    ctx = df.ExecutionContext()
+    ctx.register_table("p", df.Table.from_pydict({"k": np.array([1, 2], np.int32)}))
+    ctx.register_table(
+        "b",
+        df.Table.from_pydict(
+            {
+                "k": np.array([1, 1, 1, 2], np.int32),
+                "v": np.array([1.0, 2.0, 3.0, 4.0], np.float32),
+            }
+        ),
+    )
+    r = ctx.sql("SELECT p.k, b.v FROM p JOIN b ON p.k = b.k")
+    assert _rows(r) == [(1, 1.0), (1, 2.0), (1, 3.0), (2, 4.0)]
+
+
+def test_compact_preserves_probe_order():
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "p", df.Table.from_pydict({"k": np.array([5, 1, 7, 1], np.int32)})
+    )
+    ctx.register_table(
+        "b",
+        df.Table.from_pydict(
+            {"k": np.array([1, 5, 9], np.int32), "w": np.array([10.0, 50.0, 90.0], np.float32)}
+        ),
+    )
+    r = ctx.sql("SELECT p.k, b.w FROM p JOIN b ON p.k = b.k")
+    assert [tuple(row.values()) for row in r.to_pylist()] == [
+        (5, 50.0),
+        (1, 10.0),
+        (1, 10.0),
+    ]
+
+
+def test_compact_string_keys():
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "p",
+        df.Table.from_pydict({"s": np.array(["b", "a", "c"], dtype=object)}),
+    )
+    ctx.register_table(
+        "d",
+        df.Table.from_pydict(
+            {
+                "s": np.array(["a", "b"], dtype=object),
+                "v": np.array([1.0, 2.0], np.float32),
+            }
+        ),
+    )
+    r = ctx.sql("SELECT p.s, d.v FROM p JOIN d ON p.s = d.s")
+    assert _rows(r) == [("a", 1.0), ("b", 2.0)]

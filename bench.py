@@ -37,43 +37,14 @@ def _hbm_bandwidth_gbps() -> float:
     return 819.0  # conservative default (also used on CPU dev runs)
 
 
-def _time_pipeline(fn, env, iters=None) -> float:
-    """Slope timing with a host readback fence.
+def _time_pipeline(fn, env) -> float:
+    """Readback-fenced slope timing, minimized over queue depths — see
+    datafusion_tpu/utils/benchtime.py for the methodology (and why
+    block_until_ready and deep dispatch queues both mislead through this
+    machine's tunneled backend)."""
+    from datafusion_tpu.utils.benchtime import time_pipeline
 
-    On this machine's tunneled TPU backend, block_until_ready returns
-    before device execution completes, and the host round-trip costs
-    ~27 ms with ±ms jitter — so we fence with a scalar readback (which
-    cannot complete until every enqueued program has run; the TPU stream
-    executes in-order), auto-pick an iteration count large enough that
-    the slope signal dwarfs the latency jitter, and take the median of
-    three slope estimates."""
-    import statistics
-
-    def run(k: int) -> None:
-        out = None
-        for _ in range(k):
-            out = fn(env)
-        sel = out[2]
-        np.asarray(jax.device_get(sel[:1]))  # fence
-
-    run(2)  # compile + warm
-    if iters is None:
-        t0 = time.perf_counter()
-        run(1)
-        base = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run(6)
-        est = max((time.perf_counter() - t0 - base) / 5, 1e-4)
-        iters = int(min(64, max(4, 2.0 / est)))  # ~2s of slope signal
-    slopes = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run(1)
-        t1 = time.perf_counter()
-        run(1 + iters)
-        t2 = time.perf_counter()
-        slopes.append(((t2 - t1) - (t1 - t0)) / iters)
-    return max(statistics.median(slopes), 1e-9)
+    return time_pipeline(fn, env)
 
 
 def _compile(sql: str, tables):
@@ -91,6 +62,7 @@ def _compile(sql: str, tables):
 
 
 def main() -> None:
+    _t_start = time.time()
     import datafusion_tpu as df
 
     n = int(os.environ.get("DFTPU_BENCH_ROWS", 1 << 25))  # 33.5M rows
@@ -118,7 +90,14 @@ def main() -> None:
     vs = rows_per_s / roofline_rows
 
     # ---- secondary operators (stderr) --------------------------------
+    # skipped when the headline consumed too much wall clock (cold remote
+    # AOT compiles run ~90 s each); the driver only records the JSON line
+    budget_s = float(os.environ.get("DFTPU_BENCH_BUDGET_S", "420"))
     try:
+        if time.time() - _t_start > budget_s * 0.5:
+            raise TimeoutError(
+                f"headline took {time.time() - _t_start:.0f}s; skipping secondaries"
+            )
         for label, sql in [
             ("hash_aggregate", "SELECT k, MIN(lat), MAX(lat), SUM(lng), COUNT(lat) FROM cities GROUP BY k"),
             ("sort", "SELECT k, lat FROM cities ORDER BY lat"),

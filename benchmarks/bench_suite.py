@@ -32,31 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 
-def slope_time(fn, env, iters=None):
-    def run(k):
-        out = None
-        for _ in range(k):
-            out = fn(env)
-        np.asarray(jax.device_get(out[2][:1]))  # fence on sel
+def slope_time(fn, env):
+    from datafusion_tpu.utils.benchtime import time_pipeline
 
-    run(2)
-    if iters is None:
-        t0 = time.perf_counter()
-        run(1)
-        base = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run(6)
-        est = max((time.perf_counter() - t0 - base) / 5, 1e-4)
-        iters = int(min(64, max(4, 2.0 / est)))
-    slopes = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run(1)
-        t1 = time.perf_counter()
-        run(1 + iters)
-        t2 = time.perf_counter()
-        slopes.append(((t2 - t1) - (t1 - t0)) / iters)
-    return max(statistics.median(slopes), 1e-9)
+    return time_pipeline(fn, env)
 
 
 def compile_query(sql, tables):

@@ -373,11 +373,21 @@ class SqlToRel:
         # (reference: sqlplanner.rs:141-165); table qualifiers no longer
         # apply at that point — the output columns are unqualified
         if sel.order_by:
-            keys = tuple(
-                SortExpr(self.sql_to_rex(ob.expr, plan.schema, None), ob.asc)
-                for ob in sel.order_by
-            )
-            plan = Sort(keys, plan, plan.schema)
+
+            def key_of(ob: A.SQLOrderByExpr) -> SortExpr:
+                # ORDER BY <ordinal> — 1-based output-column position
+                # (beyond the reference)
+                if isinstance(ob.expr, A.SQLLong):
+                    i = ob.expr.value
+                    if not 1 <= i <= len(plan.schema):
+                        raise PlanError(
+                            f"ORDER BY position {i} is out of range "
+                            f"(1..{len(plan.schema)})"
+                        )
+                    return SortExpr(Column(i - 1), ob.asc)
+                return SortExpr(self.sql_to_rex(ob.expr, plan.schema, None), ob.asc)
+
+            plan = Sort(tuple(key_of(ob) for ob in sel.order_by), plan, plan.schema)
         if sel.limit is not None:
             if not isinstance(sel.limit, A.SQLLong):
                 raise PlanError("LIMIT parameter is not a number")

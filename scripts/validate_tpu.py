@@ -1,0 +1,90 @@
+"""Validate the TPU fast paths against the XLA reference paths ON THE
+REAL CHIP. The pytest suite runs on CPU (interpret-mode pallas), which
+cannot see hardware-only effects — this caught the MXU default-precision
+bug where grouped SUM was ~0.4% off (bf16 value rounding) while every
+interpret-mode test passed.
+
+Usage: python scripts/validate_tpu.py  (exits nonzero on mismatch)
+"""
+
+import os
+import sys
+
+os.environ.setdefault("DFTPU_X64", "0")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    platform = jax.devices()[0].platform
+    if platform not in ("tpu", "axon"):
+        print(f"not on TPU (platform={platform}); nothing to validate")
+        return 0
+
+    import datafusion_tpu as df
+
+    n = 1 << 17
+    rng = np.random.default_rng(7)
+    data = {
+        "k": rng.integers(0, 5000, n).astype(np.int32),
+        "lat": (rng.random(n, dtype=np.float32) * 40 + 30),
+        "lng": (rng.random(n, dtype=np.float32) * 360 - 180),
+    }
+    dim = {
+        "pk": np.arange(4096, dtype=np.int32),
+        "w": rng.random(4096, dtype=np.float32),
+    }
+
+    queries = [
+        "SELECT k, MIN(lat), MAX(lat), SUM(lng), COUNT(lat), AVG(lat) "
+        "FROM t WHERE lng > -100 GROUP BY k",
+        "SELECT k, lat FROM t WHERE lat > 50 ORDER BY lat LIMIT 1000",
+        "SELECT t.k, dim.w FROM t JOIN dim ON t.k = dim.pk WHERE t.lat > 60",
+        "SELECT COUNT(*), SUM(lat), MIN(lng) FROM t",
+    ]
+
+    def run(knobs: dict) -> list:
+        for k, v in knobs.items():
+            os.environ[k] = v
+        try:
+            ctx = df.ExecutionContext()
+            ctx.register_table("t", df.Table.from_pydict(dict(data)))
+            ctx.register_table("dim", df.Table.from_pydict(dict(dim)))
+            return [ctx.sql(q).to_pylist() for q in queries]
+        finally:
+            for k in knobs:
+                os.environ.pop(k, None)
+
+    fast = run({})  # default: pallas + compact join
+    ref = run({"DFTPU_PALLAS": "0", "DFTPU_LOCAL_JOIN": "expand"})
+
+    failures = 0
+    for qi, (a, b) in enumerate(zip(fast, ref)):
+        if len(a) != len(b):
+            print(f"query {qi}: row count {len(a)} vs {len(b)} MISMATCH")
+            failures += 1
+            continue
+        cols = list(a[0].keys()) if a else []
+        for c in cols:
+            x = np.asarray([row[c] for row in a], dtype=np.float64)
+            y = np.asarray([row[c] for row in b], dtype=np.float64)
+            ok = np.allclose(x, y, rtol=1e-5, atol=1e-4, equal_nan=True)
+            if not ok:
+                print(
+                    f"query {qi} col {c}: MISMATCH "
+                    f"max|d|={np.max(np.abs(x - y)):.3e}"
+                )
+                failures += 1
+        print(f"query {qi}: {'OK' if failures == 0 else 'checked'} ({len(a)} rows)")
+    if failures:
+        print(f"{failures} mismatches")
+        return 1
+    print("ALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -179,3 +179,32 @@ def test_having_with_unprojected_aggregate():
         "SELECT a, SUM(b) * 1.0 AS s FROM t GROUP BY a HAVING COUNT(b) > 1 ORDER BY a"
     ).result_str()
     assert out == "2\t4.0\n3\t15.0\n"
+
+
+def test_order_by_ordinal():
+    import numpy as np
+    import datafusion_tpu as df
+
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "t",
+        df.Table.from_pydict(
+            {"a": np.array([3, 1, 2], np.int64), "b": np.array([9.0, 8.0, 7.0])}
+        ),
+    )
+    r = ctx.sql("SELECT a, b FROM t ORDER BY 2")
+    assert [row["a"] for row in r.to_pylist()] == [2, 1, 3]
+    r = ctx.sql("SELECT a, b FROM t ORDER BY 1 DESC")
+    assert [row["a"] for row in r.to_pylist()] == [3, 2, 1]
+
+
+def test_order_by_ordinal_out_of_range():
+    import numpy as np
+    import pytest
+    import datafusion_tpu as df
+    from datafusion_tpu.errors import PlanError
+
+    ctx = df.ExecutionContext()
+    ctx.register_table("t", df.Table.from_pydict({"a": np.array([1], np.int64)}))
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT a FROM t ORDER BY 2")

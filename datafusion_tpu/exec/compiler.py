@@ -89,10 +89,14 @@ class CompiledQuery:
     # (elided from the jit outputs; materialized straight from the table
     # buffers), or None for computed columns
     _sources: Optional[list[Optional[tuple[int, int]]]] = None
+    # slot index -> custom growth fn(total) -> new cap (default: round_up)
+    _grows: Optional[dict[int, Callable[[int], int]]] = None
 
     def run(self):
         """Execute; on capacity overflow (join matches or group count
-        exceeding the compiled static size), recompile larger and retry."""
+        exceeding the compiled static size), recompile larger and retry.
+        Slots with a custom growth policy (see PlanCompiler._alloc_cap)
+        grow through it instead of the row-count round-up."""
         from datafusion_tpu.exec.result import ResultTable
 
         env = [
@@ -100,11 +104,15 @@ class CompiledQuery:
         ]
         datas, valids, sel, totals = self._jitted(env)
         totals = [int(t) for t in jax.device_get(totals)] if totals else []
+        grows = self._grows or {}
+        overflow = False
+        bigger = list(self._caps)
         for i, tot in enumerate(totals):
             if tot > self._caps[i]:
-                bigger = list(self._caps)
-                bigger[i] = round_up(tot)
-                return self._recompile(bigger).run()
+                overflow = True
+                bigger[i] = grows[i](tot) if i in grows else round_up(tot)
+        if overflow:
+            return self._recompile(bigger).run()
         sel_np = np.asarray(jax.device_get(sel))
         idx = np.nonzero(sel_np)[0]
         sources = self._sources or [None] * len(self.schema)
@@ -139,13 +147,19 @@ class PlanCompiler:
         self.caps_in = list(caps) if caps else []
         self.caps: list[int] = []
         self.totals: list = []  # traced counts, parallel to caps
+        self.grows: dict[int, Callable[[int], int]] = {}
 
-    def _alloc_cap(self, default: int) -> int:
+    def _alloc_cap(self, default: int, grow=None) -> int:
         """Allocate a static-capacity slot (join output / group count),
-        honoring overrides from an overflow-retry recompile."""
+        honoring overrides from an overflow-retry recompile. `grow`
+        overrides how the slot expands on overflow (default: round_up of
+        the reported total — right for row counts, wrong for small
+        factors like the shuffle salt)."""
         slot = len(self.caps)
         cap = self.caps_in[slot] if slot < len(self.caps_in) else default
         self.caps.append(cap)
+        if grow is not None:
+            self.grows[slot] = grow
         return cap
 
     # ------------------------------------------------------------------
@@ -580,4 +594,5 @@ def compile_plan(
         _caps=list(pc.caps),
         _recompile=recompile,
         _sources=sources,
+        _grows=dict(pc.grows),
     )

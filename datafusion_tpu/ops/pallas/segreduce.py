@@ -161,28 +161,49 @@ def _kernel(ops, mask_map, n_masks, dense, has_ends, gid_ref, *refs):
             if need_local_oh
             else None
         )
+        # ---- sum/count: ONE stacked dot per mask ----------------------
+        # the MXU pads M up to a full sublane tile, so stacking every
+        # sum/count op that shares a mask into one [A, SUB] @ [SUB, W]
+        # product costs the same as a single row — and the whole stack
+        # shares the multi-pass f32 product (DEFAULT precision rounds the
+        # f32 value operand to bf16 in the MXU: measured ~0.4% relative
+        # error in grouped SUM on real v5e hardware; 0/1 count rows are
+        # exact at any precision).
+        by_mask: dict[int, list[int]] = {}
         for a, op in enumerate(ops):
-            oh = onehots[mask_key_of[a]]
+            if op in ("sum", "count"):
+                by_mask.setdefault(mask_key_of[a], []).append(a)
+        for mk, idxs in by_mask.items():
+            oh = onehots[mk]
+            m = ms[mk]
+            rows = []
+            any_sum = False
+            for a in idxs:
+                if ops[a] == "count":
+                    rows.append(m.astype(jnp.float32)[sl])
+                else:
+                    any_sum = True
+                    v = val_refs[a][:]
+                    rows.append(
+                        jnp.where(m, v, jnp.zeros((), v.dtype)).astype(jnp.float32)[sl]
+                    )
+            stacked = jnp.stack(rows, axis=0)  # [A, SUB]
+            prod = jnp.dot(
+                stacked,
+                oh,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST if any_sum else None,
+            )  # [A, W]
+            for r, a in enumerate(idxs):
+                contribs[a] = contribs[a] + prod[r]
+
+        for a, op in enumerate(ops):
             m = ms[mask_key_of[a]]
             v = val_refs[a][:]
             if op in ("sum", "count"):
-                vv = (
-                    m.astype(jnp.float32)
-                    if op == "count"
-                    else jnp.where(m, v, jnp.zeros((), v.dtype)).astype(jnp.float32)
-                )
-                # count: 0/1 products are bf16-exact, default MXU precision
-                # is fine. sum: the DEFAULT precision rounds the f32 value
-                # operand to bf16 in the MXU (measured ~0.4% relative error
-                # on real v5e hardware) — force the multi-pass f32 product.
-                prec = None if op == "count" else lax.Precision.HIGHEST
-                contribs[a] = contribs[a] + jnp.dot(
-                    vv[sl][None, :],
-                    oh,
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                )[0]
-            elif a in scanned:
+                continue  # handled by the stacked dot above
+            oh = onehots[mask_key_of[a]]
+            if a in scanned:
                 big = _identity(op, v.dtype)
                 # place each run-end's scanned value; exactly one
                 # contributor per window column ⇒ the dot IS the value.

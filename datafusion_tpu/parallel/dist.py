@@ -374,6 +374,14 @@ class DistCompiler(PlanCompiler):
             if dup_cap > 0 or _os.environ.get("DFTPU_LOCAL_JOIN") == "expand"
             else "compact"
         )
+        # skew salt: a hot probe key floods one device; when the max
+        # per-destination send count exceeds 4x the balanced share, the
+        # reported "needed salt" overflows this slot and the retry
+        # recompiles with probe rows spread over salt_r devices and build
+        # rows replicated salt_r ways (parallel/shuffle.py)
+        salt_r = self._alloc_cap(
+            1, grow=lambda t: max(2, min(n, 1 << (max(t, 2) - 1).bit_length()))
+        )
         remaps = self._join_key_remaps(plan, left, right)
         key_maxes = self._join_key_maxes(plan, left, right)
 
@@ -396,15 +404,39 @@ class DistCompiler(PlanCompiler):
             rkeys = keys_of(rb, rb.cols, rcap_local, "r")
             from datafusion_tpu.parallel.shuffle import hash_keys_to_device
 
-            ldst = hash_keys_to_device(lkeys, n)
-            rdst = hash_keys_to_device(rkeys, n)
+            liota = lax.broadcasted_iota(jnp.int32, (lcap_local,), 0)
+            ldst = hash_keys_to_device(
+                lkeys, n, salt_r=salt_r, salt=liota % salt_r
+            )
             lcols2, lsel2, lmax = repartition(
                 [_broadcast_col(c, lcap_local) for c in lb.cols], ldst, lb.sel, n, s_l
             )
-            self.totals.append(lax.pmax(lmax, AXIS))
-            rcols2, rsel2, rmax = repartition(
-                [_broadcast_col(c, rcap_local) for c in rb.cols], rdst, rb.sel, n, s_r
-            )
+            lmax_g = lax.pmax(lmax, AXIS)
+            self.totals.append(lmax_g)
+            if salt_r > 1:
+                # replicate each build row once per salt bucket
+                rcap_rep = rcap_local * salt_r
+                rcols_in = []
+                for d, v in (_broadcast_col(c, rcap_local) for c in rb.cols):
+                    rcols_in.append(
+                        (
+                            jnp.tile(d, salt_r),
+                            None if v is None else jnp.tile(v, salt_r),
+                        )
+                    )
+                rsel_in = jnp.tile(rb.sel, salt_r)
+                replica = (
+                    lax.broadcasted_iota(jnp.int32, (rcap_rep,), 0) // rcap_local
+                )
+                rkeys_rep = [jnp.tile(k, salt_r) for k in rkeys]
+                rdst = hash_keys_to_device(
+                    rkeys_rep, n, salt_r=salt_r, salt=replica
+                )
+            else:
+                rcols_in = [_broadcast_col(c, rcap_local) for c in rb.cols]
+                rsel_in = rb.sel
+                rdst = hash_keys_to_device(rkeys, n)
+            rcols2, rsel2, rmax = repartition(rcols_in, rdst, rsel_in, n, s_r)
             self.totals.append(lax.pmax(rmax, AXIS))
 
             lkeys2 = keys_of(None, lcols2, n * s_l, "l")
@@ -429,6 +461,12 @@ class DistCompiler(PlanCompiler):
                 if local_strategy == "compact"
                 else jnp.zeros((), jnp.int32)
             )
+            # needed salt = how far the worst send cell exceeds 4x the
+            # balanced share; > salt_r triggers the salted recompile
+            total_sel = lax.psum(jnp.sum(lb.sel.astype(jnp.int32)), AXIS)
+            bal_cell = jnp.maximum(total_sel // (n * n), 1)
+            need = jnp.minimum((lmax_g + 4 * bal_cell - 1) // (4 * bal_cell), n)
+            self.totals.append(jnp.maximum(need, 1).astype(jnp.int32))
             if plan.join_type is L.JoinType.Left:
                 rcols3 = [
                     (d, matched if v is None else jnp.logical_and(v, matched))
@@ -895,4 +933,5 @@ def compile_plan_distributed(
         _scan_tables=pc.scan_tables,
         _caps=list(pc.caps),
         _recompile=recompile,
+        _grows=dict(pc.grows),
     )

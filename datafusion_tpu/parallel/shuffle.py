@@ -28,16 +28,27 @@ from datafusion_tpu.parallel.mesh import AXIS
 ColVal = tuple[jax.Array, Optional[jax.Array]]
 
 
-def hash_keys_to_device(keys, n_dev: int) -> jax.Array:
+def hash_keys_to_device(
+    keys, n_dev: int, *, salt_r: int = 1, salt: Optional[jax.Array] = None
+) -> jax.Array:
     """Route multi-column keys: mix each column and combine — avoids any
     need for exact width-packing (collisions only affect balance, not
-    correctness, since both sides hash identically)."""
+    correctness, since both sides hash identically).
+
+    Skew salting (salt_r > 1): a key's rows spread over salt_r distinct
+    devices {(h*salt_r + j) % n_dev : j in [0, salt_r)}. Probe rows pass
+    salt = row % salt_r; the build side replicates each row once per j so
+    every probe replica still sees every matching build row exactly once
+    (SURVEY.md §7 skew-aware repartitioning)."""
     h = None
     for k in keys:
         m = k.astype(jnp.uint32) * jnp.uint32(2654435761)
         m = m ^ (m >> 16)
         h = m if h is None else (h * jnp.uint32(31) + m)
     h = h ^ (h >> 13)
+    if salt_r > 1:
+        s = jnp.uint32(0) if salt is None else salt.astype(jnp.uint32)
+        h = h * jnp.uint32(salt_r) + s
     return (h % jnp.uint32(n_dev)).astype(jnp.int32)
 
 

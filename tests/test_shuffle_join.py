@@ -68,3 +68,30 @@ def test_broadcast_vs_shuffle_agree(mesh, monkeypatch):
     b = run(mesh, fact, dim, monkeypatch, "broadcast")
     s = run(mesh, fact, dim, monkeypatch, "shuffle")
     assert b == s
+
+
+def test_shuffle_join_extreme_skew_salted(mesh, monkeypatch):
+    # 90% of rows on one key: needed salt exceeds 2 — probe rows spread
+    # across salted destinations and build rows replicate to match
+    fact, dim = join_case(skew=False, n_fact=6000)
+    fact["fk"][: int(6000 * 0.9)] = 3
+    single = run(None, fact, dim, monkeypatch, "auto")
+    shuffled = run(mesh, fact, dim, monkeypatch, "shuffle")
+    assert single == shuffled
+
+
+def test_shuffle_left_join_skewed(mesh, monkeypatch):
+    fact, dim = join_case(skew=True)
+    sql = (
+        "SELECT fact.fk, COUNT(fact.x) FROM fact "
+        "LEFT JOIN dim ON fact.fk = dim.pk GROUP BY fk ORDER BY fk"
+    )
+    monkeypatch.setenv("DFTPU_JOIN_STRATEGY", "auto")
+    ctx1 = ExecutionContext()
+    ctx1.register_table("fact", Table.from_pydict(fact))
+    ctx1.register_table("dim", Table.from_pydict(dim))
+    monkeypatch.setenv("DFTPU_JOIN_STRATEGY", "shuffle")
+    ctx2 = ExecutionContext(mesh=mesh)
+    ctx2.register_table("fact", Table.from_pydict(fact))
+    ctx2.register_table("dim", Table.from_pydict(dim))
+    assert ctx1.sql(sql).result_str() == ctx2.sql(sql).result_str()

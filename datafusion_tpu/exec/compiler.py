@@ -446,6 +446,22 @@ class PlanCompiler:
         return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
 
     def _lower_limit(self, plan: L.Limit) -> Lowered:
+        # ORDER BY key LIMIT k fuses into a top-k selection: O(n log k)
+        # and a k-row gather instead of the full n-row multi-operand sort.
+        # lax.top_k breaks ties by lowest index — the same original-row
+        # order the full sort's iota tie-break produces.
+        import os
+
+        topk_ok = (
+            isinstance(plan.input, L.Sort)
+            and len(plan.input.exprs) == 1
+            and 0 < plan.limit <= 4096
+            and os.environ.get("DFTPU_TOPK", "1") != "0"
+        )
+        if topk_ok:
+            lowered = self._lower_topk(plan.input, plan.limit)
+            if lowered is not None:
+                return lowered
         child = self.lower(plan.input)
         k = plan.limit
 
@@ -454,6 +470,70 @@ class PlanCompiler:
             return Batch(b.cols, sort_ops.limit_mask(b.sel, k))
 
         return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
+
+    def _lower_topk(self, plan: L.Sort, k: int) -> Optional[Lowered]:
+        child = self.lower(plan.input)
+        if child.layout != "single":
+            return None  # distributed sort keeps the sample-sort path
+        se = plan.exprs[0]
+        keyc = compile_expr(se.expr, child.schema, child.dicts, self.fn_registry)
+        from datafusion_tpu.ops.aggregate import to_sortable_int
+        from datafusion_tpu.types import physical_np
+
+        if physical_np(keyc.dtype) == np.dtype(np.uint64) and not jax.config.jax_enable_x64:
+            return None  # no order-preserving signed image without 64-bit
+        kk = min(k, child.capacity)
+
+        def _signed_rank(key: jax.Array) -> Optional[jax.Array]:
+            """Order-preserving map of a sort key to a signed int rank."""
+            dt = key.dtype
+            if dt == jnp.bool_ or dt in (jnp.int8, jnp.int16, jnp.uint8, jnp.uint16):
+                return key.astype(jnp.int32)
+            if dt in (jnp.int32, jnp.int64):
+                return key
+            if dt == jnp.uint32:
+                return lax.bitcast_convert_type(
+                    key ^ jnp.uint32(1 << 31), jnp.int32
+                )
+            if dt == jnp.uint64:
+                if not jax.config.jax_enable_x64:
+                    return None
+                return lax.bitcast_convert_type(
+                    key ^ jnp.uint64(1 << 63), jnp.int64
+                )
+            return None
+
+        def fn(env) -> Batch:
+            b = child.fn(env)
+            kd, kv = _broadcast_col(keyc.fn(b.cols), b.capacity)
+            rank = _signed_rank(to_sortable_int(kd))
+            assert rank is not None  # dtype support checked at lower time
+            info = jnp.iinfo(rank.dtype)
+            # top_k returns LARGEST first; ascending wants smallest first —
+            # bitwise-not reverses signed-int order exactly
+            rank = jnp.invert(rank) if se.asc else rank
+            # rank tiers (ties break by lowest index = original row order):
+            #   real keys >= min+2 > NULL keys (min+1) > unselected (min).
+            # The clamp can merge the two most-extreme key values — only
+            # observable when both land in the result's very tail.
+            rank = jnp.maximum(rank, info.min + 2)
+            if kv is not None:
+                rank = jnp.where(kv, rank, info.min + 1)  # NULLs last
+            rank = jnp.where(b.sel, rank, info.min)
+            _, idx = lax.top_k(rank, kk)
+            cols = []
+            for d, v in (_broadcast_col(c, b.capacity) for c in b.cols):
+                cols.append(
+                    (
+                        jnp.take(d, idx),
+                        None if v is None else jnp.take(v, idx),
+                    )
+                )
+            n_valid = jnp.sum(b.sel.astype(jnp.int32))
+            iota = lax.broadcasted_iota(jnp.int32, (kk,), 0)
+            return Batch(cols, iota < jnp.minimum(n_valid, kk))
+
+        return Lowered(child.schema, child.dicts, fn, kk, child.layout)
 
     def _lower_join(self, plan: L.Join) -> Lowered:
         # RIGHT join = LEFT join with sides swapped + output columns

@@ -1,0 +1,79 @@
+"""ORDER BY <single key> LIMIT k fuses into lax.top_k
+(exec/compiler.py _lower_topk); DFTPU_TOPK=0 keeps the full sort.
+Both paths must agree — including NULL placement and tie stability."""
+
+import numpy as np
+import pytest
+
+import datafusion_tpu as df
+
+
+def _ctx():
+    rng = np.random.default_rng(3)
+    n = 5000
+    v = rng.random(n).astype(np.float64) * 200 - 100
+    a = rng.integers(-1000, 1000, n).astype(np.int64)
+    s = np.array([f"s{int(x) % 37:02d}" for x in a], dtype=object)
+    nullable = v.copy()
+    mask = rng.random(n) < 0.1
+    nullable[mask] = np.nan  # from_pydict: NaN → NULL
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "t", df.Table.from_pydict({"a": a, "v": v, "s": s, "nv": nullable})
+    )
+    return ctx
+
+
+QUERIES = [
+    "SELECT a, v FROM t ORDER BY v LIMIT 25",
+    "SELECT a, v FROM t ORDER BY v DESC LIMIT 25",
+    "SELECT a FROM t ORDER BY a LIMIT 40",
+    "SELECT a FROM t ORDER BY a DESC LIMIT 40",
+    "SELECT s, a FROM t ORDER BY s LIMIT 15",
+    "SELECT a, nv FROM t WHERE a > 500 ORDER BY nv LIMIT 30",
+    "SELECT a FROM t WHERE a > 990 ORDER BY a LIMIT 4000",  # k > matches
+]
+
+
+@pytest.mark.parametrize("sql", QUERIES)
+def test_topk_matches_full_sort(sql, monkeypatch):
+    fused = _ctx().sql(sql).result_str()
+    monkeypatch.setenv("DFTPU_TOPK", "0")
+    full = _ctx().sql(sql).result_str()
+    assert fused == full
+
+
+def test_topk_tie_stability(monkeypatch):
+    # equal keys keep original row order on both paths
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "t",
+        df.Table.from_pydict(
+            {
+                "k": np.array([1, 1, 0, 1, 0, 0], np.int64),
+                "row": np.arange(6, dtype=np.int64),
+            }
+        ),
+    )
+    r = ctx.sql("SELECT k, row FROM t ORDER BY k LIMIT 4")
+    assert [row["row"] for row in r.to_pylist()] == [2, 4, 5, 0]
+
+
+def test_topk_multi_key_falls_back():
+    # two sort keys: no top-k; still correct via the full sort
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "t",
+        df.Table.from_pydict(
+            {
+                "k": np.array([1, 0, 1, 0], np.int64),
+                "v": np.array([4.0, 3.0, 2.0, 1.0]),
+            }
+        ),
+    )
+    r = ctx.sql("SELECT k, v FROM t ORDER BY k, v LIMIT 3")
+    assert [tuple(row.values()) for row in r.to_pylist()] == [
+        (0, 1.0),
+        (0, 3.0),
+        (1, 2.0),
+    ]

@@ -135,6 +135,43 @@ def _broadcast_col(cv: ColVal, capacity: int) -> ColVal:
     return d, v
 
 
+def _signed_rank(key: jax.Array) -> Optional[jax.Array]:
+    """Order-preserving map of a sort key to a signed int rank."""
+    dt = key.dtype
+    if dt == jnp.bool_ or dt in (jnp.int8, jnp.int16, jnp.uint8, jnp.uint16):
+        return key.astype(jnp.int32)
+    if dt in (jnp.int32, jnp.int64):
+        return key
+    if dt == jnp.uint32:
+        return lax.bitcast_convert_type(key ^ jnp.uint32(1 << 31), jnp.int32)
+    if dt == jnp.uint64:
+        if not jax.config.jax_enable_x64:
+            return None
+        return lax.bitcast_convert_type(key ^ jnp.uint64(1 << 63), jnp.int64)
+    return None
+
+
+def topk_rank(kd: jax.Array, kv, sel: jax.Array, asc: bool) -> jax.Array:
+    """Signed rank where the top-k LARGEST ranks are the LIMIT result.
+
+    Rank tiers (lax.top_k breaks ties by lowest index = original row
+    order): real keys >= min+2 > NULL keys (min+1) > unselected rows
+    (min). The low clamp can merge the two most-extreme key values — only
+    observable when both land in the result's very tail."""
+    from datafusion_tpu.ops.aggregate import to_sortable_int
+
+    rank = _signed_rank(to_sortable_int(kd))
+    assert rank is not None  # dtype support is checked at lower time
+    info = jnp.iinfo(rank.dtype)
+    # top_k returns LARGEST first; ascending wants smallest first —
+    # bitwise-not reverses signed-int order exactly
+    rank = jnp.invert(rank) if asc else rank
+    rank = jnp.maximum(rank, info.min + 2)
+    if kv is not None:
+        rank = jnp.where(kv, rank, info.min + 1)  # NULLs last
+    return jnp.where(sel, rank, info.min)
+
+
 class PlanCompiler:
     # default static number of group slots for GROUP BY outputs; grown
     # automatically (with a recompile) when a query produces more groups
@@ -477,49 +514,16 @@ class PlanCompiler:
             return None  # distributed sort keeps the sample-sort path
         se = plan.exprs[0]
         keyc = compile_expr(se.expr, child.schema, child.dicts, self.fn_registry)
-        from datafusion_tpu.ops.aggregate import to_sortable_int
         from datafusion_tpu.types import physical_np
 
         if physical_np(keyc.dtype) == np.dtype(np.uint64) and not jax.config.jax_enable_x64:
             return None  # no order-preserving signed image without 64-bit
         kk = min(k, child.capacity)
 
-        def _signed_rank(key: jax.Array) -> Optional[jax.Array]:
-            """Order-preserving map of a sort key to a signed int rank."""
-            dt = key.dtype
-            if dt == jnp.bool_ or dt in (jnp.int8, jnp.int16, jnp.uint8, jnp.uint16):
-                return key.astype(jnp.int32)
-            if dt in (jnp.int32, jnp.int64):
-                return key
-            if dt == jnp.uint32:
-                return lax.bitcast_convert_type(
-                    key ^ jnp.uint32(1 << 31), jnp.int32
-                )
-            if dt == jnp.uint64:
-                if not jax.config.jax_enable_x64:
-                    return None
-                return lax.bitcast_convert_type(
-                    key ^ jnp.uint64(1 << 63), jnp.int64
-                )
-            return None
-
         def fn(env) -> Batch:
             b = child.fn(env)
             kd, kv = _broadcast_col(keyc.fn(b.cols), b.capacity)
-            rank = _signed_rank(to_sortable_int(kd))
-            assert rank is not None  # dtype support checked at lower time
-            info = jnp.iinfo(rank.dtype)
-            # top_k returns LARGEST first; ascending wants smallest first —
-            # bitwise-not reverses signed-int order exactly
-            rank = jnp.invert(rank) if se.asc else rank
-            # rank tiers (ties break by lowest index = original row order):
-            #   real keys >= min+2 > NULL keys (min+1) > unselected (min).
-            # The clamp can merge the two most-extreme key values — only
-            # observable when both land in the result's very tail.
-            rank = jnp.maximum(rank, info.min + 2)
-            if kv is not None:
-                rank = jnp.where(kv, rank, info.min + 1)  # NULLs last
-            rank = jnp.where(b.sel, rank, info.min)
+            rank = topk_rank(kd, kv, b.sel, se.asc)
             _, idx = lax.top_k(rank, kk)
             cols = []
             for d, v in (_broadcast_col(c, b.capacity) for c in b.cols):

@@ -228,6 +228,17 @@ class DistCompiler(PlanCompiler):
         return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
 
     def _lower_limit(self, plan: L.Limit) -> Lowered:
+        import os
+
+        if (
+            isinstance(plan.input, L.Sort)
+            and len(plan.input.exprs) == 1
+            and 0 < plan.limit <= 4096
+            and os.environ.get("DFTPU_TOPK", "1") != "0"
+        ):
+            low = self._lower_topk_dist(plan.input, plan.limit)
+            if low is not None:
+                return low
         child = self.lower(plan.input)
         if child.layout != "partitioned":
             return self._limit_over(child, plan.limit)
@@ -245,6 +256,66 @@ class DistCompiler(PlanCompiler):
             return Batch(b.cols, keep)
 
         return Lowered(child.schema, child.dicts, fn, child.capacity, "partitioned")
+
+    def _lower_topk_dist(self, plan: L.Sort, k: int) -> Optional[Lowered]:
+        """Distributed ORDER BY key LIMIT k: per-shard lax.top_k, then an
+        all_gather of the k-row candidates over ICI (k*n_dev rows — tiny
+        vs the sample sort's full-table range exchange), then one final
+        top_k on the replicated candidates. Cross-device ties break by
+        device order then local row order = global original row order —
+        stricter than the sample sort's tie routing."""
+        from datafusion_tpu.exec.compiler import topk_rank
+        from datafusion_tpu.types import physical_np as _phys
+
+        child = self.lower(plan.input)
+        if child.layout != "partitioned":
+            return None  # base single-chip fusion handles it via super()
+        se = plan.exprs[0]
+        keyc = compile_expr(se.expr, child.schema, child.dicts, self.fn_registry)
+        if _phys(keyc.dtype) == np.dtype(np.uint64) and not jax.config.jax_enable_x64:
+            return None
+        n = self.n_dev
+        local_cap = child.capacity // n
+        kk = min(k, local_cap)
+
+        def fn(env) -> Batch:
+            b = child.fn(env)
+            kd, kv = _broadcast_col(keyc.fn(b.cols), local_cap)
+            rank = topk_rank(kd, kv, b.sel, se.asc)
+            lvals, lidx = lax.top_k(rank, kk)
+            lcols = []
+            for d, v in (_broadcast_col(c, local_cap) for c in b.cols):
+                lcols.append(
+                    (
+                        jnp.take(d, lidx),
+                        None if v is None else jnp.take(v, lidx),
+                    )
+                )
+            lsel = jnp.take(b.sel, lidx)
+            # gather the candidates (device order preserves global row order)
+            g_rank = lax.all_gather(lvals, AXIS, axis=0, tiled=True)
+            g_sel = lax.all_gather(lsel, AXIS, axis=0, tiled=True)
+            g_cols = []
+            for d, v in lcols:
+                gd = lax.all_gather(d, AXIS, axis=0, tiled=True)
+                gv = None if v is None else lax.all_gather(v, AXIS, axis=0, tiled=True)
+                g_cols.append((gd, gv))
+            kf = min(k, n * kk)
+            _, idx2 = lax.top_k(g_rank, kf)
+            cols2 = [
+                (
+                    jnp.take(d, idx2),
+                    None if v is None else jnp.take(v, idx2),
+                )
+                for d, v in g_cols
+            ]
+            total = lax.psum(jnp.sum(b.sel.astype(jnp.int32)), AXIS)
+            iota = lax.broadcasted_iota(jnp.int32, (kf,), 0)
+            out_sel = jnp.logical_and(iota < jnp.minimum(total, kf), jnp.take(g_sel, idx2))
+            return Batch(cols2, out_sel)
+
+        kf_static = min(k, n * kk)
+        return Lowered(child.schema, child.dicts, fn, kf_static, "replicated")
 
     def _limit_over(self, child: Lowered, k: int) -> Lowered:
         def fn(env) -> Batch:

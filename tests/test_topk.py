@@ -77,3 +77,25 @@ def test_topk_multi_key_falls_back():
         (0, 3.0),
         (1, 2.0),
     ]
+
+
+def test_topk_distributed_matches_single():
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    n = 8192
+    data = {
+        "a": rng.integers(-500, 500, n).astype(np.int64),
+        "v": rng.random(n).astype(np.float64),
+    }
+    sqls = [
+        "SELECT a, v FROM t ORDER BY v LIMIT 17",
+        "SELECT a, v FROM t ORDER BY v DESC LIMIT 17",
+        "SELECT a FROM t WHERE v > 0.9 ORDER BY a LIMIT 2000",
+    ]
+    for sql in sqls:
+        ctx1 = df.ExecutionContext()
+        ctx1.register_table("t", df.Table.from_pydict(dict(data)))
+        ctx2 = df.ExecutionContext(mesh=make_mesh())
+        ctx2.register_table("t", df.Table.from_pydict(dict(data)))
+        assert ctx1.sql(sql).result_str() == ctx2.sql(sql).result_str(), sql

@@ -185,6 +185,23 @@ class PlanCompiler:
         self.caps: list[int] = []
         self.totals: list = []  # traced counts, parallel to caps
         self.grows: dict[int, Callable[[int], int]] = {}
+        self.notes: list[str] = []  # physical choices, for EXPLAIN VERBOSE
+
+    def _speculative(self, attempt):
+        """Run a lowering attempt that may return None; on None, roll back
+        every side effect (capacity slots, growth policies, notes, scan
+        slots) so the fallback path re-allocates from a clean state —
+        otherwise the caps list and the traced totals misalign and the
+        overflow retry grows the wrong slot."""
+        marks = (len(self.caps), len(self.notes), len(self.scan_tables))
+        res = attempt()
+        if res is None:
+            del self.caps[marks[0]:]
+            for k in [k for k in self.grows if k >= marks[0]]:
+                del self.grows[k]
+            del self.notes[marks[1]:]
+            del self.scan_tables[marks[2]:]
+        return res
 
     def _alloc_cap(self, default: int, grow=None) -> int:
         """Allocate a static-capacity slot (join output / group count),
@@ -405,6 +422,9 @@ class PlanCompiler:
                         dense_ok = False
             if dense_ok:
                 dom = len(kdict)
+                self.notes.append(
+                    f"aggregate: dense sort-free group-by (dictionary domain={dom})"
+                )
 
                 def fn_dense(env) -> Batch:
                     b = child.fn(env)
@@ -424,6 +444,9 @@ class PlanCompiler:
                 return Lowered(plan.schema, out_dicts, fn_dense, dom + 1, child.layout)
 
             gcap = self._alloc_cap(min(child.capacity, self.DEFAULT_GROUP_CAPACITY))
+            self.notes.append(
+                f"aggregate: co-sort + segmented reduce, group_capacity={gcap}"
+            )
 
             def fn(env) -> Batch:
                 b = child.fn(env)
@@ -496,8 +519,13 @@ class PlanCompiler:
             and os.environ.get("DFTPU_TOPK", "1") != "0"
         )
         if topk_ok:
-            lowered = self._lower_topk(plan.input, plan.limit)
+            lowered = self._speculative(
+                lambda: self._lower_topk(plan.input, plan.limit)
+            )
             if lowered is not None:
+                self.notes.append(
+                    f"sort+limit: fused lax.top_k (k={plan.limit}, no full sort)"
+                )
                 return lowered
         child = self.lower(plan.input)
         k = plan.limit
@@ -576,6 +604,11 @@ class PlanCompiler:
 
         if os.environ.get("DFTPU_LOCAL_JOIN") == "expand":  # test/debug override
             strategy = "expand"
+        self.notes.append(
+            f"join: {strategy} "
+            f"({'one row per probe, dup-count fallback armed' if strategy == 'compact' else 'scatter-expand'}), "
+            f"out_capacity={out_cap}"
+        )
 
         # pre-compute dictionary remaps for string join keys + static key
         # bounds for int32 two-key packing

@@ -132,7 +132,27 @@ class ExecutionContext:
             from datafusion_tpu.plan.optimizer import push_down_projection
 
             plan = push_down_projection(plan)
-            return ResultTable(Schema.empty(), [], [], raw_text=repr(plan) + "\n")
+            text = repr(plan) + "\n"
+            if node.verbose:
+                # EXPLAIN VERBOSE: lower (no execution) to record the
+                # compiler's physical strategy choices
+                fn_reg = {
+                    n: f
+                    for n, (m, f) in self._functions.items()
+                    if f is not None
+                }
+                if self.mesh is not None:
+                    from datafusion_tpu.parallel.dist import DistCompiler
+
+                    pc = DistCompiler(self._tables, self.mesh, fn_reg)
+                else:
+                    from datafusion_tpu.exec.compiler import PlanCompiler
+
+                    pc = PlanCompiler(self._tables, fn_reg)
+                pc.lower(plan)
+                for note in pc.notes:
+                    text += f"physical: {note}\n"
+            return ResultTable(Schema.empty(), [], [], raw_text=text)
         if isinstance(node, A.SQLCreateExternalTable):
             self._execute_ddl(node)
             return ResultTable(Schema.empty(), [], [])

@@ -133,6 +133,10 @@ class DistCompiler(PlanCompiler):
         local_cap = child.capacity // n
         oversample = 16  # samples per device
         s_cap = self._alloc_cap(max(128, -(-2 * local_cap // n) // 128 * 128))
+        self.notes.append(
+            "sort: distributed sample sort (splitter all_gather + range "
+            "all_to_all + local sorts)"
+        )
         se = plan.exprs[0]
         keyc = compile_expr(se.expr, child.schema, child.dicts, self.fn_registry)
 
@@ -236,8 +240,14 @@ class DistCompiler(PlanCompiler):
             and 0 < plan.limit <= 4096
             and os.environ.get("DFTPU_TOPK", "1") != "0"
         ):
-            low = self._lower_topk_dist(plan.input, plan.limit)
+            low = self._speculative(
+                lambda: self._lower_topk_dist(plan.input, plan.limit)
+            )
             if low is not None:
+                self.notes.append(
+                    f"sort+limit: per-shard top-k + candidate all_gather "
+                    f"(k={plan.limit})"
+                )
                 return low
         child = self.lower(plan.input)
         if child.layout != "partitioned":
@@ -374,6 +384,10 @@ class DistCompiler(PlanCompiler):
             if dup_cap > 0 or os.environ.get("DFTPU_LOCAL_JOIN") == "expand"
             else "compact"
         )
+        self.notes.append(
+            f"join: broadcast (build side gathered to every chip), "
+            f"local={local_strategy}"
+        )
         partitioned = left.layout == "partitioned"
         out_cap_local = out_cap_global // self.n_dev if partitioned else out_cap_global
         left_cap_local = (
@@ -452,6 +466,10 @@ class DistCompiler(PlanCompiler):
         # rows replicated salt_r ways (parallel/shuffle.py)
         salt_r = self._alloc_cap(
             1, grow=lambda t: max(2, min(n, 1 << (max(t, 2) - 1).bit_length()))
+        )
+        self.notes.append(
+            f"join: shuffle (hash-repartition over ICI all_to_all), "
+            f"local={local_strategy}, skew_salt={salt_r}"
         )
         remaps = self._join_key_remaps(plan, left, right)
         key_maxes = self._join_key_maxes(plan, left, right)

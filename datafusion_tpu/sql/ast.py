@@ -178,9 +178,11 @@ class ColumnDef(AstNode):
 
 @dataclass(frozen=True)
 class SQLExplain(AstNode):
-    """EXPLAIN <statement> — plan display (beyond the reference)."""
+    """EXPLAIN [VERBOSE] <statement> — plan display (beyond the
+    reference); VERBOSE adds the compiler's physical-strategy notes."""
 
     stmt: AstNode
+    verbose: bool = False
 
 
 @dataclass(frozen=True)

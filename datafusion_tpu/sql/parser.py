@@ -167,7 +167,8 @@ class Parser:
         if self.consume_keyword("EXPLAIN"):
             from datafusion_tpu.sql.ast import SQLExplain
 
-            return SQLExplain(self.parse_statement())
+            verbose = self.consume_keyword("VERBOSE")
+            return SQLExplain(self.parse_statement(), verbose)
         if self.consume_keywords("CREATE", "EXTERNAL", "TABLE"):
             return self._parse_create_external_table()
         if self.peek().kind is Tok.IDENT and self.peek().upper == "SELECT":

@@ -76,3 +76,38 @@ def test_parquet_with_declared_schema(data_dir):
     )
     out = ctx.sql("SELECT id, string_col FROM p2 ORDER BY id LIMIT 2").result_str()
     assert out == '0\t"0"\n1\t"1"\n'
+
+
+def test_explain_verbose_physical_notes(data_dir):
+    import numpy as np
+
+    import datafusion_tpu as df
+
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "p",
+        df.Table.from_pydict(
+            {
+                "k": np.arange(100, dtype=np.int32),
+                "v": np.linspace(0, 1, 100).astype(np.float32),
+            }
+        ),
+    )
+    ctx.register_table(
+        "d",
+        df.Table.from_pydict(
+            {"k": np.arange(10, dtype=np.int32), "w": np.ones(10, np.float32)}
+        ),
+    )
+    out = ctx.sql(
+        "EXPLAIN VERBOSE SELECT p.k, MAX(d.w) FROM p JOIN d ON p.k = d.k "
+        "GROUP BY p.k ORDER BY k LIMIT 3"
+    ).result_str()
+    assert "physical: join: compact" in out
+    assert "physical: aggregate: co-sort + segmented reduce" in out
+    assert "physical: sort+limit: fused lax.top_k (k=3" in out
+    # plain EXPLAIN stays logical-only
+    plain = ctx.sql(
+        "EXPLAIN SELECT p.k FROM p ORDER BY k LIMIT 3"
+    ).result_str()
+    assert "physical:" not in plain

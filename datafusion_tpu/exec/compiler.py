@@ -604,6 +604,11 @@ class PlanCompiler:
 
         if os.environ.get("DFTPU_LOCAL_JOIN") == "expand":  # test/debug override
             strategy = "expand"
+        cross = len(plan.on) == 0
+        if cross:
+            # CROSS JOIN: every probe matches every build row — the
+            # compact one-row-per-probe assumption is wrong by design
+            strategy = "expand"
         self.notes.append(
             f"join: {strategy} "
             f"({'one row per probe, dup-count fallback armed' if strategy == 'compact' else 'scatter-expand'}), "
@@ -647,6 +652,9 @@ class PlanCompiler:
                     rk = jnp.take(remap[1], rk)
                 lkeys.append(lk)
                 rkeys.append(rk)
+            if cross:  # one shared constant key ⇒ every pair matches
+                lkeys = [jnp.zeros((lb.capacity,), jnp.int32)]
+                rkeys = [jnp.zeros((rb.capacity,), jnp.int32)]
             lcols, rcols, matched, out_sel, total, dups = join_ops.join_columns(
                 lkeys,
                 lb.sel,

@@ -384,6 +384,9 @@ class DistCompiler(PlanCompiler):
             if dup_cap > 0 or os.environ.get("DFTPU_LOCAL_JOIN") == "expand"
             else "compact"
         )
+        cross = len(plan.on) == 0
+        if cross:
+            local_strategy = "expand"  # every pair matches by design
         self.notes.append(
             f"join: broadcast (build side gathered to every chip), "
             f"local={local_strategy}"
@@ -409,6 +412,9 @@ class DistCompiler(PlanCompiler):
                     rk = jnp.take(remap[1], rk)
                 lkeys.append(lk)
                 rkeys.append(rk)
+            if cross:  # one shared constant key ⇒ every pair matches
+                lkeys = [jnp.zeros((left_cap_local,), jnp.int32)]
+                rkeys = [jnp.zeros((rb.capacity,), jnp.int32)]
             lcols, rcols, matched, out_sel, total, dups = join_ops.join_columns(
                 lkeys,
                 lb.sel,

@@ -453,7 +453,9 @@ class SqlToRel:
                 "columns of the two inputs"
             )
 
-        extract(node.on)
+        if node.on is not None:
+            extract(node.on)
+        # empty on_pairs = CROSS JOIN (every pair; beyond the reference)
         jt = {
             A.JoinKind.Inner: JoinType.Inner,
             A.JoinKind.Left: JoinType.Left,
@@ -602,6 +604,36 @@ class SqlToRel:
         low = name.lower()
         if node.distinct and low != "count":
             raise PlanError(f"DISTINCT is only supported with COUNT, not {name}")
+        if low == "coalesce":
+            # COALESCE(a, b, ...) desugars onto CASE: first non-NULL arg
+            # (beyond the reference)
+            args = [self.sql_to_rex(a, schema, qualifiers) for a in node.args]
+            if not args:
+                raise PlanError("COALESCE expects at least one argument")
+            st = args[0].get_type(schema)
+            for a in args[1:]:
+                st2 = get_supertype(st, a.get_type(schema))
+                if st2 is None:
+                    raise PlanError(
+                        f"COALESCE arguments have no common supertype "
+                        f"({st!r} vs {a.get_type(schema)!r})"
+                    )
+                st = st2
+            args = [a.cast_to(st, schema) for a in args]
+            branches = tuple((IsNotNull(a), a) for a in args[:-1])
+            return Case(branches, args[-1]) if branches else args[-1]
+        if low == "nullif":
+            # NULLIF(a, b): NULL when a = b IS TRUE, else a. Ordered CASE
+            # arms keep it null-aware (NULLIF(x, NULL) = x) without
+            # three-valued OR (beyond the reference).
+            if len(node.args) != 2:
+                raise PlanError("NULLIF expects exactly two arguments")
+            a = self.sql_to_rex(node.args[0], schema, qualifiers)
+            b = self.sql_to_rex(node.args[1], schema, qualifiers)
+            neq = self._coerced_binary(a, Operator.NotEq, b, schema)
+            return Case(
+                ((IsNull(a), a), (IsNull(b), a), (neq, a)), None
+            )
         if low in _AGG_NAMES:
             args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
             if len(args) != 1:

@@ -143,12 +143,13 @@ class JoinKind(enum.Enum):
 
 @dataclass(frozen=True)
 class SQLJoin(AstNode):
-    """FROM a [INNER|LEFT|RIGHT] JOIN b ON <expr> — beyond the reference."""
+    """FROM a [INNER|LEFT|RIGHT|CROSS] JOIN b [ON <expr>] — beyond the
+    reference. CROSS JOIN has on=None (every pair)."""
 
     left: AstNode
     right: AstNode
     kind: JoinKind
-    on: AstNode
+    on: Optional[AstNode]
 
 
 @dataclass(frozen=True)

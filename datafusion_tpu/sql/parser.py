@@ -89,6 +89,7 @@ _RESERVED_STOP = {
     "INNER",
     "LEFT",
     "RIGHT",
+    "CROSS",
     "AS",
     "ASC",
     "DESC",
@@ -342,6 +343,9 @@ class Parser:
                 "RIGHT", "OUTER", "JOIN"
             ):
                 kind = JoinKind.Right
+            elif self.consume_keywords("CROSS", "JOIN"):
+                rel = SQLJoin(rel, self._parse_table_ref(), JoinKind.Inner, None)
+                continue
             if kind is None:
                 return rel
             right = self._parse_table_ref()

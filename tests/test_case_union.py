@@ -178,3 +178,56 @@ def test_union_order_limit_applies_to_whole(ctx):
         "ORDER BY a DESC LIMIT 3"
     )
     assert [row["a"] for row in r.to_pylist()] == [5, 4, 4]
+
+
+# ---------------------------------------------------------------------------
+# COALESCE / NULLIF (desugared onto CASE)
+# ---------------------------------------------------------------------------
+
+
+def _nullable_ctx():
+    from datafusion_tpu import Field, DataType, Schema
+
+    schema = Schema([Field("a", DataType.Float64), Field("b", DataType.Float64)])
+    a = np.array([1.0, 0.0, 3.0, 4.0])
+    b = np.array([10.0, 2.0, 3.0, 0.0])
+    av = np.array([True, False, True, True])
+    bv = np.array([False, True, True, False])
+    ctx = df.ExecutionContext()
+    ctx.register_table("t", df.Table.from_arrays(schema, [a, b], validity=[av, bv]))
+    return ctx
+
+
+def test_coalesce_basic():
+    r = _nullable_ctx().sql(
+        "SELECT COALESCE(a, b) AS c1, COALESCE(a, -1.0) AS c2 FROM t"
+    )
+    rows = r.to_pylist()
+    assert [row["c1"] for row in rows] == [1.0, 2.0, 3.0, 4.0]
+    assert [row["c2"] for row in rows] == [1.0, -1.0, 3.0, 4.0]
+
+
+def test_coalesce_all_null_stays_null():
+    r = _nullable_ctx().sql("SELECT COALESCE(a, b) FROM t WHERE a IS NULL AND b IS NULL")
+    assert r.to_pylist() == []
+
+
+def test_nullif_equal_gives_null():
+    r = _nullable_ctx().sql("SELECT NULLIF(a, b) FROM t")
+    # row0: b NULL -> a (1.0); row1: a NULL -> NULL; row2: 3=3 -> NULL;
+    # row3: b NULL -> 4.0
+    assert [row["case"] for row in r.to_pylist()] == [1.0, None, None, 4.0]
+
+
+def test_nullif_literal():
+    r = _nullable_ctx().sql("SELECT NULLIF(b, 2.0) FROM t WHERE b IS NOT NULL")
+    assert [row["case"] for row in r.to_pylist()] == [None, 3.0]
+
+
+def test_coalesce_type_coercion():
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "t", df.Table.from_pydict({"i": np.array([1, 2], np.int64)})
+    )
+    r = ctx.sql("SELECT COALESCE(i, 0.5) FROM t")
+    assert [row["case"] for row in r.to_pylist()] == [1.0, 2.0]

@@ -110,3 +110,37 @@ def test_compact_string_keys():
     )
     r = ctx.sql("SELECT p.s, d.v FROM p JOIN d ON p.s = d.s")
     assert _rows(r) == [("a", 1.0), ("b", 2.0)]
+
+
+def test_cross_join():
+    ctx = df.ExecutionContext()
+    ctx.register_table("t", df.Table.from_pydict({"a": np.array([1, 2, 3], np.int32)}))
+    ctx.register_table("u", df.Table.from_pydict({"b": np.array([10.0, 20.0], np.float32)}))
+    r = ctx.sql("SELECT t.a, u.b FROM t CROSS JOIN u")
+    assert sorted(tuple(x.values()) for x in r.to_pylist()) == [
+        (1, 10.0), (1, 20.0), (2, 10.0), (2, 20.0), (3, 10.0), (3, 20.0),
+    ]
+
+
+def test_cross_join_with_filter_and_agg():
+    ctx = df.ExecutionContext()
+    ctx.register_table("t", df.Table.from_pydict({"a": np.array([1, 2, 3], np.int32)}))
+    ctx.register_table("u", df.Table.from_pydict({"b": np.array([10.0, 20.0], np.float32)}))
+    r = ctx.sql(
+        "SELECT t.a, SUM(u.b) FROM t CROSS JOIN u WHERE t.a > 1 GROUP BY t.a"
+    )
+    assert sorted(tuple(x.values()) for x in r.to_pylist()) == [
+        (2, 30.0), (3, 30.0),
+    ]
+
+
+def test_cross_join_distributed():
+    import os
+
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    ctx = df.ExecutionContext(mesh=make_mesh())
+    ctx.register_table("t", df.Table.from_pydict({"a": np.arange(16, dtype=np.int32)}))
+    ctx.register_table("u", df.Table.from_pydict({"b": np.arange(3, dtype=np.int64)}))
+    r = ctx.sql("SELECT t.a, u.b FROM t CROSS JOIN u")
+    assert len(r.to_pylist()) == 48

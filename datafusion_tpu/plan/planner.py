@@ -13,7 +13,7 @@ import enum
 from dataclasses import dataclass
 from typing import Optional, Protocol
 
-from datafusion_tpu.errors import PlanError
+from datafusion_tpu.errors import InvalidColumnError, PlanError
 from datafusion_tpu.schema import Field, Schema
 from datafusion_tpu.sql import ast as A
 from datafusion_tpu.types import DataType, ScalarValue, get_supertype
@@ -93,9 +93,59 @@ def _aggregates_in(e: Expr) -> list:
         elif isinstance(x, ScalarFunction):
             for a in x.args:
                 walk(a)
+        elif isinstance(x, Case):
+            for c, r in x.branches:
+                walk(c)
+                walk(r)
+            if x.else_expr is not None:
+                walk(x.else_expr)
 
     walk(e)
     return out
+
+
+def _rewrite_over_aggregate(
+    e: Expr, group_exprs, agg_list, n_group: int
+) -> Expr:
+    """Rewrite an expression planned against the INPUT schema into one
+    over the aggregate output: aggregates → their output column, group
+    expressions → their group column."""
+
+    def rw(x: Expr) -> Expr:
+        if isinstance(x, AggregateFunction):
+            return Column(n_group + agg_list.index(x))
+        for gi, g in enumerate(group_exprs):
+            if x == g:
+                return Column(gi)
+        if isinstance(x, Alias):
+            return Alias(rw(x.expr), x.name)
+        if isinstance(x, BinaryExpr):
+            return BinaryExpr(rw(x.left), x.op, rw(x.right))
+        if isinstance(x, Cast):
+            return Cast(rw(x.expr), x.data_type)
+        if isinstance(x, ScalarFunction):
+            return ScalarFunction(
+                x.name, tuple(rw(a) for a in x.args), x.return_type
+            )
+        if isinstance(x, IsNull):
+            return IsNull(rw(x.expr))
+        if isinstance(x, IsNotNull):
+            return IsNotNull(rw(x.expr))
+        if isinstance(x, Case):
+            return Case(
+                tuple((rw(c), rw(r)) for c, r in x.branches),
+                None if x.else_expr is None else rw(x.else_expr),
+            )
+        if isinstance(x, Literal):
+            return x
+        if isinstance(x, Column):
+            raise PlanError(
+                "column reference in an aggregate query must be a "
+                "GROUP BY expression"
+            )
+        return x
+
+    return rw(e)
 
 
 def _contains_aggregate(e: Expr) -> bool:
@@ -256,22 +306,57 @@ class SqlToRel:
         if aggr_exprs:
             agg_input = selection_plan if selection_plan is not None else input_plan
             group_exprs = [
-                self.sql_to_rex(e, input_schema, qualifiers) for e in sel.group_by
+                self._group_expr(e, proj_exprs, input_schema, qualifiers)
+                for e in sel.group_by
             ]
             # output schema = group fields then aggregate fields, in that
             # order regardless of SELECT order (reference: sqlplanner.rs:105-110);
             # aliases keep their names in the schema
-            all_fields = list(group_exprs) + list(aggr_aliased)
+            # HAVING may re-state aggregates against the INPUT schema
+            # (`HAVING COUNT(v) > 3`) — matching aggregates rewrite to
+            # their output column, unmatched ones become hidden extra
+            # aggregate columns projected away afterwards. Fallback:
+            # resolve against the aggregate output schema (aliases /
+            # output names).
+            having_raw: Optional[Expr] = None
+            if sel.having is not None:
+                try:
+                    cand = self.sql_to_rex(sel.having, input_schema, qualifiers)
+                    if _contains_aggregate(cand):
+                        having_raw = cand
+                except (PlanError, InvalidColumnError):
+                    pass
+            agg_all = list(aggr_exprs)
+            if having_raw is not None:
+                for a in _aggregates_in(having_raw):
+                    if a not in agg_all:
+                        agg_all.append(a)
+            hidden = agg_all[len(aggr_exprs):]
+            all_fields = list(group_exprs) + list(aggr_aliased) + hidden
             agg_schema = Schema(exprlist_to_fields(all_fields, input_schema))
             plan: LogicalPlan = Aggregate(
-                agg_input, tuple(group_exprs), tuple(aggr_exprs), agg_schema
+                agg_input, tuple(group_exprs), tuple(agg_all), agg_schema
             )
-            if sel.having is not None:
+            if having_raw is not None:
+                plan = Selection(
+                    _rewrite_over_aggregate(
+                        having_raw, group_exprs, agg_all, len(group_exprs)
+                    ),
+                    plan,
+                )
+            elif sel.having is not None:
                 # HAVING = selection over the aggregate output (beyond the
                 # reference, which always errored); identifiers resolve
                 # against the aggregate schema
                 plan = Selection(
                     self.sql_to_rex(sel.having, agg_schema, None), plan
+                )
+            if hidden:
+                vis = len(group_exprs) + len(aggr_exprs)
+                plan = Projection(
+                    tuple(Column(i) for i in range(vis)),
+                    plan,
+                    Schema(agg_schema.fields[:vis]),
                 )
             # ORDER BY / LIMIT over aggregates — beyond the reference, which
             # silently dropped them on this path
@@ -300,7 +385,8 @@ class SqlToRel:
         Output columns follow SELECT order (no group-first quirk here)."""
         agg_input = selection_plan if selection_plan is not None else input_plan
         group_exprs = [
-            self.sql_to_rex(e, input_schema, qualifiers) for e in sel.group_by
+            self._group_expr(e, proj_exprs, input_schema, qualifiers)
+            for e in sel.group_by
         ]
         # collect unique aggregates across projection + HAVING
         agg_list: list[AggregateFunction] = []
@@ -328,35 +414,7 @@ class SqlToRel:
         n_group = len(group_exprs)
 
         def rewrite(e: Expr) -> Expr:
-            # aggregates → their column in the aggregate output; group
-            # exprs → their group column
-            if isinstance(e, AggregateFunction):
-                return Column(n_group + agg_list.index(e))
-            for gi, g in enumerate(group_exprs):
-                if e == g:
-                    return Column(gi)
-            if isinstance(e, Alias):
-                return Alias(rewrite(e.expr), e.name)
-            if isinstance(e, BinaryExpr):
-                return BinaryExpr(rewrite(e.left), e.op, rewrite(e.right))
-            if isinstance(e, Cast):
-                return Cast(rewrite(e.expr), e.data_type)
-            if isinstance(e, ScalarFunction):
-                return ScalarFunction(
-                    e.name, tuple(rewrite(a) for a in e.args), e.return_type
-                )
-            if isinstance(e, (IsNull,)):
-                return IsNull(rewrite(e.expr))
-            if isinstance(e, (IsNotNull,)):
-                return IsNotNull(rewrite(e.expr))
-            if isinstance(e, Literal):
-                return e
-            if isinstance(e, Column):
-                raise PlanError(
-                    "column reference in an aggregate query must be a "
-                    "GROUP BY expression"
-                )
-            return e
+            return _rewrite_over_aggregate(e, group_exprs, agg_list, n_group)
 
         if having_rex is not None:
             plan = Selection(rewrite(having_rex), plan)
@@ -365,6 +423,31 @@ class SqlToRel:
         proj_schema = Schema(exprlist_to_fields(new_exprs, agg_schema))
         plan = Projection(new_exprs, plan, proj_schema)
         return self._plan_order_limit(sel, plan, qualifiers)
+
+    def _group_expr(
+        self, e: A.AstNode, proj_exprs, input_schema: Schema, qualifiers
+    ) -> Expr:
+        """Plan one GROUP BY item. Beyond the plain input-schema
+        expression, accepts a SELECT-list alias (`GROUP BY c` for
+        `... AS c`) or a 1-based ordinal (`GROUP BY 1`) — beyond the
+        reference."""
+        if isinstance(e, A.SQLLong):
+            i = e.value
+            if not 1 <= i <= len(proj_exprs):
+                raise PlanError(
+                    f"GROUP BY position {i} is out of range (1..{len(proj_exprs)})"
+                )
+            item = proj_exprs[i - 1]
+            return item.expr if isinstance(item, Alias) else item
+        if isinstance(e, A.SQLIdentifier):
+            try:
+                return self.sql_to_rex(e, input_schema, qualifiers)
+            except InvalidColumnError:
+                for item in proj_exprs:
+                    if isinstance(item, Alias) and item.name == e.name:
+                        return item.expr
+                raise
+        return self.sql_to_rex(e, input_schema, qualifiers)
 
     def _plan_order_limit(
         self, sel: A.SQLSelect, plan: LogicalPlan, qualifiers

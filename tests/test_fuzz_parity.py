@@ -1,0 +1,103 @@
+"""Seeded random-query parity fuzz: single-chip vs distributed vs forced
+strategies must agree on every generated query.
+
+Queries draw from the full supported surface (filters, arithmetic, CASE,
+GROUP BY with mixed aggregates, HAVING, joins, ORDER BY/LIMIT, UNION).
+Sorted-row comparison; float cells rounded (reduction trees differ by
+design across paths)."""
+
+import numpy as np
+import pytest
+
+import datafusion_tpu as df
+from datafusion_tpu.parallel.mesh import make_mesh
+
+
+def _tables(rng):
+    n = int(rng.integers(800, 3000))
+    fact = {
+        "k": rng.integers(0, 40, n).astype(np.int32),
+        "g": rng.integers(-5, 5, n).astype(np.int64),
+        "v": (rng.random(n) * 200 - 100).round(3),
+        "s": np.array(
+            [f"c{int(x) % 7}" for x in rng.integers(0, 100, n)], dtype=object
+        ),
+    }
+    m = int(rng.integers(20, 60))
+    dim = {
+        "pk": np.arange(m, dtype=np.int32),
+        "w": (rng.random(m) * 10).round(3),
+    }
+    return fact, dim
+
+
+PREDICATES = [
+    "v > 0",
+    "v BETWEEN -50 AND 50",
+    "k IN (1, 3, 5, 7)",
+    "s = 'c3' OR v < -80",
+    "NOT (g = 0) AND v > -90",
+    "CASE WHEN g > 0 THEN TRUE ELSE v > 0 END",
+]
+
+QUERIES = [
+    "SELECT k, v, v * 2 + 1 FROM fact WHERE {p}",
+    "SELECT g, MIN(v), MAX(v), COUNT(v), SUM(v), AVG(v) FROM fact WHERE {p} GROUP BY g",
+    "SELECT s, COUNT(v), MIN(k) FROM fact WHERE {p} GROUP BY s HAVING COUNT(v) > 3",
+    "SELECT k, CASE WHEN v > 0 THEN 1 ELSE 0 END AS pos FROM fact WHERE {p} ORDER BY k, pos LIMIT 50",
+    "SELECT fact.k, SUM(dim.w) FROM fact JOIN dim ON fact.k = dim.pk WHERE {p} GROUP BY fact.k",
+    "SELECT fact.g, COUNT(fact.v) FROM fact LEFT JOIN dim ON fact.k = dim.pk WHERE {p} GROUP BY fact.g",
+    "SELECT v FROM fact WHERE {p} ORDER BY v DESC LIMIT 20",
+    "SELECT g, COUNT(DISTINCT k) FROM fact WHERE {p} GROUP BY g",
+    "SELECT k FROM fact WHERE {p} UNION SELECT pk FROM dim WHERE pk < 10",
+    "SELECT COALESCE(NULLIF(g, 0), -99) AS c, COUNT(v) FROM fact WHERE {p} GROUP BY c",
+]
+
+
+def _run(sql, fact, dim, mesh=None, env=None, monkeypatch=None):
+    if env:
+        for kk, vv in env.items():
+            monkeypatch.setenv(kk, vv)
+    try:
+        ctx = df.ExecutionContext(mesh=mesh)
+        ctx.register_table("fact", df.Table.from_pydict(dict(fact)))
+        ctx.register_table("dim", df.Table.from_pydict(dict(dim)))
+        rows = ctx.sql(sql).to_pylist()
+    finally:
+        if env:
+            for kk in env:
+                monkeypatch.delenv(kk, raising=False)
+    out = []
+    for row in rows:
+        cells = []
+        for v in row.values():
+            if isinstance(v, float) or (
+                hasattr(v, "dtype") and np.issubdtype(np.asarray(v).dtype, np.floating)
+            ):
+                cells.append(round(float(v), 4))
+            elif v is None:
+                cells.append(None)
+            else:
+                cells.append(v if isinstance(v, str) else int(v))
+        out.append(tuple(cells))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_single_vs_distributed_vs_strategies(seed, monkeypatch):
+    rng = np.random.default_rng(seed)
+    fact, dim = _tables(rng)
+    mesh = make_mesh()
+    for qt in QUERIES:
+        sql = qt.format(p=PREDICATES[int(rng.integers(0, len(PREDICATES)))])
+        base = _run(sql, fact, dim)
+        dist = _run(sql, fact, dim, mesh=mesh)
+        assert base == dist, f"single vs distributed: {sql}"
+        forced = _run(
+            sql,
+            fact,
+            dim,
+            env={"DFTPU_LOCAL_JOIN": "expand", "DFTPU_TOPK": "0"},
+            monkeypatch=monkeypatch,
+        )
+        assert base == forced, f"default vs forced strategies: {sql}"

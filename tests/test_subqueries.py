@@ -73,3 +73,48 @@ def test_join_with_derived_table():
         "WHERE t.k < 3 ORDER BY k"
     ).result_str()
     assert out == "1\t30.0\n2\t30.0\n"
+
+
+def test_having_restates_aggregate():
+    import numpy as np
+    import datafusion_tpu as df
+
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "t",
+        df.Table.from_pydict(
+            {
+                "g": np.array([1, 1, 1, 2, 2, 3], np.int64),
+                "v": np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+            }
+        ),
+    )
+    # aggregate re-stated in HAVING, also present in SELECT
+    r = ctx.sql("SELECT g, COUNT(v) FROM t GROUP BY g HAVING COUNT(v) > 1")
+    assert sorted(tuple(x.values()) for x in r.to_pylist()) == [(1, 3), (2, 2)]
+    # aggregate only in HAVING (hidden column projected away)
+    r = ctx.sql("SELECT g, COUNT(v) FROM t GROUP BY g HAVING SUM(v) > 5.0")
+    assert sorted(tuple(x.values()) for x in r.to_pylist()) == [(1, 3), (2, 2), (3, 1)]
+    assert len(r.to_pylist()[0]) == 2  # SUM column is hidden
+
+
+def test_group_by_alias_and_ordinal():
+    import numpy as np
+    import datafusion_tpu as df
+
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "t",
+        df.Table.from_pydict(
+            {
+                "g": np.array([1, 1, 2, 2, 0], np.int64),
+                "v": np.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+            }
+        ),
+    )
+    r1 = ctx.sql("SELECT g * 10 AS bucket, COUNT(v) FROM t GROUP BY bucket")
+    r2 = ctx.sql("SELECT g * 10 AS bucket, COUNT(v) FROM t GROUP BY 1")
+    r3 = ctx.sql("SELECT g * 10 AS bucket, COUNT(v) FROM t GROUP BY g * 10")
+    want = [(0, 1), (10, 2), (20, 2)]
+    for r in (r1, r2, r3):
+        assert sorted(tuple(x.values()) for x in r.to_pylist()) == want

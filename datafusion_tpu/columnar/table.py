@@ -114,20 +114,31 @@ class Table:
         device=None,
     ) -> "Table":
         """Build a device table from host arrays (numpy columns; Utf8
-        columns may be lists of str)."""
+        columns may be lists of str, or pre-encoded `(int32 codes,
+        sorted vocab tuple)` pairs from the native loader)."""
         if len(arrays) != len(schema):
             raise ExecutionError(
                 f"{len(arrays)} arrays for schema of {len(schema)} fields"
             )
-        n = len(arrays[0]) if arrays else 0
+
+        def _col_len(a) -> int:
+            if isinstance(a, tuple) and len(a) == 2 and isinstance(a[1], tuple):
+                return len(a[0])
+            return len(a)
+
+        n = _col_len(arrays[0]) if arrays else 0
         cap = round_up(n)
         cols = []
         for i, field in enumerate(schema.fields):
             arr = arrays[i]
             vocab = None
             if field.dtype is DataType.Utf8:
-                codes, vocab = encode_dictionary(arr)
-                host = codes
+                if isinstance(arr, tuple) and len(arr) == 2 and isinstance(arr[1], tuple):
+                    host = np.asarray(arr[0], dtype=np.int32)
+                    vocab = arr[1]
+                else:
+                    codes, vocab = encode_dictionary(arr)
+                    host = codes
             else:
                 host = np.asarray(arr, dtype=physical_np(field.dtype))
             if len(host) != n:

@@ -70,6 +70,14 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_void_p),
         ctypes.c_int,
     ]
+    lib.dftpu_csv_dict_encode.restype = ctypes.c_int64
+    lib.dftpu_csv_dict_encode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     return lib
 
 
@@ -134,13 +142,36 @@ def parse_csv_native(path: str, schema: Schema, has_header: bool):
     validity = []
     for j, field in enumerate(schema.fields):
         if field.dtype is DataType.Utf8:
-            # extract strings from the raw buffer (zero-copy offsets)
+            # dictionary-encode in C++ (sorted byte-order vocab == Python
+            # str order); only the small vocab is decoded in Python —
+            # replaces a per-row decode loop + np.unique over 5M objects
             offs = bufs[j]
-            out = [
-                data[offs[i, 0] : offs[i, 0] + offs[i, 1]].decode("utf-8").replace('""', '"')
-                for i in range(n)
+            codes = np.zeros((n,), dtype=np.int32)
+            vocab_pairs = np.zeros((n, 2), dtype=np.int64)
+            k = int(
+                lib.dftpu_csv_dict_encode(
+                    data,
+                    offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    n,
+                    codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    vocab_pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                )
+            )
+            vocab = [
+                data[vocab_pairs[i, 0] : vocab_pairs[i, 0] + vocab_pairs[i, 1]]
+                .decode("utf-8")
+                .replace('""', '"')
+                for i in range(k)
             ]
-            arrays.append(out)
+            # quote-unescaping can merge or reorder raw-byte entries;
+            # re-canonicalize at vocab scale (tiny) when it does
+            if any(vocab[i] >= vocab[i + 1] for i in range(k - 1)):
+                uvocab, inv = np.unique(
+                    np.asarray(vocab, dtype=object).astype(str), return_inverse=True
+                )
+                codes = inv.astype(np.int32)[codes]
+                vocab = uvocab.tolist()
+            arrays.append((codes, tuple(vocab)))
             validity.append(None)
         elif field.dtype is DataType.Boolean:
             arrays.append(bufs[j].astype(np.bool_))

@@ -18,7 +18,9 @@
 #include <cstdlib>
 #include <cstring>
 #include <charconv>
+#include <string_view>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 #include <algorithm>
 
@@ -222,6 +224,48 @@ int64_t dftpu_csv_parse(const char* buf, int64_t len, int has_header,
   }
   for (auto& th : threads) th.join();
   return nrows;
+}
+
+// Dictionary-encode a UTF8 column parsed to (offset, length) pairs:
+// codes[r] gets the byte-order-sorted vocab code (UTF-8 byte order ==
+// Unicode code-point order, matching Python str comparison); vocab_pairs
+// gets (offset, length) per unique string in sorted order (caller
+// allocates nrows*2 worst case). Returns the unique count. Replaces a
+// per-row Python decode loop + np.unique over object strings (the 5M-row
+// ingest hotspot).
+int64_t dftpu_csv_dict_encode(const char* buf, const int64_t* pairs,
+                              int64_t n, int32_t* codes,
+                              int64_t* vocab_pairs) {
+  std::unordered_map<std::string_view, int32_t> map;
+  map.reserve(4096);
+  std::vector<std::string_view> uniq;
+  for (int64_t r = 0; r < n; r++) {
+    std::string_view sv(buf + pairs[2 * r], (size_t)pairs[2 * r + 1]);
+    auto it = map.find(sv);
+    int32_t code;
+    if (it == map.end()) {
+      code = (int32_t)uniq.size();
+      map.emplace(sv, code);
+      uniq.push_back(sv);
+    } else {
+      code = it->second;
+    }
+    codes[r] = code;
+  }
+  int64_t k = (int64_t)uniq.size();
+  std::vector<int32_t> order((size_t)k);
+  for (int64_t i = 0; i < k; i++) order[(size_t)i] = (int32_t)i;
+  std::sort(order.begin(), order.end(),
+            [&](int32_t a, int32_t b) { return uniq[(size_t)a] < uniq[(size_t)b]; });
+  std::vector<int32_t> remap((size_t)k);
+  for (int64_t i = 0; i < k; i++) remap[(size_t)order[(size_t)i]] = (int32_t)i;
+  for (int64_t r = 0; r < n; r++) codes[r] = remap[(size_t)codes[r]];
+  for (int64_t i = 0; i < k; i++) {
+    std::string_view sv = uniq[(size_t)order[(size_t)i]];
+    vocab_pairs[2 * i] = (int64_t)(sv.data() - buf);
+    vocab_pairs[2 * i + 1] = (int64_t)sv.size();
+  }
+  return k;
 }
 
 }  // extern "C"

@@ -21,9 +21,25 @@ from datafusion_tpu.exec.context import ExecutionContext
 
 
 class Console:
-    def __init__(self, ctx: ExecutionContext | None = None, out=sys.stdout):
+    def __init__(
+        self,
+        ctx: ExecutionContext | None = None,
+        out=sys.stdout,
+        ref_output: bool = False,
+    ):
+        """`ref_output`: emit the reference POC console's exact format —
+        'Executing query ...' per statement, Display-rendered rows
+        (strings unquoted), no timing line — so scripts diff cleanly
+        against reference goldens (reference: test/data/
+        smoketest-expected.txt, scripts/smoketest.sh:76-96)."""
         self.ctx = ctx or ExecutionContext()
         self.out = out
+        self.ref_output = ref_output
+        # the geospatial UDFs the reference console intended to register
+        # (reference: main.rs:123-125, commented out)
+        from datafusion_tpu.ops.functions import register_geospatial
+
+        register_geospatial(self.ctx)
 
     def execute(self, sql: str) -> None:
         """Execute one statement, print results + timing
@@ -31,6 +47,8 @@ class Console:
         sql = sql.strip()
         if not sql:
             return
+        if self.ref_output:
+            print("Executing query ...", file=self.out)
         t0 = time.perf_counter()
         try:
             result = self.ctx.sql(sql)
@@ -38,13 +56,14 @@ class Console:
             print(f"Error: {e}", file=self.out)
             return
         elapsed = time.perf_counter() - t0
-        text = result.result_str()
+        text = result.display_str() if self.ref_output else result.result_str()
         if text:
             self.out.write(text)
-        print(
-            f"-- {result.num_rows} row(s) in {elapsed*1e3:.1f} ms",
-            file=self.out,
-        )
+        if not self.ref_output:
+            print(
+                f"-- {result.num_rows} row(s) in {elapsed*1e3:.1f} ms",
+                file=self.out,
+            )
 
     # ------------------------------------------------------------------
     def run_script(self, path: str) -> None:
@@ -99,7 +118,16 @@ def main(argv=None) -> int:
         help="capture a jax.profiler trace of the session into DIR "
         "(inspect with tensorboard / xprof)",
     )
+    parser.add_argument(
+        "--ref-output",
+        action="store_true",
+        help="reference-console output format (banner, 'Executing query "
+        "...' lines, Display-rendered rows, no timing) for golden diffs",
+    )
     args = parser.parse_args(argv)
+
+    if args.ref_output:
+        print("DataFusion Console")  # reference: main.rs:86
 
     mesh = None
     if args.mesh:
@@ -108,7 +136,7 @@ def main(argv=None) -> int:
         import jax
 
         mesh = make_mesh(jax.devices()[: args.mesh])
-    console = Console(ExecutionContext(mesh=mesh))
+    console = Console(ExecutionContext(mesh=mesh), ref_output=args.ref_output)
     profile_cm = None
     if args.profile:
         import jax

@@ -78,6 +78,17 @@ class Lowered:
 
 
 @dataclass
+class HostCall:
+    """A host-stage function call in the output projection: `fn` runs on
+    the materialized result columns (ops/functions.py). Args are either
+    nested HostCalls or integer indices of device columns in the inner
+    (split) projection."""
+
+    fn: Callable
+    args: list  # HostCall | int
+
+
+@dataclass
 class CompiledQuery:
     schema: Schema
     dicts: list[Optional[tuple[str, ...]]]
@@ -91,6 +102,9 @@ class CompiledQuery:
     _sources: Optional[list[Optional[tuple[int, int]]]] = None
     # slot index -> custom growth fn(total) -> new cap (default: round_up)
     _grows: Optional[dict[int, Callable[[int], int]]] = None
+    # host-stage projection: (final_schema, per-output-column entry where
+    # each entry is ("dev", inner_col) or ("host", HostCall, DataType))
+    _host_post: Optional[tuple] = None
 
     def run(self):
         """Execute; on capacity overflow (join matches or group count
@@ -125,7 +139,182 @@ class CompiledQuery:
             dd = np.asarray(jax.device_get(d))[idx]
             vv = None if v is None else np.asarray(jax.device_get(v))[idx]
             host_cols.append((dd, vv))
-        return ResultTable(self.schema, host_cols, self.dicts)
+        inner = ResultTable(self.schema, host_cols, self.dicts)
+        if self._host_post is None:
+            return inner
+        return apply_host_post(inner, self._host_post)
+
+
+# ---------------------------------------------------------------------------
+# Host-stage projection split (ops/functions.py HostFunction)
+# ---------------------------------------------------------------------------
+
+
+def _expr_children(e: L.Expr) -> tuple:
+    if isinstance(e, (L.Alias, L.Cast, L.IsNull, L.IsNotNull, L.SortExpr)):
+        return (e.expr,)
+    if isinstance(e, L.BinaryExpr):
+        return (e.left, e.right)
+    if isinstance(e, (L.ScalarFunction, L.AggregateFunction)):
+        return tuple(e.args)
+    if isinstance(e, L.Case):
+        kids = [x for b in e.branches for x in b]
+        if e.else_expr is not None:
+            kids.append(e.else_expr)
+        return tuple(kids)
+    return ()
+
+
+def split_host_projection(plan: L.LogicalPlan, fn_registry: dict):
+    """If the top-level projection calls host-stage functions
+    (ops/functions.py HostFunction — text/struct producers that cannot run
+    on device), split it: the returned plan computes the functions'
+    device arguments as ordinary projection columns; the returned
+    host_post descriptor re-assembles the final columns on host at
+    materialization (apply_host_post). Returns (plan, None) when nothing
+    to split."""
+    from datafusion_tpu.ops.functions import HostFunction
+
+    def is_host_call(e) -> bool:
+        return isinstance(e, L.ScalarFunction) and isinstance(
+            fn_registry.get(e.name.lower()), HostFunction
+        )
+
+    def contains_host(e) -> bool:
+        if is_host_call(e):
+            return True
+        return any(contains_host(c) for c in _expr_children(e))
+
+    if not fn_registry:
+        return plan, None
+
+    # push the split through Limit/Sort wrappers: the host stage runs
+    # after materialization, which preserves the row set and order those
+    # operators produced. Sort keys reference projection outputs by index
+    # and are remapped below.
+    if isinstance(plan, L.Limit):
+        inner, post = split_host_projection(plan.input, fn_registry)
+        if post is None:
+            return plan, None
+        return L.Limit(plan.limit, inner, inner.schema), post
+    if isinstance(plan, L.Sort):
+        inner, post = split_host_projection(plan.input, fn_registry)
+        if post is None:
+            return plan, None
+        _, outmap = post
+
+        def remap(e: L.Expr) -> L.Expr:
+            if isinstance(e, L.Column):
+                entry = outmap[e.index]
+                if entry[0] != "dev":
+                    raise NotImplementedError_(
+                        "cannot ORDER BY a host function result"
+                    )
+                return L.Column(entry[1])
+            if isinstance(e, L.SortExpr):
+                return L.SortExpr(remap(e.expr), e.asc)
+            if isinstance(e, L.Alias):
+                return L.Alias(remap(e.expr), e.name)
+            if isinstance(e, L.Cast):
+                return L.Cast(remap(e.expr), e.data_type)
+            if isinstance(e, L.IsNull):
+                return L.IsNull(remap(e.expr))
+            if isinstance(e, L.IsNotNull):
+                return L.IsNotNull(remap(e.expr))
+            if isinstance(e, L.BinaryExpr):
+                return L.BinaryExpr(remap(e.left), e.op, remap(e.right))
+            if isinstance(e, L.ScalarFunction):
+                return L.ScalarFunction(
+                    e.name, tuple(remap(a) for a in e.args), e.return_type
+                )
+            if isinstance(e, L.Case):
+                return L.Case(
+                    tuple((remap(c), remap(r)) for c, r in e.branches),
+                    None if e.else_expr is None else remap(e.else_expr),
+                )
+            return e
+
+        keys = tuple(remap(se) for se in plan.exprs)
+        return L.Sort(keys, inner, inner.schema), post
+
+    if not isinstance(plan, L.Projection):
+        return plan, None
+    if not any(contains_host(e) for e in plan.exprs):
+        return plan, None
+
+    device_exprs: list[L.Expr] = []
+
+    def decompose(e) -> HostCall:
+        fn = fn_registry[e.name.lower()]
+        args = []
+        for a in e.args:
+            a_ = a.expr if isinstance(a, L.Alias) else a
+            if contains_host(a_):
+                if not is_host_call(a_):
+                    raise NotImplementedError_(
+                        "a host function result can only feed another host "
+                        "function, not a device expression"
+                    )
+                args.append(decompose(a_))
+            else:
+                args.append(len(device_exprs))
+                device_exprs.append(a_)
+        return HostCall(fn, args)
+
+    outmap: list[tuple] = []
+    for e in plan.exprs:
+        if contains_host(e):
+            stripped = e.expr if isinstance(e, L.Alias) else e
+            if not is_host_call(stripped):
+                raise NotImplementedError_(
+                    "host functions must be the outermost call of a SELECT item"
+                )
+            outmap.append(("host", decompose(stripped)))
+        else:
+            outmap.append(("dev", len(device_exprs)))
+            device_exprs.append(e)
+    inner_schema = Schema(L.exprlist_to_fields(device_exprs, plan.input.schema))
+    inner = L.Projection(tuple(device_exprs), plan.input, inner_schema)
+    return inner, (plan.schema, outmap)
+
+
+def apply_host_post(inner, host_post):
+    """Evaluate the host-stage calls over the materialized inner result
+    and assemble the final ResultTable."""
+    from datafusion_tpu.exec.result import ResultTable
+
+    final_schema, outmap = host_post
+
+    def decoded(j):
+        data, valid = inner.cols[j]
+        dt = inner.schema.field(j).dtype
+        if dt is DataType.Utf8 and inner.dicts[j] is not None:
+            vocab = np.asarray(inner.dicts[j], dtype=object)
+            data = vocab[np.clip(data, 0, max(len(vocab) - 1, 0))]
+        return data, valid
+
+    def eval_call(call):
+        arrs, valid = [], None
+        for a in call.args:
+            d, v = eval_call(a) if isinstance(a, HostCall) else decoded(a)
+            arrs.append(d)
+            if v is not None:
+                valid = v if valid is None else np.logical_and(valid, v)
+        return call.fn(*arrs), valid
+
+    cols, dicts = [], []
+    for entry, fld in zip(outmap, final_schema.fields):
+        if entry[0] == "dev":
+            j = entry[1]
+            cols.append(inner.cols[j])
+            dicts.append(inner.dicts[j])
+        else:
+            data, valid = eval_call(entry[1])
+            if fld.dtype.is_numeric or fld.dtype is DataType.Boolean:
+                data = np.asarray(data, dtype=fld.dtype.to_np())
+            cols.append((data, valid))
+            dicts.append(None)  # host Utf8 stays a raw object column
+    return ResultTable(final_schema, cols, dicts)
 
 
 def _broadcast_col(cv: ColVal, capacity: int) -> ColVal:
@@ -686,8 +875,9 @@ def compile_plan(
     fn_registry=None,
     caps=None,
 ) -> CompiledQuery:
+    device_plan, host_post = split_host_projection(plan, fn_registry or {})
     pc = PlanCompiler(tables, fn_registry, caps)
-    top = pc.lower(plan)
+    top = pc.lower(device_plan)
     sources = top.src()
 
     def pipeline(env):
@@ -720,4 +910,5 @@ def compile_plan(
         _recompile=recompile,
         _sources=sources,
         _grows=dict(pc.grows),
+        _host_post=host_post,
     )

@@ -146,8 +146,12 @@ class ExecutionContext:
 
                     pc = DistCompiler(self._tables, self.mesh, fn_reg)
                 else:
-                    from datafusion_tpu.exec.compiler import PlanCompiler
+                    from datafusion_tpu.exec.compiler import (
+                        PlanCompiler,
+                        split_host_projection,
+                    )
 
+                    plan, _ = split_host_projection(plan, fn_reg)
                     pc = PlanCompiler(self._tables, fn_reg)
                 pc.lower(plan)
                 for note in pc.notes:

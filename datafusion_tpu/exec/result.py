@@ -38,10 +38,11 @@ class ResultTable:
         """Decoded python-friendly values for column j (None for NULL)."""
         data, valid = self.cols[j]
         dt = self.schema.field(j).dtype
-        if dt is DataType.Utf8:
+        if dt is DataType.Utf8 and self.dicts[j] is not None:
             vocab = np.asarray(self.dicts[j], dtype=object)
             vals = vocab[np.clip(data, 0, max(len(vocab) - 1, 0))]
         else:
+            # numeric / Struct / host-produced raw Utf8 (object array)
             vals = data
         out = list(vals)
         if valid is not None:
@@ -69,6 +70,25 @@ class ResultTable:
             for j in range(self.num_columns):
                 v = colvals[j][i]
                 cells.append("NULL" if v is None else format_cell(dtypes[j], v))
+            lines.append("\t".join(cells))
+        return "".join(line + "\n" for line in lines)
+
+    def display_str(self) -> str:
+        """Tab-delimited rendering with Rust `{}` Display semantics
+        (strings unquoted) — the reference POC console's output format
+        (reference: test/data/smoketest-expected.txt)."""
+        from datafusion_tpu.utils.fmt import display_cell
+
+        if self.raw_text is not None:
+            return self.raw_text
+        colvals = [self.column_values(j) for j in range(self.num_columns)]
+        dtypes = [f.dtype for f in self.schema.fields]
+        lines = []
+        for i in range(self.num_rows):
+            cells = [
+                "NULL" if colvals[j][i] is None else display_cell(dtypes[j], colvals[j][i])
+                for j in range(self.num_columns)
+            ]
             lines.append("\t".join(cells))
         return "".join(line + "\n" for line in lines)
 

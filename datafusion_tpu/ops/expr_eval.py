@@ -172,9 +172,19 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
         return CompiledExpr(isnotnull_fn, DataType.Boolean)
 
     if isinstance(expr, ScalarFunction):
+        from datafusion_tpu.ops.functions import HostFunction
+
         fn = registry.get(expr.name.lower())
         if fn is None:
             raise ExecutionError(f"Invalid function '{expr.name}'")
+        if isinstance(fn, HostFunction):
+            # host functions are split out of the plan before lowering
+            # (exec/compiler.py split_host_projection); reaching one here
+            # means it sits somewhere that split cannot reach
+            raise NotImplementedError_(
+                f"host function '{expr.name}' is only supported in the "
+                "top-level SELECT list (it runs on host at result time)"
+            )
         args = [_compile(a, schema, dicts, registry) for a in expr.args]
 
         def sf_fn(cols, fn=fn, args=args):

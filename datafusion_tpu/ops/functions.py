@@ -1,0 +1,91 @@
+"""Host-stage scalar functions and the built-in geospatial UDFs.
+
+Some scalar functions produce values a TPU cannot represent (variable-
+length text, struct records). The engine's split: the jit pipeline
+computes the function's *argument* columns on device (scan/filter/project
+all fused by XLA); the function itself runs once on the materialized
+host columns at result time — the same boundary where string decoding
+and Rust-Debug formatting already live (exec/result.py).
+
+A host function is registered by wrapping its implementation in
+`HostFunction`; the plan compiler splits the top-level projection around
+it (exec/compiler.py split_host_projection). The implementation receives
+decoded numpy arrays (one per argument, full result length) and returns
+one numpy array of per-row values.
+
+The geospatial functions realize the reference console's commented-out
+registration (reference: src/bin/console/main.rs:25-27,123-125) and the
+docker smoketest that exercised them (reference: test/data/smoketest.sql,
+scripts/smoketest.sh:76-96). ST_Point returns a Struct value — the
+reference's ScalarValue::Struct variant, which it declared but never
+executed (reference: logicalplan.rs:110,128 `unimplemented!()`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+
+class HostFunction:
+    """Marker wrapper: this scalar function runs on host at materialization
+    time (arguments are computed on device and shipped back once)."""
+
+    def __init__(self, fn: Callable[..., np.ndarray]):
+        self.fn = fn
+
+    def __call__(self, *args):
+        return self.fn(*args)
+
+
+# ---------------------------------------------------------------------------
+# Geospatial built-ins (reference: the POC-era ST_Point / ST_AsText UDFs)
+# ---------------------------------------------------------------------------
+
+
+def st_point(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """ST_Point(x, y) → Struct{x, y} as an object array of float tuples."""
+    out = np.empty(len(x), dtype=object)
+    for i in range(len(x)):
+        out[i] = (float(x[i]), float(y[i]))
+    return out
+
+
+def st_astext(points: np.ndarray) -> np.ndarray:
+    """ST_AsText(point) → WKT text, matching the reference smoketest's
+    `POINT (x y)` rendering with Rust Display float formatting
+    (reference: test/data/smoketest-expected.txt)."""
+    from datafusion_tpu.utils.fmt import rust_f64
+
+    out = np.empty(len(points), dtype=object)
+    for i, p in enumerate(points):
+        out[i] = f"POINT ({rust_f64(p[0])} {rust_f64(p[1])})"
+    return out
+
+
+def register_geospatial(ctx) -> None:
+    """Register ST_Point / ST_AsText on an ExecutionContext (the console
+    does this by default, realizing reference main.rs:123-125)."""
+    from datafusion_tpu.plan.planner import FunctionMeta, FunctionType
+    from datafusion_tpu.schema import Field
+    from datafusion_tpu.types import DataType as D
+
+    ctx.register_function(
+        FunctionMeta(
+            "ST_Point",
+            (Field("x", D.Float64, False), Field("y", D.Float64, False)),
+            D.Struct,
+            FunctionType.Scalar,
+        ),
+        HostFunction(st_point),
+    )
+    ctx.register_function(
+        FunctionMeta(
+            "ST_AsText",
+            (Field("geom", D.Struct, False),),
+            D.Utf8,
+            FunctionType.Scalar,
+        ),
+        HostFunction(st_astext),
+    )

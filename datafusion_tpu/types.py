@@ -32,6 +32,11 @@ class DataType(enum.Enum):
     Float32 = "Float32"
     Float64 = "Float64"
     Utf8 = "Utf8"
+    # Struct values exist only on host (object column of python tuples);
+    # the reference declared ScalarValue::Struct but every use was
+    # unimplemented! (reference: logicalplan.rs:110,128). Here they are
+    # produced/consumed by host-stage functions (ops/functions.py).
+    Struct = "Struct"
 
     def __repr__(self) -> str:  # Rust Debug-format parity: "Int64" etc.
         return self.value
@@ -41,7 +46,7 @@ class DataType(enum.Enum):
 
     @property
     def is_numeric(self) -> bool:
-        return self not in (DataType.Boolean, DataType.Utf8)
+        return self not in (DataType.Boolean, DataType.Utf8, DataType.Struct)
 
     @property
     def is_integer(self) -> bool:
@@ -95,6 +100,7 @@ _NP_DTYPES = {
     DataType.Float32: np.dtype(np.float32),
     DataType.Float64: np.dtype(np.float64),
     DataType.Utf8: np.dtype(np.int32),  # dictionary codes
+    DataType.Struct: np.dtype(object),  # host-only
 }
 
 _FROM_NP = {

@@ -101,4 +101,30 @@ def format_cell(dtype, value) -> str:
         return rust_f32(float(value))
     if dtype is DataType.Boolean:
         return "true" if value else "false"
+    if dtype is DataType.Struct:
+        # Rust derive(Debug) shape for ScalarValue::Struct(Vec<ScalarValue>)
+        # (the reference declared the variant but could not print it —
+        # logicalplan.rs:110, tests/sql.rs has no Struct arm)
+        parts = []
+        for v in value:
+            if isinstance(v, float):
+                parts.append(f"Float64({rust_f64(v)})")
+            elif isinstance(v, bool):
+                parts.append(f"Boolean({'true' if v else 'false'})")
+            elif isinstance(v, int):
+                parts.append(f"Int64({v})")
+            else:
+                parts.append(f"Utf8({rust_str_debug(str(v))})")
+        return "Struct([" + ", ".join(parts) + "])"
     return str(int(value))
+
+
+def display_cell(dtype, value) -> str:
+    """Rust `{}` Display rendering: like Debug but strings unquoted —
+    the format of the reference's POC-era console output
+    (reference: test/data/smoketest-expected.txt)."""
+    from datafusion_tpu.types import DataType
+
+    if dtype is DataType.Utf8:
+        return str(value)
+    return format_cell(dtype, value)

@@ -35,4 +35,12 @@ cat > "$tmp/want.txt" <<'TXT'
 37	50.376289	57.653484
 TXT
 diff -u "$tmp/want.txt" "$tmp/got.txt"
+
+echo "== reference smoketest golden (geospatial UDFs) =="
+# the reference's dockerized smoketest: run test/data/smoketest.sql and
+# diff -bBZ against the expected output (reference: scripts/smoketest.sh:76-96)
+sed "s|/test/data/uk_cities.csv|tests/data/uk_cities.csv|" \
+  tests/data/smoketest.sql > "$tmp/ref_smoke.sql"
+python -m datafusion_tpu.console --ref-output --script "$tmp/ref_smoke.sql" > "$tmp/ref_got.txt"
+diff -bBZ tests/data/smoketest-expected.txt "$tmp/ref_got.txt"
 echo "smoketest OK"

@@ -112,12 +112,13 @@ class CompiledQuery:
         Slots with a custom growth policy (see PlanCompiler._alloc_cap)
         grow through it instead of the row-count round-up."""
         from datafusion_tpu.exec.result import ResultTable
+        from datafusion_tpu.parallel.multihost import to_host
 
         env = [
             [(c.data, c.validity) for c in t.columns] for t in self._scan_tables
         ]
         datas, valids, sel, totals = self._jitted(env)
-        totals = [int(t) for t in jax.device_get(totals)] if totals else []
+        totals = [int(to_host(t)) for t in totals] if totals else []
         grows = self._grows or {}
         overflow = False
         bigger = list(self._caps)
@@ -127,7 +128,7 @@ class CompiledQuery:
                 bigger[i] = grows[i](tot) if i in grows else round_up(tot)
         if overflow:
             return self._recompile(bigger).run()
-        sel_np = np.asarray(jax.device_get(sel))
+        sel_np = to_host(sel)
         idx = np.nonzero(sel_np)[0]
         sources = self._sources or [None] * len(self.schema)
         host_cols = []
@@ -136,8 +137,8 @@ class CompiledQuery:
                 slot, ci = sources[j]
                 col = self._scan_tables[slot].columns[ci]
                 d, v = col.data, col.validity
-            dd = np.asarray(jax.device_get(d))[idx]
-            vv = None if v is None else np.asarray(jax.device_get(v))[idx]
+            dd = to_host(d)[idx]
+            vv = None if v is None else to_host(v)[idx]
             host_cols.append((dd, vv))
         inner = ResultTable(self.schema, host_cols, self.dicts)
         if self._host_post is None:

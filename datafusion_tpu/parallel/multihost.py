@@ -43,3 +43,24 @@ def global_mesh():
     from datafusion_tpu.parallel.mesh import make_mesh
 
     return make_mesh()
+
+
+def to_host(x):
+    """Fetch a jax array to host numpy, handling multi-controller runs.
+
+    Single process (or fully addressable array): plain device_get. Under
+    multi-process SPMD a partitioned result spans devices this process
+    cannot address, so the shards are exchanged with a process-level
+    all-gather (every process must reach this call — the engine's run()
+    is SPMD by construction). Replicated results read the local shard."""
+    import numpy as np
+
+    import jax
+
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(jax.device_get(x))
+    if x.is_fully_replicated:
+        return np.asarray(jax.device_get(x.addressable_data(0)))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -47,24 +47,47 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     so = os.path.join(build_dir, "libdftpu_csv.so")
     if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
         cmd = [
-            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
             "-o", so, src, "-lpthread",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            # some toolchains lack -march=native (e.g. cross images)
+            try:
+                subprocess.run(
+                    [a for a in cmd if a != "-march=native"],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:
         return None
     lib.dftpu_csv_count_rows.restype = ctypes.c_int64
     lib.dftpu_csv_count_rows.argtypes = [
-        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.dftpu_csv_index.restype = ctypes.c_void_p
+    lib.dftpu_csv_index.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.dftpu_csv_index_free.restype = None
+    lib.dftpu_csv_index_free.argtypes = [ctypes.c_void_p]
+    lib.dftpu_csv_parse_indexed.restype = ctypes.c_int64
+    lib.dftpu_csv_parse_indexed.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_int,
     ]
     lib.dftpu_csv_parse.restype = ctypes.c_int64
     lib.dftpu_csv_parse.argtypes = [
-        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_void_p),
@@ -72,7 +95,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.dftpu_csv_dict_encode.restype = ctypes.c_int64
     lib.dftpu_csv_dict_encode.argtypes = [
-        ctypes.c_char_p,
+        ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32),
@@ -99,45 +122,76 @@ def parse_csv_native(path: str, schema: Schema, has_header: bool):
     lib = get_lib()
     if lib is None:
         return None
-    with open(path, "rb") as f:
-        data = f.read()
-    n = int(lib.dftpu_csv_count_rows(data, len(data), int(has_header)))
-    if n < 0:
-        return None
-    ncols = len(schema)
-    dtypes = np.array([_DTYPE_CODE[f.dtype] for f in schema.fields], dtype=np.int32)
-    bufs = []
-    valids = []
-    out_ptrs = (ctypes.c_void_p * ncols)()
-    valid_ptrs = (ctypes.c_void_p * ncols)()
-    for j, field in enumerate(schema.fields):
-        if field.dtype is DataType.Utf8:
-            arr = np.zeros((n, 2), dtype=np.int64)  # (offset, length)
-        elif field.dtype is DataType.Boolean:
-            arr = np.zeros((n,), dtype=np.uint8)
-        else:
-            arr = np.zeros((n,), dtype=field.dtype.to_np())
-        bufs.append(arr)
-        out_ptrs[j] = arr.ctypes.data_as(ctypes.c_void_p)
-        v = np.zeros((n,), dtype=np.uint8)
-        valids.append(v)
-        valid_ptrs[j] = v.ctypes.data_as(ctypes.c_void_p)
+    import mmap
 
-    parsed = int(
-        lib.dftpu_csv_parse(
-            data,
-            len(data),
-            int(has_header),
-            ncols,
-            dtypes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            out_ptrs,
-            valid_ptrs,
-            0,
+    f = open(path, "rb")
+    size = os.fstat(f.fileno()).st_size
+    mm = None
+    idx = None
+    if size == 0:
+        data: object = b""
+        buf_ptr = None
+    else:
+        # mmap instead of read(): no full-buffer copy, and the parallel
+        # index/parse threads fault pages in as they stream
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        data = mm
+        # numpy view of the read-only map just to obtain the base pointer
+        buf_ptr = ctypes.c_void_p(np.frombuffer(mm, dtype=np.uint8).ctypes.data)
+    try:
+        nrows_out = ctypes.c_int64(0)
+        idx = lib.dftpu_csv_index(
+            buf_ptr, size, int(has_header), 0, ctypes.byref(nrows_out)
         )
-    )
-    if parsed != n:
-        return None
+        n = int(nrows_out.value)
+        if n < 0:
+            return None
+        ncols = len(schema)
+        dtypes = np.array(
+            [_DTYPE_CODE[f.dtype] for f in schema.fields], dtype=np.int32
+        )
+        bufs = []
+        valids = []
+        out_ptrs = (ctypes.c_void_p * ncols)()
+        valid_ptrs = (ctypes.c_void_p * ncols)()
+        for j, field in enumerate(schema.fields):
+            if field.dtype is DataType.Utf8:
+                arr = np.zeros((n, 2), dtype=np.int64)  # (offset, length)
+            elif field.dtype is DataType.Boolean:
+                arr = np.zeros((n,), dtype=np.uint8)
+            else:
+                arr = np.zeros((n,), dtype=field.dtype.to_np())
+            bufs.append(arr)
+            out_ptrs[j] = arr.ctypes.data_as(ctypes.c_void_p)
+            v = np.zeros((n,), dtype=np.uint8)
+            valids.append(v)
+            valid_ptrs[j] = v.ctypes.data_as(ctypes.c_void_p)
 
+        parsed = int(
+            lib.dftpu_csv_parse_indexed(
+                buf_ptr,
+                size,
+                idx,
+                int(has_header),
+                ncols,
+                dtypes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                out_ptrs,
+                valid_ptrs,
+                0,
+            )
+        )
+        if parsed != n:
+            return None
+        return _finish_columns(lib, buf_ptr, data, n, schema, bufs, valids)
+    finally:
+        if idx is not None:
+            lib.dftpu_csv_index_free(idx)
+        if mm is not None:
+            mm.close()
+        f.close()
+
+
+def _finish_columns(lib, buf_ptr, data, n, schema, bufs, valids):
     arrays = []
     validity = []
     for j, field in enumerate(schema.fields):
@@ -150,7 +204,7 @@ def parse_csv_native(path: str, schema: Schema, has_header: bool):
             vocab_pairs = np.zeros((n, 2), dtype=np.int64)
             k = int(
                 lib.dftpu_csv_dict_encode(
-                    data,
+                    buf_ptr,
                     offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                     n,
                     codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -778,11 +778,17 @@ class PlanCompiler:
 
             dicts = inner.dicts[n_right:] + inner.dicts[:n_right]
             return Lowered(plan.schema, dicts, swap_fn, inner.capacity, inner.layout)
-        keep_unmatched = plan.join_type is L.JoinType.Left
+        is_full = plan.join_type is L.JoinType.Full
+        keep_unmatched = plan.join_type is L.JoinType.Left or is_full
         left = self.lower(plan.left)
         right = self.lower(plan.right)
 
-        out_cap = self._alloc_cap(max(left.capacity, right.capacity))
+        # FULL OUTER can emit up to left+right rows (every row unmatched)
+        out_cap = self._alloc_cap(
+            left.capacity + right.capacity
+            if is_full
+            else max(left.capacity, right.capacity)
+        )
         # optimistic strategy slot: budget 0 duplicate-matched probes. The
         # compact (one-output-row-per-probe, FK/star-schema) join runs
         # first; if the data has multi-match probes the dup count
@@ -845,26 +851,35 @@ class PlanCompiler:
             if cross:  # one shared constant key ⇒ every pair matches
                 lkeys = [jnp.zeros((lb.capacity,), jnp.int32)]
                 rkeys = [jnp.zeros((rb.capacity,), jnp.int32)]
-            lcols, rcols, matched, out_sel, total, dups = join_ops.join_columns(
+            build_cols = [_broadcast_col(c, rb.capacity) for c in rb.cols]
+            res = join_ops.join_columns(
                 lkeys,
                 lb.sel,
                 [_broadcast_col(c, lb.capacity) for c in lb.cols],
                 rkeys,
                 rb.sel,
-                [_broadcast_col(c, rb.capacity) for c in rb.cols],
+                build_cols,
                 out_cap,
                 keep_unmatched_probe=keep_unmatched,
                 key_maxes=key_maxes,
                 strategy=strategy,
+                want_build_matched=is_full,
             )
-            self.totals.append(total)
-            self.totals.append(dups if strategy == "compact" else jnp.zeros((), jnp.int32))
-            if keep_unmatched:
+            lcols, rcols, matched, out_sel, total, dups = res[:6]
+            if is_full:
+                # append unmatched build rows after the LEFT-join head
+                un = jnp.logical_and(rb.sel, jnp.logical_not(res[6]))
+                lcols, rcols, out_sel, total = join_ops.full_merge_tail(
+                    lcols, rcols, matched, total, build_cols, un, out_cap
+                )
+            elif keep_unmatched:
                 # unmatched probe rows: build side is NULL
                 rcols = [
                     (d, matched if v is None else jnp.logical_and(v, matched))
                     for d, v in rcols
                 ]
+            self.totals.append(total)
+            self.totals.append(dups if strategy == "compact" else jnp.zeros((), jnp.int32))
             return Batch(lcols + rcols, out_sel)
 
         return Lowered(plan.schema, left.dicts + right.dicts, fn, out_cap, left.layout)

@@ -59,6 +59,101 @@ def _pack_keys(
     return (keys[0] << bits_b) | keys[1]
 
 
+def _build_matched_from_sorted(
+    ks: jax.Array,
+    isb: jax.Array,
+    srcs: jax.Array,
+    boundary: jax.Array,
+    p_sentinel: jax.Array,
+    b_cap: int,
+) -> jax.Array:
+    """Per-ORIGINAL-build-row matched flag from the combined-sort layout.
+
+    Mirror of the build-run computation: per position, the count of
+    SELECTED probes inside the position's distinct-key run; a build row
+    is matched iff its run contains at least one. Scattered back to
+    original build order via the carried source indices (builds occupy
+    src < b_cap)."""
+    comb = int(ks.shape[0])
+    is_psel = jnp.logical_and(jnp.logical_not(isb), ks != p_sentinel)
+    pincl = jnp.cumsum(is_psel.astype(jnp.int32))
+    pprefix = pincl - is_psel.astype(jnp.int32)
+    pstart_run = lax.cummax(jnp.where(boundary, pprefix, -1))
+    np_ = jnp.where(boundary, pprefix, comb + 1)
+    pend_next = jnp.flip(lax.cummin(jnp.flip(jnp.roll(np_, -1).at[-1].set(comb + 1))))
+    pend_run = jnp.minimum(pend_next, pincl[-1])
+    probes_in_run = jnp.maximum(pend_run - pstart_run, 0)
+    bm_sorted = jnp.logical_and(isb, probes_in_run > 0)
+    return (
+        jnp.zeros((b_cap,), jnp.int8)
+        .at[jnp.where(isb, srcs, b_cap)]
+        .max(bm_sorted.astype(jnp.int8), mode="drop")
+        .astype(jnp.bool_)
+    )
+
+
+def full_merge_tail(
+    pcols: Sequence[ColVal],
+    bcols: Sequence[ColVal],
+    matched: jax.Array,
+    total: jax.Array,
+    build_cols: Sequence[ColVal],
+    un: jax.Array,
+    out_capacity: int,
+):
+    """FULL-OUTER tail merge: append the unmatched build rows (mask `un`,
+    original build order, original row order preserved) after the
+    LEFT-join head produced by join_columns.
+
+    Validity is folded in here: probe columns are NULL on tail slots,
+    build columns get `matched` on head slots and their own original
+    validity on tail slots. Returns (pcols', bcols', out_sel', total')
+    where total' = head total + tail rows (caller overflow-checks it).
+    """
+    b_cap = int(un.shape[0])
+    iota_b = lax.broadcasted_iota(jnp.int32, (b_cap,), 0)
+    # stable compaction of unmatched rows to the front (iota tiebreak)
+    ops = [jnp.logical_not(un).astype(jnp.int8), iota_b]
+    plan: list[tuple[int, Optional[int]]] = []
+    seen: dict[int, int] = {}
+    for data, valid in build_cols:
+        data = jnp.broadcast_to(data, (b_cap,)) if jnp.ndim(data) == 0 else data
+        if id(data) not in seen:
+            seen[id(data)] = len(ops)
+            ops.append(data)
+        di = seen[id(data)]
+        vi = None
+        if valid is not None:
+            if id(valid) not in seen:
+                seen[id(valid)] = len(ops)
+                ops.append(valid.astype(jnp.int8))
+            vi = seen[id(valid)]
+        plan.append((di, vi))
+    comp = lax.sort(ops, num_keys=2)
+
+    n_un = jnp.sum(un.astype(jnp.int32))
+    iota = lax.broadcasted_iota(jnp.int32, (out_capacity,), 0)
+    in_head = iota < total
+    tail_pos = jnp.clip(iota - total, 0, b_cap - 1)
+    out_b: list[ColVal] = []
+    for (dh, vh), (di, vi) in zip(bcols, plan):
+        dh = jnp.broadcast_to(dh, (out_capacity,)) if jnp.ndim(dh) == 0 else dh
+        dt = jnp.take(comp[di], tail_pos)
+        d = jnp.where(in_head, dh, dt)
+        head_v = matched if vh is None else jnp.logical_and(vh, matched)
+        tail_v = (
+            jnp.ones((out_capacity,), jnp.bool_)
+            if vi is None
+            else jnp.take(comp[vi], tail_pos).astype(jnp.bool_)
+        )
+        out_b.append((d, jnp.where(in_head, head_v, tail_v)))
+    out_p: list[ColVal] = [
+        (d, in_head if v is None else jnp.logical_and(v, in_head)) for d, v in pcols
+    ]
+    total_full = total + n_un
+    return out_p, out_b, iota < total_full, total_full
+
+
 def inner_join_indices(
     probe_keys: Sequence[jax.Array],
     probe_sel: jax.Array,
@@ -84,6 +179,7 @@ def join_indices(
     *,
     keep_unmatched_probe: bool = False,
     key_maxes: Optional[Sequence[Optional[int]]] = None,
+    want_build_matched: bool = False,
 ):
     """Compute gather indices realizing an equi-join.
 
@@ -94,6 +190,11 @@ def join_indices(
     length out_capacity; `matched` flags slots with a real build match;
     `total` is the exact output row count (may exceed out_capacity, in
     which case the caller must recompile bigger).
+
+    want_build_matched=True appends a sixth result: a bool array of
+    length build-capacity (original build row order) flagging build rows
+    with at least one selected probe match — the FULL-OUTER/semi-join
+    mark on the build side.
     """
     p_cap = int(probe_sel.shape[0])
     b_cap = int(build_sel.shape[0])
@@ -133,6 +234,11 @@ def join_indices(
     nb = jnp.where(boundary, bprefix, comb + 1)
     end_run_next = jnp.flip(lax.cummin(jnp.flip(jnp.roll(nb, -1).at[-1].set(comb + 1))))
     end_run = jnp.minimum(end_run_next, bincl[-1])
+    build_matched = (
+        _build_matched_from_sorted(ks, isb, srcs, boundary, p_sentinel, b_cap)
+        if want_build_matched
+        else None
+    )
     # scatter ranks back to original probe rows
     probe_pos = jnp.clip(srcs - b_cap, 0, p_cap - 1)
     pmask = jnp.logical_not(isb)
@@ -175,6 +281,8 @@ def join_indices(
     build_pos = jnp.clip(build_pos, 0, b_cap - 1)
     build_idx = jnp.take(b_perm, build_pos)
     out_sel = out_iota < total
+    if want_build_matched:
+        return probe_idx, build_idx, out_sel, matched, total, build_matched
     return probe_idx, build_idx, out_sel, matched, total
 
 
@@ -206,11 +314,14 @@ def join_columns(
     keep_unmatched_probe: bool = False,
     key_maxes: Optional[Sequence[Optional[int]]] = None,
     strategy: str = "compact",
+    want_build_matched: bool = False,
 ):
     """Materialize an equi-join's output columns.
 
     Returns (out_probe_cols, out_build_cols, build_matched, out_sel,
-    total, dups):
+    total, dups) — plus, when want_build_matched=True, a seventh result:
+    the per-ORIGINAL-build-row matched flag (FULL-OUTER/semi-join mark;
+    see join_indices):
       total — exact output row count (> out_capacity ⇒ caller recompiles
               with a larger capacity)
       dups  — probe rows with more than one build match. The "compact"
@@ -226,10 +337,12 @@ def join_columns(
     and never materializes gather indices, ~6x faster end-to-end.
     """
     if strategy == "expand":
-        p_idx, b_idx, out_sel, matched, total = join_indices(
+        res = join_indices(
             probe_keys, probe_sel, build_keys, build_sel, out_capacity,
             keep_unmatched_probe=keep_unmatched_probe, key_maxes=key_maxes,
+            want_build_matched=want_build_matched,
         )
+        p_idx, b_idx, out_sel, matched, total = res[:5]
         # dup count from the output layout: a probe with k matches fills k
         # consecutive slots, so count probes owning adjacent equal slots
         adj = jnp.logical_and(
@@ -245,6 +358,8 @@ def join_columns(
         dups = jnp.sum(first_dup.astype(jnp.int32))
         pcols = gather_columns(probe_cols, p_idx)
         bcols = gather_columns(build_cols, b_idx)
+        if want_build_matched:
+            return pcols, bcols, matched, out_sel, total, dups, res[5]
         return pcols, bcols, matched, out_sel, total, dups
 
     if strategy != "compact":
@@ -378,4 +493,9 @@ def join_columns(
     out_matched = _fit(compacted[matched_slot]).astype(jnp.bool_)
     out_iota = lax.broadcasted_iota(jnp.int32, (out_capacity,), 0)
     out_sel = out_iota < total
+    if want_build_matched:
+        bm = _build_matched_from_sorted(
+            ks, isb, c_sorted[2], boundary, p_sentinel, b_cap
+        )
+        return out_pcols, out_bcols, out_matched, out_sel, total, dups, bm
     return out_pcols, out_bcols, out_matched, out_sel, total, dups

@@ -364,6 +364,8 @@ class DistCompiler(PlanCompiler):
             return Lowered(plan.schema, dicts, swap_fn, inner.capacity, inner.layout)
         left = self.lower(plan.left)
         right_low = self.lower(plan.right)
+        is_full = plan.join_type is L.JoinType.Full
+        keep_unmatched = plan.join_type is L.JoinType.Left or is_full
         strategy = os.environ.get("DFTPU_JOIN_STRATEGY", "auto")
         both_part = left.layout == "partitioned" and right_low.layout == "partitioned"
         if strategy == "shuffle" or (
@@ -375,7 +377,11 @@ class DistCompiler(PlanCompiler):
                 return self._lower_join_shuffle(plan, left, right_low)
         right = self._gather_batch(right_low)
 
-        out_cap_global = self._alloc_cap(max(left.capacity, right.capacity))
+        out_cap_global = self._alloc_cap(
+            left.capacity + right.capacity
+            if is_full
+            else max(left.capacity, right.capacity)
+        )
         # optimistic compact join with dup-overflow fallback to expand
         # (see exec/compiler.py _lower_join and ops/join.py join_columns)
         dup_cap = self._alloc_cap(0)
@@ -415,30 +421,58 @@ class DistCompiler(PlanCompiler):
             if cross:  # one shared constant key ⇒ every pair matches
                 lkeys = [jnp.zeros((left_cap_local,), jnp.int32)]
                 rkeys = [jnp.zeros((rb.capacity,), jnp.int32)]
-            lcols, rcols, matched, out_sel, total, dups = join_ops.join_columns(
+            build_cols = [_broadcast_col(c, rb.capacity) for c in rb.cols]
+            res = join_ops.join_columns(
                 lkeys,
                 lb.sel,
                 [_broadcast_col(c, left_cap_local) for c in lb.cols],
                 rkeys,
                 rb.sel,
-                [_broadcast_col(c, rb.capacity) for c in rb.cols],
+                build_cols,
                 out_cap_local,
-                keep_unmatched_probe=plan.join_type is L.JoinType.Left,
+                keep_unmatched_probe=keep_unmatched,
                 key_maxes=key_maxes,
                 strategy=local_strategy,
+                want_build_matched=is_full,
             )
+            lcols, rcols, matched, out_sel, total, dups = res[:6]
+            if is_full:
+                # build side is replicated (gathered): OR the matched mask
+                # across chips, then spread the unmatched tail rows evenly
+                # so no chip hot-spots
+                bm = res[6]
+                if partitioned:
+                    bm = lax.pmax(bm.astype(jnp.int8), AXIS) > 0
+                un = jnp.logical_and(rb.sel, jnp.logical_not(bm))
+                if partitioned:
+                    rank = jnp.cumsum(un.astype(jnp.int32)) - un.astype(jnp.int32)
+                    nun = jnp.sum(un.astype(jnp.int32))
+                    share = (nun + self.n_dev - 1) // self.n_dev
+                    me = lax.axis_index(AXIS)
+                    un = jnp.logical_and(
+                        un,
+                        jnp.logical_and(rank >= me * share, rank < (me + 1) * share),
+                    )
+                lcols, rcols, out_sel, total = join_ops.full_merge_tail(
+                    lcols, rcols, matched, total, build_cols, un, out_cap_local
+                )
+            elif keep_unmatched:
+                rcols = [
+                    (d, matched if v is None else jnp.logical_and(v, matched))
+                    for d, v in rcols
+                ]
             if partitioned:
-                total = lax.psum(total, AXIS)
+                # per-chip static capacity: grow until the WORST chip fits
+                # (the global sum alone can hide a hot chip)
+                need = (
+                    lax.pmax(total, AXIS) * self.n_dev if is_full else lax.psum(total, AXIS)
+                )
+                total = need
                 dups = lax.pmax(dups, AXIS)
             self.totals.append(total)
             self.totals.append(
                 dups if local_strategy == "compact" else jnp.zeros((), jnp.int32)
             )
-            if plan.join_type is L.JoinType.Left:
-                rcols = [
-                    (d, matched if v is None else jnp.logical_and(v, matched))
-                    for d, v in rcols
-                ]
             return Batch(lcols + rcols, out_sel)
 
         return Lowered(
@@ -456,7 +490,11 @@ class DistCompiler(PlanCompiler):
         # lane-aligned; totals/caps machinery grows it under skew
         s_l = self._alloc_cap(max(128, -(-2 * lcap_local // n) // 128 * 128))
         s_r = self._alloc_cap(max(128, -(-2 * rcap_local // n) // 128 * 128))
-        out_cap_local = self._alloc_cap(max(lcap_local * 2, n * s_l))
+        is_full = plan.join_type is L.JoinType.Full
+        keep_unmatched = plan.join_type is L.JoinType.Left or is_full
+        out_cap_local = self._alloc_cap(
+            max(lcap_local * 2, n * s_l) + (n * s_r if is_full else 0)
+        )
         import os as _os
 
         dup_cap = self._alloc_cap(0)
@@ -509,7 +547,9 @@ class DistCompiler(PlanCompiler):
             lmax_g = lax.pmax(lmax, AXIS)
             self.totals.append(lmax_g)
             if salt_r > 1:
-                # replicate each build row once per salt bucket
+                # replicate each build row once per salt bucket; replica 0
+                # carries the FULL-OUTER tail eligibility so an unmatched
+                # build row is appended exactly once across its replicas
                 rcap_rep = rcap_local * salt_r
                 rcols_in = []
                 for d, v in (_broadcast_col(c, rcap_local) for c in rb.cols):
@@ -527,16 +567,24 @@ class DistCompiler(PlanCompiler):
                 rdst = hash_keys_to_device(
                     rkeys_rep, n, salt_r=salt_r, salt=replica
                 )
+                if is_full:
+                    rcols_in.append(((replica == 0).astype(jnp.int8), None))
             else:
                 rcols_in = [_broadcast_col(c, rcap_local) for c in rb.cols]
                 rsel_in = rb.sel
                 rdst = hash_keys_to_device(rkeys, n)
+                if is_full:
+                    rcols_in.append((jnp.ones((rcap_local,), jnp.int8), None))
             rcols2, rsel2, rmax = repartition(rcols_in, rdst, rsel_in, n, s_r)
             self.totals.append(lax.pmax(rmax, AXIS))
+            elig2 = None
+            if is_full:
+                elig2 = rcols2[-1][0] > 0
+                rcols2 = rcols2[:-1]
 
             lkeys2 = keys_of(None, lcols2, n * s_l, "l")
             rkeys2 = keys_of(None, rcols2, n * s_r, "r")
-            lcols3, rcols3, matched, out_sel, total, dups = join_ops.join_columns(
+            res = join_ops.join_columns(
                 lkeys2,
                 lsel2,
                 lcols2,
@@ -544,10 +592,21 @@ class DistCompiler(PlanCompiler):
                 rsel2,
                 rcols2,
                 out_cap_local,
-                keep_unmatched_probe=plan.join_type is L.JoinType.Left,
+                keep_unmatched_probe=keep_unmatched,
                 key_maxes=key_maxes,
                 strategy=local_strategy,
+                want_build_matched=is_full,
             )
+            lcols3, rcols3, matched, out_sel, total, dups = res[:6]
+            if is_full:
+                # after the hash shuffle every key lives on one chip, so
+                # the unmatched-build tail is purely local
+                un = jnp.logical_and(
+                    jnp.logical_and(rsel2, jnp.logical_not(res[6])), elig2
+                )
+                lcols3, rcols3, out_sel, total = join_ops.full_merge_tail(
+                    lcols3, rcols3, matched, total, rcols2, un, out_cap_local
+                )
             # out_cap_local is a per-device capacity — compare the worst
             # device's match count, not the global sum
             self.totals.append(lax.pmax(total, AXIS))
@@ -562,7 +621,7 @@ class DistCompiler(PlanCompiler):
             bal_cell = jnp.maximum(total_sel // (n * n), 1)
             need = jnp.minimum((lmax_g + 4 * bal_cell - 1) // (4 * bal_cell), n)
             self.totals.append(jnp.maximum(need, 1).astype(jnp.int32))
-            if plan.join_type is L.JoinType.Left:
+            if keep_unmatched and not is_full:
                 rcols3 = [
                     (d, matched if v is None else jnp.logical_and(v, matched))
                     for d, v in rcols3

@@ -435,6 +435,7 @@ class JoinType(enum.Enum):
     Inner = "Inner"
     Left = "Left"
     Right = "Right"
+    Full = "Full"
 
     def __repr__(self) -> str:
         return self.value

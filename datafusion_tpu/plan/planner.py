@@ -16,7 +16,7 @@ from typing import Optional, Protocol
 from datafusion_tpu.errors import InvalidColumnError, PlanError
 from datafusion_tpu.schema import Field, Schema
 from datafusion_tpu.sql import ast as A
-from datafusion_tpu.types import DataType, ScalarValue, get_supertype
+from datafusion_tpu.types import DataType, ScalarValue, can_coerce_from, get_supertype
 from datafusion_tpu.plan.logical import (
     Aggregate,
     AggregateFunction,
@@ -257,12 +257,22 @@ class SqlToRel:
         input_schema = input_plan.schema
 
         # WHERE is planned against the scan schema first
-        # (reference: sqlplanner.rs:66-73)
+        # (reference: sqlplanner.rs:66-73). [NOT] IN (SELECT ...) conjuncts
+        # rewrite the FROM relation into semi/anti joins first.
         selection_plan: Optional[LogicalPlan] = None
         if sel.selection is not None:
-            selection_plan = Selection(
-                self.sql_to_rex(sel.selection, input_schema, qualifiers), input_plan
+            extended, residual, extra = self._rewrite_in_subqueries(
+                sel.selection, input_plan, input_schema, qualifiers
             )
+            pred: Optional[Expr] = (
+                self.sql_to_rex(residual, input_schema, qualifiers)
+                if residual is not None
+                else None
+            )
+            for e in extra:
+                pred = e if pred is None else BinaryExpr(pred, Operator.And, e)
+            assert pred is not None
+            selection_plan = Selection(pred, extended)
 
         # projection expressions, expanding `*` (reference leaves wildcard
         # unimplemented, sqlplanner.rs:235-239; we expand it)
@@ -299,11 +309,13 @@ class SqlToRel:
                 sel, proj_exprs, input_plan, selection_plan, input_schema, qualifiers
             )
 
-        if sel.having is not None and not aggr_exprs:
+        if sel.having is not None and not aggr_exprs and not sel.group_by:
             # the reference erred here too (sqlplanner.rs:136-140)
             raise PlanError("HAVING requires aggregate functions")
 
-        if aggr_exprs:
+        # GROUP BY without aggregates still groups (dedupes) — and HAVING
+        # over it may introduce hidden aggregate columns
+        if aggr_exprs or sel.group_by:
             agg_input = selection_plan if selection_plan is not None else input_plan
             group_exprs = [
                 self._group_expr(e, proj_exprs, input_schema, qualifiers)
@@ -376,6 +388,116 @@ class SqlToRel:
                 proj_schema,
             )
         return self._plan_order_limit(sel, plan, qualifiers)
+
+    def _rewrite_in_subqueries(
+        self,
+        where: A.AstNode,
+        input_plan: LogicalPlan,
+        input_schema: Schema,
+        qualifiers,
+    ):
+        """Rewrite top-level [NOT] IN (SELECT ...) conjuncts of the WHERE
+        clause into semi/anti joins against the DISTINCT subquery result:
+
+            x IN (SELECT c ...)     → INNER JOIN (one match per probe, so
+                                      the compact join strategy applies)
+            x NOT IN (SELECT c ...) → LEFT JOIN + appended-column IS NULL
+
+        Helper columns appended by the joins sit AFTER the original
+        schema, so every existing column index stays valid; the final
+        projection never references them. Documented deviation from
+        three-valued SQL: a NULL in the subquery result does not veto
+        NOT IN (we treat it as "no match"), and NULL probe values are
+        excluded on both forms via IS NOT NULL.
+
+        Returns (extended_plan, residual_where_ast | None, extra_exprs).
+        """
+
+        def split_and(node: A.AstNode, out: list) -> None:
+            if isinstance(node, A.SQLBinaryExpr) and node.op == "And":
+                split_and(node.left, out)
+                split_and(node.right, out)
+            else:
+                out.append(node)
+
+        def contains_sub(node: A.AstNode) -> bool:
+            if isinstance(node, A.SQLInSubquery):
+                return True
+            kids = []
+            if isinstance(node, A.SQLBinaryExpr):
+                kids = [node.left, node.right]
+            elif isinstance(node, A.SQLUnary):
+                kids = [node.expr]
+            return any(contains_sub(k) for k in kids)
+
+        conjuncts: list[A.AstNode] = []
+        split_and(where, conjuncts)
+        if not any(isinstance(c, A.SQLInSubquery) for c in conjuncts):
+            if contains_sub(where):
+                raise PlanError(
+                    "IN (SELECT ...) is only supported as a top-level AND "
+                    "conjunct of WHERE (not under OR/NOT)"
+                )
+            return input_plan, where, []
+
+        plan = input_plan
+        extra: list[Expr] = []
+        residual: list[A.AstNode] = []
+        for c in conjuncts:
+            if not isinstance(c, A.SQLInSubquery):
+                if contains_sub(c):
+                    raise PlanError(
+                        "IN (SELECT ...) is only supported as a top-level "
+                        "AND conjunct of WHERE (not under OR/NOT)"
+                    )
+                residual.append(c)
+                continue
+            outer = self.sql_to_rex(c.expr, input_schema, qualifiers)
+            outer = outer.expr if isinstance(outer, Cast) else outer
+            if not isinstance(outer, Column):
+                raise PlanError(
+                    "the left side of IN (SELECT ...) must be a plain column"
+                )
+            sub = self.sql_to_rel(c.subquery)
+            if len(sub.schema) != 1:
+                raise PlanError(
+                    f"IN subquery must return exactly one column, got "
+                    f"{len(sub.schema)}"
+                )
+            outer_t = input_schema.fields[outer.index].dtype
+            sub_t = sub.schema.fields[0].dtype
+            if sub_t is not outer_t:
+                if not can_coerce_from(outer_t, sub_t):
+                    raise PlanError(
+                        f"IN subquery type {sub_t} does not coerce to "
+                        f"column type {outer_t}; CAST the subquery column"
+                    )
+                cast_schema = Schema(
+                    [Field(sub.schema.fields[0].name, outer_t, True)]
+                )
+                sub = Projection(
+                    (Cast(Column(0), outer_t),), sub, cast_schema
+                )
+            # DISTINCT: at most one match per probe row — keeps the
+            # compact join strategy optimal and output row counts right
+            sub = Aggregate(sub, (Column(0),), (), sub.schema)
+            jt = JoinType.Left if c.negated else JoinType.Inner
+            mark_idx = len(plan.schema)
+            plan = Join(
+                plan, sub, ((outer.index, 0),), jt, plan.schema.join(sub.schema)
+            )
+            extra.append(IsNotNull(Column(outer.index)))
+            if c.negated:
+                extra.append(IsNull(Column(mark_idx)))
+
+        residual_ast: Optional[A.AstNode] = None
+        for r in residual:
+            residual_ast = (
+                r
+                if residual_ast is None
+                else A.SQLBinaryExpr(residual_ast, "And", r)
+            )
+        return plan, residual_ast, extra
 
     def _plan_composite_aggregates(
         self, sel, proj_exprs, input_plan, selection_plan, input_schema, qualifiers
@@ -543,6 +665,7 @@ class SqlToRel:
             A.JoinKind.Inner: JoinType.Inner,
             A.JoinKind.Left: JoinType.Left,
             A.JoinKind.Right: JoinType.Right,
+            A.JoinKind.Full: JoinType.Full,
         }[node.kind]
         return Join(left, right, tuple(on_pairs), jt, joined_schema)
 

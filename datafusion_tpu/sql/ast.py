@@ -39,6 +39,16 @@ class SQLDerivedTable(AstNode):
 
 
 @dataclass(frozen=True)
+class SQLInSubquery(AstNode):
+    """expr [NOT] IN (SELECT ...) — planned as a semi/anti join against
+    the DISTINCT subquery result (beyond the reference's grammar)."""
+
+    expr: AstNode
+    subquery: AstNode
+    negated: bool
+
+
+@dataclass(frozen=True)
 class SQLAliasedTable(AstNode):
     """FROM name [AS] alias — alias-qualified table reference."""
 
@@ -139,6 +149,7 @@ class JoinKind(enum.Enum):
     Inner = "Inner"
     Left = "Left"
     Right = "Right"
+    Full = "Full"
 
 
 @dataclass(frozen=True)

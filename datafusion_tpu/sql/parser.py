@@ -24,6 +24,7 @@ from datafusion_tpu.sql.ast import (
     SQLDouble,
     SQLFunction,
     SQLIdentifier,
+    SQLInSubquery,
     SQLIsNotNull,
     SQLIsNull,
     SQLJoin,
@@ -89,6 +90,7 @@ _RESERVED_STOP = {
     "INNER",
     "LEFT",
     "RIGHT",
+    "FULL",
     "CROSS",
     "AS",
     "ASC",
@@ -343,6 +345,10 @@ class Parser:
                 "RIGHT", "OUTER", "JOIN"
             ):
                 kind = JoinKind.Right
+            elif self.consume_keywords("FULL", "JOIN") or self.consume_keywords(
+                "FULL", "OUTER", "JOIN"
+            ):
+                kind = JoinKind.Full
             elif self.consume_keywords("CROSS", "JOIN"):
                 rel = SQLJoin(rel, self._parse_table_ref(), JoinKind.Inner, None)
                 continue
@@ -372,8 +378,14 @@ class Parser:
 
     def _parse_in_list(self, left: AstNode, negated: bool) -> AstNode:
         """x IN (v1, v2, ...) desugars to an OR-chain of equalities
-        (x NOT IN → AND-chain of inequalities)."""
+        (x NOT IN → AND-chain of inequalities); x [NOT] IN (SELECT ...)
+        becomes SQLInSubquery for the planner's semi/anti-join rewrite."""
         self.expect_op("(")
+        t = self.peek()
+        if t.kind is Tok.IDENT and t.upper == "SELECT":
+            sub = self._parse_select_set()
+            self.expect_op(")")
+            return SQLInSubquery(left, sub, negated)
         items = [self.parse_expr()]
         while self.consume_op(","):
             items.append(self.parse_expr())

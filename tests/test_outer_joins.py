@@ -74,6 +74,78 @@ def test_left_join_shuffle(monkeypatch):
     assert single == dist == LEFT_EXPECT
 
 
+FULL_SQL = (
+    "SELECT orders.oid, people.name FROM orders "
+    "FULL JOIN people ON orders.pid = people.pid"
+)
+# left-join head (4 rows, oid 13 unmatched) + unmatched build row bob
+FULL_EXPECT = sorted(
+    ['10\t"cat"', '11\t"ann"', '12\t"cat"', "13\tNULL", 'NULL\t"bob"']
+)
+
+# probe side has duplicate matches (cat has two orders) → the compact
+# strategy's dup overflow recompiles to expand; plus one unmatched row
+# on each side (bob, oid 13)
+FULL_DUP_SQL = (
+    "SELECT people.name, orders.oid FROM people "
+    "FULL OUTER JOIN orders ON people.pid = orders.pid"
+)
+FULL_DUP_EXPECT = sorted(
+    ['"ann"\t11', '"bob"\tNULL', '"cat"\t10', '"cat"\t12', "NULL\t13"]
+)
+
+
+def test_full_join_single():
+    out = make_ctx().sql(FULL_SQL).result_str()
+    assert sorted(out.splitlines()) == FULL_EXPECT
+
+
+def test_full_join_dup_fallback_single():
+    out = make_ctx().sql(FULL_DUP_SQL).result_str()
+    assert sorted(out.splitlines()) == FULL_DUP_EXPECT
+
+
+def test_full_join_distributed_broadcast():
+    mesh = make_mesh()
+    out = make_ctx(mesh).sql(FULL_SQL).result_str()
+    assert sorted(out.splitlines()) == FULL_EXPECT
+    out = make_ctx(mesh).sql(FULL_DUP_SQL).result_str()
+    assert sorted(out.splitlines()) == FULL_DUP_EXPECT
+
+
+def test_full_join_distributed_shuffle(monkeypatch):
+    monkeypatch.setenv("DFTPU_JOIN_STRATEGY", "shuffle")
+    mesh = make_mesh()
+    out = make_ctx(mesh).sql(FULL_SQL).result_str()
+    assert sorted(out.splitlines()) == FULL_EXPECT
+    out = make_ctx(mesh).sql(FULL_DUP_SQL).result_str()
+    assert sorted(out.splitlines()) == FULL_DUP_EXPECT
+
+
+def test_full_join_aggregate_counts():
+    # unmatched rows on BOTH sides contribute NULLs that COUNT skips
+    out = make_ctx().sql(
+        "SELECT COUNT(people.name), COUNT(orders.oid) FROM orders "
+        "FULL JOIN people ON orders.pid = people.pid"
+    ).result_str()
+    assert out == "4\t4\n"
+
+
+def test_full_join_no_matches():
+    # disjoint key sets: FULL OUTER = all rows from both sides, all NULL-extended
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "a", Table.from_pydict({"k": np.array([1, 2], np.int32), "x": ["p", "q"]})
+    )
+    ctx.register_table(
+        "b", Table.from_pydict({"k": np.array([7, 8, 9], np.int32), "y": ["r", "s", "t"]})
+    )
+    out = ctx.sql("SELECT a.x, b.y FROM a FULL JOIN b ON a.k = b.k").result_str()
+    assert sorted(out.splitlines()) == sorted(
+        ['"p"\tNULL', '"q"\tNULL', 'NULL\t"r"', 'NULL\t"s"', 'NULL\t"t"']
+    )
+
+
 def test_left_join_aggregate_counts():
     # COUNT skips NULLs from unmatched rows; COUNT(*)-style COUNT(oid) does not
     ctx = make_ctx()

@@ -118,3 +118,116 @@ def test_group_by_alias_and_ordinal():
     want = [(0, 1), (10, 2), (20, 2)]
     for r in (r1, r2, r3):
         assert sorted(tuple(x.values()) for x in r.to_pylist()) == want
+
+
+def make_two_table_ctx():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {
+                "k": np.array([1, 2, 3, 4, 5, 6], np.int32),
+                "g": ["a", "a", "b", "b", "c", "c"],
+                "v": np.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0], np.float64),
+            }
+        ),
+    )
+    ctx.register_table(
+        "s",
+        Table.from_pydict(
+            {
+                "k": np.array([2, 4, 4, 9], np.int32),
+                "tag": ["x", "y", "y", "z"],
+            }
+        ),
+    )
+    return ctx
+
+
+def test_in_subquery():
+    ctx = make_two_table_ctx()
+    # duplicate 4s in s must NOT duplicate output rows (DISTINCT semi-join)
+    out = ctx.sql("SELECT k FROM t WHERE k IN (SELECT k FROM s) ORDER BY k")
+    assert out.result_str() == "2\n4\n"
+
+
+def test_not_in_subquery():
+    ctx = make_two_table_ctx()
+    out = ctx.sql("SELECT k FROM t WHERE k NOT IN (SELECT k FROM s) ORDER BY k")
+    assert out.result_str() == "1\n3\n5\n6\n"
+
+
+def test_in_subquery_with_residual_where():
+    ctx = make_two_table_ctx()
+    out = ctx.sql(
+        "SELECT k FROM t WHERE k IN (SELECT k FROM s) AND v > 25 ORDER BY k"
+    )
+    assert out.result_str() == "4\n"
+    out = ctx.sql(
+        "SELECT k FROM t WHERE v > 25 AND k NOT IN (SELECT k FROM s WHERE tag = 'y') "
+        "ORDER BY k"
+    )
+    assert out.result_str() == "3\n5\n6\n"
+
+
+def test_in_subquery_string_keys():
+    ctx = make_two_table_ctx()
+    out = ctx.sql(
+        "SELECT k FROM t WHERE g IN (SELECT tag FROM s) ORDER BY k"
+    )
+    # tags x,y,z never appear in g
+    assert out.result_str() == ""
+    ctx.register_table("labels", Table.from_pydict({"l": ["a", "c", "q"]}))
+    out = ctx.sql("SELECT k FROM t WHERE g IN (SELECT l FROM labels) ORDER BY k")
+    assert out.result_str() == "1\n2\n5\n6\n"
+
+
+def test_in_subquery_with_aggregate_sub():
+    ctx = make_two_table_ctx()
+    # subquery with its own GROUP BY/HAVING
+    out = ctx.sql(
+        "SELECT k FROM t WHERE g IN "
+        "(SELECT g FROM t GROUP BY g HAVING SUM(v) > 40) ORDER BY k"
+    )
+    assert out.result_str() == "3\n4\n5\n6\n"
+
+
+def test_in_subquery_distributed():
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    single = make_two_table_ctx()
+    dist = make_two_table_ctx()
+    dist._mesh = mesh  # noqa: SLF001 — mirror make_ctx(mesh) pattern
+    for sql in (
+        "SELECT k FROM t WHERE k IN (SELECT k FROM s) ORDER BY k",
+        "SELECT k FROM t WHERE k NOT IN (SELECT k FROM s) ORDER BY k",
+    ):
+        ctx_d = ExecutionContext(mesh=mesh)
+        ctx_d._tables = dist._tables
+        assert single.sql(sql).result_str() == ctx_d.sql(sql).result_str()
+
+
+def test_in_subquery_errors():
+    import pytest
+    from datafusion_tpu.errors import PlanError
+
+    ctx = make_two_table_ctx()
+    with pytest.raises(PlanError, match="top-level AND conjunct"):
+        ctx.sql("SELECT k FROM t WHERE k > 3 OR k IN (SELECT k FROM s)")
+    with pytest.raises(PlanError, match="exactly one column"):
+        ctx.sql("SELECT k FROM t WHERE k IN (SELECT k, tag FROM s)")
+    with pytest.raises(PlanError, match="plain column"):
+        ctx.sql("SELECT k FROM t WHERE k + 1 IN (SELECT k FROM s)")
+
+
+def test_group_by_without_aggregates_dedupes():
+    # regression: GROUP BY with no aggregate in the SELECT list must still
+    # group (it used to fall through to a plain projection)
+    ctx = make_ctx()
+    assert ctx.sql("SELECT g FROM t GROUP BY g ORDER BY g").result_str() == (
+        '"a"\n"b"\n"c"\n'
+    )
+    assert ctx.sql(
+        "SELECT g FROM t GROUP BY g HAVING SUM(v) > 40 ORDER BY g"
+    ).result_str() == '"b"\n"c"\n'

@@ -54,6 +54,32 @@ class CompiledExpr:
     dictionary: Optional[tuple[str, ...]] = None
 
 
+# String functions evaluate on the (small) dictionary VOCABULARY on the
+# host at compile time, never on the device: the transformed vocabulary
+# is re-canonicalized (sorted unique) and the column's int32 codes pass
+# through a tiny remap LUT — so every downstream invariant (code order =
+# string order for <,>,MIN,MAX,ORDER BY,GROUP BY) keeps holding.
+# string→scalar functions (LENGTH) are a single LUT gather.
+_STRING_PYFNS: dict[str, Callable[..., str]] = {
+    "upper": lambda s: s.upper(),
+    "lower": lambda s: s.lower(),
+    "trim": lambda s: s.strip(),
+    "ltrim": lambda s: s.lstrip(),
+    "rtrim": lambda s: s.rstrip(),
+    "reverse": lambda s: s[::-1],
+    # SQL SUBSTR is 1-based; a 0/negative start clamps to the string head
+    "substr": lambda s, start, ln=None: (
+        s[max(int(start) - 1, 0):]
+        if ln is None
+        else s[max(int(start) - 1, 0): max(int(start) - 1, 0) + max(int(ln), 0)]
+    ),
+    "replace": lambda s, old, new: s.replace(str(old), str(new)),
+}
+_STRING_FN_NAMES = (
+    set(_STRING_PYFNS)
+    | {"substring", "concat", "length", "char_length", "character_length"}
+)
+
 # built-in scalar functions; ExecutionContext can register more
 SCALAR_FUNCTIONS: dict[str, Callable] = {
     "sqrt": jnp.sqrt,
@@ -171,6 +197,9 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
 
         return CompiledExpr(isnotnull_fn, DataType.Boolean)
 
+    if isinstance(expr, ScalarFunction) and expr.name.lower() in _STRING_FN_NAMES:
+        return _compile_string_fn(expr, schema, dicts, registry)
+
     if isinstance(expr, ScalarFunction):
         from datafusion_tpu.ops.functions import HostFunction
 
@@ -279,7 +308,7 @@ def _like_to_regex(pattern: str) -> str:
     return "".join(out)
 
 
-def _compile_like(expr: BinaryExpr, schema, dicts) -> CompiledExpr:
+def _compile_like(expr: BinaryExpr, schema, dicts, registry) -> CompiledExpr:
     """LIKE/NOT LIKE on dictionary-encoded strings: the pattern is matched
     against the (small) vocabulary on the host at compile time, producing
     a boolean lookup table indexed by code on device. (The reference
@@ -287,30 +316,111 @@ def _compile_like(expr: BinaryExpr, schema, dicts) -> CompiledExpr:
     import re
 
     lraw, rraw = _strip_cast(expr.left), _strip_cast(expr.right)
-    if not (isinstance(lraw, Column) and isinstance(rraw, Literal)):
-        raise NotImplementedError_("LIKE requires column LIKE 'pattern'")
-    vocab = dicts[lraw.index]
+    if isinstance(lraw, Literal) or not isinstance(rraw, Literal):
+        raise NotImplementedError_("LIKE requires <string expr> LIKE 'pattern'")
+    inner = _compile(lraw, schema, dicts, registry)
+    vocab = inner.dictionary
     if vocab is None:
-        raise NotImplementedError_("LIKE is only supported on Utf8 columns")
+        raise NotImplementedError_("LIKE is only supported on Utf8 expressions")
     rx = re.compile(_like_to_regex(rraw.value.value), re.DOTALL)
     matches = np.array([rx.fullmatch(v) is not None for v in vocab], dtype=np.bool_)
     if expr.op is Operator.NotLike:
         matches = ~matches
-    lut = jnp.asarray(matches)
-    i = lraw.index
+    lut = jnp.asarray(matches) if len(matches) else jnp.zeros((1,), jnp.bool_)
 
-    def fn(cols, i=i, lut=lut):
-        d, v = cols[i]
+    def fn(cols, inner=inner, lut=lut):
+        d, v = inner.fn(cols)
         return jnp.take(lut, d), v
 
     return CompiledExpr(fn, DataType.Boolean)
+
+
+def _compile_string_fn(expr: ScalarFunction, schema, dicts, registry) -> CompiledExpr:
+    """String functions as dictionary transforms (see _STRING_PYFNS note).
+
+    Exactly one argument must be a dictionary-carrying string expression
+    (a column or a nested string function); the rest must be literals —
+    CONCAT of two string COLUMNS would need the dictionaries' cross
+    product and is rejected with a clear error."""
+    low = expr.name.lower()
+    if low == "substring":
+        low = "substr"
+    if low in ("char_length", "character_length"):
+        low = "length"
+
+    inner: Optional[CompiledExpr] = None
+    parts: list = []  # literals as python values, None marks the dict expr
+    for a in expr.args:
+        raw = _strip_cast(a)
+        if isinstance(raw, Literal):
+            parts.append(raw.value.value)
+            continue
+        c = _compile(raw, schema, dicts, registry)
+        if c.dictionary is None:
+            raise NotImplementedError_(
+                f"{expr.name} argument must be a dictionary-encoded string "
+                f"column or a string literal"
+            )
+        if inner is not None:
+            raise NotImplementedError_(
+                f"{expr.name} supports one string column argument; CONCAT "
+                "of two string columns is not supported"
+            )
+        inner = c
+        parts.append(None)
+    if inner is None:
+        raise NotImplementedError_(
+            f"{expr.name} needs at least one string column argument"
+        )
+    # empty-table columns have an empty vocabulary; keep one dummy entry
+    # so the LUT gathers stay well-formed (padding rows never decode)
+    vocab = inner.dictionary if inner.dictionary else ("",)
+
+    if low == "length":
+        if len(expr.args) != 1:
+            raise ExecutionError("LENGTH expects one argument")
+        lut = jnp.asarray(np.array([len(v) for v in vocab], np.int32))
+
+        def len_fn(cols, inner=inner, lut=lut):
+            d, v = inner.fn(cols)
+            return jnp.take(lut, d), v
+
+        return CompiledExpr(len_fn, DataType.Int32)
+
+    if low == "concat":
+        transformed = [
+            "".join(v if p is None else str(p) for p in parts) for v in vocab
+        ]
+    else:
+        lits = [p for p in parts if p is not None]
+        pyfn = _STRING_PYFNS[low]
+        try:
+            transformed = [pyfn(v, *lits) for v in vocab]
+        except TypeError:
+            raise ExecutionError(
+                f"wrong number of arguments for {expr.name}"
+            ) from None
+
+    canonical = tuple(sorted(set(transformed)))
+    remap = jnp.asarray(
+        np.searchsorted(
+            np.asarray(canonical, dtype=object).astype(str),
+            np.asarray(transformed, dtype=object).astype(str),
+        ).astype(np.int32)
+    )
+
+    def str_fn(cols, inner=inner, remap=remap):
+        d, v = inner.fn(cols)
+        return jnp.take(remap, d), v
+
+    return CompiledExpr(str_fn, DataType.Utf8, canonical)
 
 
 def _compile_binary(expr: BinaryExpr, schema, dicts, registry) -> CompiledExpr:
     op = expr.op
 
     if op in (Operator.Like, Operator.NotLike):
-        return _compile_like(expr, schema, dicts)
+        return _compile_like(expr, schema, dicts, registry)
 
     lraw, rraw = _strip_cast(expr.left), _strip_cast(expr.right)
     l_is_str = lraw.get_type(schema) is DataType.Utf8 if _typeable(lraw, schema) else False
@@ -364,37 +474,41 @@ def _typeable(e: Expr, schema) -> bool:
 
 
 def _compile_string_cmp(lraw, op, rraw, schema, dicts, registry) -> CompiledExpr:
-    """String comparisons on dictionary codes, resolved at compile time."""
-    # column vs literal (either side)
-    if isinstance(lraw, Column) and isinstance(rraw, Literal):
-        return _col_lit_cmp(lraw, op, rraw.value.value, schema, dicts, flipped=False)
-    if isinstance(rraw, Column) and isinstance(lraw, Literal):
+    """String comparisons on dictionary codes, resolved at compile time.
+    Either side may be any dictionary-carrying expression (a column or a
+    string function result) or a literal."""
+    if isinstance(rraw, Literal) and not isinstance(lraw, Literal):
+        lc = _compile(lraw, schema, dicts, registry)
+        return _dict_lit_cmp(lc, op, rraw.value.value)
+    if isinstance(lraw, Literal) and not isinstance(rraw, Literal):
         flip = {
             Operator.Lt: Operator.Gt,
             Operator.LtEq: Operator.GtEq,
             Operator.Gt: Operator.Lt,
             Operator.GtEq: Operator.LtEq,
         }
-        return _col_lit_cmp(
-            rraw, flip.get(op, op), lraw.value.value, schema, dicts, flipped=True
+        rc = _compile(rraw, schema, dicts, registry)
+        return _dict_lit_cmp(rc, flip.get(op, op), lraw.value.value)
+    if not isinstance(lraw, Literal) and not isinstance(rraw, Literal):
+        return _dict_dict_cmp(
+            _compile(lraw, schema, dicts, registry),
+            op,
+            _compile(rraw, schema, dicts, registry),
         )
-    if isinstance(lraw, Column) and isinstance(rraw, Column):
-        return _col_col_cmp(lraw, op, rraw, schema, dicts)
     raise NotImplementedError_("unsupported string comparison operands")
 
 
-def _col_lit_cmp(col: Column, op: Operator, lit: str, schema, dicts, flipped) -> CompiledExpr:
-    vocab = dicts[col.index]
+def _dict_lit_cmp(inner: CompiledExpr, op: Operator, lit: str) -> CompiledExpr:
+    vocab = inner.dictionary
     if vocab is None:
-        raise ExecutionError(f"Utf8 column #{col.index} has no dictionary")
+        raise ExecutionError("Utf8 expression has no dictionary")
     varr = np.asarray(vocab, dtype=object)
     lo = int(np.searchsorted(varr.astype(str), lit, side="left"))
     hi = int(np.searchsorted(varr.astype(str), lit, side="right"))
     present = lo < hi  # literal exists in the vocab
-    i = col.index
 
-    def fn(cols, i=i, op=op, lo=lo, hi=hi, present=present):
-        d, v = cols[i]
+    def fn(cols, inner=inner, op=op, lo=lo, hi=hi, present=present):
+        d, v = inner.fn(cols)
         if op is Operator.Eq:
             out = (d == lo) if present else jnp.zeros(jnp.shape(d), jnp.bool_)
         elif op is Operator.NotEq:
@@ -414,17 +528,16 @@ def _col_lit_cmp(col: Column, op: Operator, lit: str, schema, dicts, flipped) ->
     return CompiledExpr(fn, DataType.Boolean)
 
 
-def _col_col_cmp(lcol: Column, op: Operator, rcol: Column, schema, dicts) -> CompiledExpr:
-    lv, rv = dicts[lcol.index], dicts[rcol.index]
+def _dict_dict_cmp(lc: CompiledExpr, op: Operator, rc: CompiledExpr) -> CompiledExpr:
+    lv, rv = lc.dictionary, rc.dictionary
     if lv is None or rv is None:
-        raise ExecutionError("Utf8 column missing dictionary")
-    li, ri = lcol.index, rcol.index
+        raise ExecutionError("Utf8 expression missing dictionary")
     if lv == rv:
         cmp = _CMP[op]
 
-        def same_fn(cols, li=li, ri=ri, cmp=cmp):
-            ld, lvd = cols[li]
-            rd, rvd = cols[ri]
+        def same_fn(cols, lc=lc, rc=rc, cmp=cmp):
+            ld, lvd = lc.fn(cols)
+            rd, rvd = rc.fn(cols)
             return cmp(ld, rd), _and_valid(lvd, rvd)
 
         return CompiledExpr(same_fn, DataType.Boolean)
@@ -435,9 +548,9 @@ def _col_col_cmp(lcol: Column, op: Operator, rcol: Column, schema, dicts) -> Com
     rmap = jnp.asarray(np.searchsorted(merged, np.asarray(rv, dtype=object).astype(str)), dtype=jnp.int32)
     cmp = _CMP[op]
 
-    def remap_fn(cols, li=li, ri=ri, lmap=lmap, rmap=rmap, cmp=cmp):
-        ld, lvd = cols[li]
-        rd, rvd = cols[ri]
+    def remap_fn(cols, lc=lc, rc=rc, lmap=lmap, rmap=rmap, cmp=cmp):
+        ld, lvd = lc.fn(cols)
+        rd, rvd = rc.fn(cols)
         return cmp(jnp.take(lmap, ld), jnp.take(rmap, rd)), _and_valid(lvd, rvd)
 
     return CompiledExpr(remap_fn, DataType.Boolean)

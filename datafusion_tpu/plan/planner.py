@@ -72,6 +72,32 @@ class SchemaProvider(Protocol):
 
 _AGG_NAMES = {"min", "max", "sum", "avg"}
 
+# String functions (beyond the reference): evaluated as host-side
+# dictionary-vocabulary transforms + device code-remap LUTs
+# (ops/expr_eval.py _compile_string_fn)
+_STRING_FN_TYPES = {
+    "upper": DataType.Utf8,
+    "lower": DataType.Utf8,
+    "trim": DataType.Utf8,
+    "ltrim": DataType.Utf8,
+    "rtrim": DataType.Utf8,
+    "reverse": DataType.Utf8,
+    "substr": DataType.Utf8,
+    "substring": DataType.Utf8,
+    "replace": DataType.Utf8,
+    "concat": DataType.Utf8,
+    "length": DataType.Int32,
+    "char_length": DataType.Int32,
+    "character_length": DataType.Int32,
+}
+_STRING_FN_ARITY = {
+    "upper": (1, 1), "lower": (1, 1), "trim": (1, 1), "ltrim": (1, 1),
+    "rtrim": (1, 1), "reverse": (1, 1), "length": (1, 1),
+    "char_length": (1, 1), "character_length": (1, 1),
+    "substr": (2, 3), "substring": (2, 3), "replace": (3, 3),
+    "concat": (1, 99),
+}
+
 
 def _aggregates_in(e: Expr) -> list:
     """All AggregateFunction nodes within an expression tree."""
@@ -115,7 +141,7 @@ def _rewrite_over_aggregate(
         if isinstance(x, AggregateFunction):
             return Column(n_group + agg_list.index(x))
         for gi, g in enumerate(group_exprs):
-            if x == g:
+            if x == g or x == (g.expr if isinstance(g, Alias) else g):
                 return Column(gi)
         if isinstance(x, Alias):
             return Alias(rw(x.expr), x.name)
@@ -248,12 +274,26 @@ class SqlToRel:
 
     # ------------------------------------------------------------------
     def _plan_select(self, sel: A.SQLSelect) -> LogicalPlan:
+        # each SELECT scope owns its scalar-subquery column map; nested
+        # sql_to_rel recursion (derived tables, IN/scalar subqueries)
+        # must not clobber the enclosing scope's map
+        saved = getattr(self, "_scalar_subs", {})
+        try:
+            return self._plan_select_impl(sel)
+        finally:
+            self._scalar_subs = saved
+
+    def _plan_select_impl(self, sel: A.SQLSelect) -> LogicalPlan:
         if sel.relation is not None:
             input_plan = self.sql_to_rel(sel.relation)
             qualifiers = self._relation_qualifiers(sel.relation)
         else:
             input_plan = EmptyRelation(Schema.empty())
             qualifiers = {}
+        # `SELECT *` expands to the FROM schema, BEFORE any helper
+        # columns appended by subquery rewrites
+        star_width = len(input_plan.schema)
+        input_plan = self._attach_scalar_subqueries(sel, input_plan)
         input_schema = input_plan.schema
 
         # WHERE is planned against the scan schema first
@@ -279,7 +319,7 @@ class SqlToRel:
         proj_exprs: list[Expr] = []
         for e in sel.projection:
             if isinstance(e, A.SQLWildcard):
-                proj_exprs.extend(Column(i) for i in range(len(input_schema)))
+                proj_exprs.extend(Column(i) for i in range(star_width))
             elif isinstance(e, A.SQLAliasedExpr):
                 proj_exprs.append(
                     Alias(self.sql_to_rex(e.expr, input_schema, qualifiers), e.alias)
@@ -388,6 +428,71 @@ class SqlToRel:
                 proj_schema,
             )
         return self._plan_order_limit(sel, plan, qualifiers)
+
+    def _attach_scalar_subqueries(
+        self, sel: A.SQLSelect, input_plan: LogicalPlan
+    ) -> LogicalPlan:
+        """Extend the FROM relation with one LEFT cross join per scalar
+        subquery appearing in the WHERE clause or the SELECT items:
+
+            (SELECT agg FROM ...)  →  LEFT JOIN (sub LIMIT 1) ON <nothing>
+
+        The LIMIT-1 subquery has at most one row, so the cross join keeps
+        the outer row count; zero rows leave the appended column NULL on
+        every row (SQL's empty-scalar-subquery semantics). Documented
+        deviation: a multi-row subquery is truncated to its first row
+        instead of raising. The appended columns register in
+        self._scalar_subs for sql_to_rex; scopes save/restore the map in
+        _plan_select."""
+        import dataclasses
+
+        def iter_subs(node):
+            if isinstance(node, A.SQLScalarSubquery):
+                yield node
+                return
+            # nested SELECT scopes plan their own scalar subqueries
+            if isinstance(node, (A.SQLSelect, A.SQLUnion, A.SQLDerivedTable)):
+                return
+            if isinstance(node, A.SQLInSubquery):
+                yield from iter_subs(node.expr)
+                return
+            if dataclasses.is_dataclass(node):
+                for f in dataclasses.fields(node):
+                    vals = getattr(node, f.name)
+                    vals = vals if isinstance(vals, tuple) else (vals,)
+                    for v in vals:
+                        if isinstance(v, A.AstNode):
+                            yield from iter_subs(v)
+                        elif isinstance(v, tuple):
+                            for w in v:
+                                if isinstance(w, A.AstNode):
+                                    yield from iter_subs(w)
+
+        nodes: list[A.SQLScalarSubquery] = []
+        roots = list(sel.projection)
+        if sel.selection is not None:
+            roots.append(sel.selection)
+        for r in roots:
+            nodes.extend(iter_subs(r))
+        self._scalar_subs = {}
+        if not nodes:
+            return input_plan
+        plan = input_plan
+        for node in nodes:
+            if id(node) in self._scalar_subs:
+                continue
+            sub = self.sql_to_rel(node.select)
+            if len(sub.schema) != 1:
+                raise PlanError(
+                    f"scalar subquery must return exactly one column, got "
+                    f"{len(sub.schema)}"
+                )
+            sub = Limit(1, sub, sub.schema)
+            self._scalar_subs[id(node)] = Column(len(plan.schema))
+            plan = Join(
+                plan, sub, (), JoinType.Left, plan.schema.join(sub.schema)
+            )
+        return plan
 
     def _rewrite_in_subqueries(
         self,
@@ -559,15 +664,14 @@ class SqlToRel:
                 raise PlanError(
                     f"GROUP BY position {i} is out of range (1..{len(proj_exprs)})"
                 )
-            item = proj_exprs[i - 1]
-            return item.expr if isinstance(item, Alias) else item
+            return proj_exprs[i - 1]
         if isinstance(e, A.SQLIdentifier):
             try:
                 return self.sql_to_rex(e, input_schema, qualifiers)
             except InvalidColumnError:
                 for item in proj_exprs:
                     if isinstance(item, Alias) and item.name == e.name:
-                        return item.expr
+                        return item
                 raise
         return self.sql_to_rex(e, input_schema, qualifiers)
 
@@ -702,6 +806,15 @@ class SqlToRel:
             raise PlanError(
                 "SQL wildcard operator is not supported in this position"
             )
+
+        if isinstance(node, A.SQLScalarSubquery):
+            col = getattr(self, "_scalar_subs", {}).get(id(node))
+            if col is None:
+                raise PlanError(
+                    "scalar subqueries are supported in the WHERE clause "
+                    "and SELECT items only"
+                )
+            return col
 
         if isinstance(node, A.SQLCast):
             return Cast(
@@ -840,6 +953,18 @@ class SqlToRel:
             return Case(
                 ((IsNull(a), a), (IsNull(b), a), (neq, a)), None
             )
+        if low in _STRING_FN_TYPES:
+            args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
+            lo_n, hi_n = _STRING_FN_ARITY[low]
+            if not (lo_n <= len(args) <= hi_n):
+                raise PlanError(
+                    f"function '{name}' expects "
+                    + (f"{lo_n}" if lo_n == hi_n else f"{lo_n}-{hi_n}")
+                    + f" argument(s), got {len(args)}"
+                )
+            if not any(a.get_type(schema) is DataType.Utf8 for a in args):
+                raise PlanError(f"function '{name}' expects a string argument")
+            return ScalarFunction(name, args, _STRING_FN_TYPES[low])
         if low in _AGG_NAMES:
             args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
             if len(args) != 1:

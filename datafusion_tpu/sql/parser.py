@@ -420,6 +420,13 @@ class Parser:
             return SQLString(t.value)
         if t.kind is Tok.OP:
             if t.value == "(":
+                nt = self.peek()
+                if nt.kind is Tok.IDENT and nt.upper == "SELECT":
+                    from datafusion_tpu.sql.ast import SQLScalarSubquery
+
+                    sub = self._parse_select_set()
+                    self.expect_op(")")
+                    return SQLScalarSubquery(sub)
                 e = self.parse_expr()
                 self.expect_op(")")
                 return e

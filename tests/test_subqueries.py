@@ -231,3 +231,51 @@ def test_group_by_without_aggregates_dedupes():
     assert ctx.sql(
         "SELECT g FROM t GROUP BY g HAVING SUM(v) > 40 ORDER BY g"
     ).result_str() == '"b"\n"c"\n'
+
+
+def test_scalar_subquery_in_where():
+    ctx = make_ctx()
+    out = ctx.sql("SELECT k FROM t WHERE v > (SELECT AVG(v) FROM t) ORDER BY k")
+    assert out.result_str() == "4\n5\n6\n"
+
+
+def test_scalar_subquery_in_select():
+    ctx = make_two_table_ctx()
+    out = ctx.sql("SELECT k, (SELECT MAX(k) FROM s) FROM t WHERE k < 3 ORDER BY k")
+    assert out.result_str() == "1\t9\n2\t9\n"
+    # computed over: v minus a global aggregate
+    out = ctx.sql("SELECT k, v - (SELECT MIN(v) FROM t) AS d FROM t WHERE k > 4 ORDER BY k")
+    assert out.result_str() == "5\t40.0\n6\t50.0\n"
+
+
+def test_scalar_subquery_empty_is_null():
+    ctx = make_ctx()
+    # empty subquery → NULL scalar → comparison is never true
+    out = ctx.sql("SELECT k FROM t WHERE v > (SELECT AVG(v) FROM t WHERE k > 100)")
+    assert out.result_str() == ""
+    # and in SELECT items it renders as NULL
+    out = ctx.sql(
+        "SELECT k, (SELECT MAX(v) FROM t WHERE k > 100) FROM t WHERE k = 1"
+    )
+    assert out.result_str() == "1\tNULL\n"
+
+
+def test_scalar_subquery_distributed():
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    sql = "SELECT k, v - (SELECT AVG(v) FROM t) AS d FROM t WHERE v > (SELECT MIN(v) FROM t) ORDER BY k"
+    single = make_ctx().sql(sql).result_str()
+    ctx_d = ExecutionContext(mesh=make_mesh())
+    ctx_d._tables = make_ctx()._tables
+    assert ctx_d.sql(sql).result_str() == single
+
+
+def test_scalar_subquery_errors():
+    import pytest
+    from datafusion_tpu.errors import PlanError
+
+    ctx = make_two_table_ctx()
+    with pytest.raises(PlanError, match="exactly one column"):
+        ctx.sql("SELECT k FROM t WHERE v > (SELECT k, tag FROM s)")
+    with pytest.raises(PlanError, match="WHERE clause"):
+        ctx.sql("SELECT k FROM t ORDER BY (SELECT MAX(k) FROM s)")

@@ -426,7 +426,75 @@ class PlanCompiler:
             return self._lower_empty(plan)
         if isinstance(plan, L.Union):
             return self._lower_union(plan)
+        if isinstance(plan, L.Window):
+            return self._lower_window(plan)
         raise NotImplementedError_(f"cannot lower plan node {type(plan).__name__}")
+
+    def _lower_window(self, plan: L.Window) -> Lowered:
+        return self._window_over(plan, self.lower(plan.input))
+
+    def _window_over(self, plan: L.Window, child: Lowered) -> Lowered:
+        """Append one column per window expression (ops/window.py): one
+        co-sort per distinct (PARTITION BY, ORDER BY) spec, shared by all
+        functions using it."""
+        from datafusion_tpu.ops import window as window_ops
+
+        def cexpr(e):
+            return compile_expr(e, child.schema, child.dicts, self.fn_registry)
+
+        specs: list[dict] = []
+        spec_index: dict = {}
+        metas: list[tuple[int, int]] = []  # per window expr: (spec, call)
+        for wf in plan.window_exprs:
+            skey = (wf.partition_by, tuple((o.expr, o.asc) for o in wf.order_by))
+            if skey not in spec_index:
+                spec_index[skey] = len(specs)
+                specs.append(
+                    {
+                        "part": [cexpr(e) for e in wf.partition_by],
+                        "order": [(cexpr(o.expr), o.asc) for o in wf.order_by],
+                        "calls": [],
+                    }
+                )
+            si = spec_index[skey]
+            arg_c = cexpr(wf.args[0]) if wf.args else None
+            specs[si]["calls"].append((wf, arg_c))
+            metas.append((si, len(specs[si]["calls"]) - 1))
+
+        out_dicts = list(child.dicts)
+        for wf, (si, ci) in zip(plan.window_exprs, metas):
+            arg_c = specs[si]["calls"][ci][1]
+            out_dicts.append(
+                arg_c.dictionary
+                if (wf.return_type is DataType.Utf8 and arg_c is not None)
+                else None
+            )
+        self.notes.append(
+            f"window: {len(plan.window_exprs)} function(s) over "
+            f"{len(specs)} spec sort(s)"
+        )
+
+        def fn(env) -> Batch:
+            b = child.fn(env)
+            results: list[list] = []
+            for spec in specs:
+                part_vals = [c.fn(b.cols) for c in spec["part"]]
+                order_vals = [(c.fn(b.cols), asc) for c, asc in spec["order"]]
+                calls = [
+                    window_ops.WindowCall(
+                        wf.name,
+                        None if arg_c is None else arg_c.fn(b.cols),
+                        wf.offset,
+                    )
+                    for wf, arg_c in spec["calls"]
+                ]
+                results.append(
+                    window_ops.window_spec(part_vals, order_vals, calls, b.sel)
+                )
+            new_cols = list(b.cols) + [results[si][ci] for si, ci in metas]
+            return Batch(new_cols, b.sel)
+
+        return Lowered(plan.schema, out_dicts, fn, child.capacity, child.layout)
 
     # ------------------------------------------------------------------
     def _lower_union(self, plan: L.Union) -> Lowered:

@@ -1,0 +1,259 @@
+"""Window functions (beyond the reference, which had no window grammar).
+
+TPU-native shape: one multi-operand `lax.sort` per window spec
+(partition keys, then ORDER BY keys) carries the row ids and every
+argument column as payloads; partition/peer boundaries are elementwise
+compares + cumsum/cummax scans in sorted space; results ride ONE second
+sort (key = original row id) back to source order. No gathers except
+the two per whole-partition aggregate (partition start/end lookups).
+
+Functions:
+  row_number, rank, dense_rank                 (ranking; need ORDER BY)
+  lag, lead (arg[, offset])                    (need ORDER BY)
+  sum, count, avg                              running when ORDER BY is
+                                               present (ROWS frame,
+                                               documented deviation from
+                                               RANGE peers), else whole
+                                               partition
+  min, max                                     whole partition (the arg
+                                               rides the spec sort as an
+                                               extra key); running
+                                               min/max not supported
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from datafusion_tpu.errors import NotImplementedError_
+from datafusion_tpu.ops.sort import _directed_key
+from datafusion_tpu.types import DataType, physical_np
+
+ColVal = tuple[jax.Array, Optional[jax.Array]]
+
+RANKING = {"row_number", "rank", "dense_rank"}
+SHIFTS = {"lag", "lead"}
+AGGS = {"sum", "count", "avg", "min", "max"}
+
+
+@dataclass(frozen=True)
+class WindowCall:
+    """One window function instance within a shared spec."""
+
+    kind: str
+    arg: Optional[ColVal] = None  # None for row_number/rank/dense_rank/count(*)
+    offset: int = 1  # lag/lead
+
+
+def _first_pos(flag: jax.Array, iota: jax.Array) -> jax.Array:
+    """Per row: position of the most recent True at or before it."""
+    return lax.cummax(jnp.where(flag, iota, -1))
+
+
+def _next_pos(flag: jax.Array, iota: jax.Array, cap: int) -> jax.Array:
+    """Per row: position of the first True strictly after it."""
+    marks = jnp.where(flag, iota, cap)
+    return jnp.flip(lax.cummin(jnp.flip(jnp.roll(marks, -1).at[-1].set(cap))))
+
+
+def window_spec(
+    part_keys: Sequence[ColVal],
+    order_keys: Sequence[tuple[ColVal, bool]],
+    calls: Sequence[WindowCall],
+    sel: jax.Array,
+) -> list[ColVal]:
+    """Evaluate `calls` sharing one (PARTITION BY, ORDER BY) spec.
+    Returns one (data, valid) per call, in ORIGINAL row order; values on
+    unselected rows are garbage (masked by the pipeline selection)."""
+    cap = int(sel.shape[0])
+    iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+
+    # ---- forward sort: unselected last, partition keys, order keys ------
+    operands: list[jax.Array] = [jnp.logical_not(sel).astype(jnp.int8)]
+    n_pk_ops: list[int] = []
+    for data, valid in part_keys:
+        d = jnp.broadcast_to(data, (cap,)) if jnp.ndim(data) == 0 else data
+        ks = _directed_key(d, valid, True)
+        n_pk_ops.append(len(ks))
+        operands.extend(ks)
+    n_ok_ops: list[int] = []
+    for (data, valid), asc in order_keys:
+        d = jnp.broadcast_to(data, (cap,)) if jnp.ndim(data) == 0 else data
+        ks = _directed_key(d, valid, asc)
+        n_ok_ops.append(len(ks))
+        operands.extend(ks)
+    num_keys = len(operands) + 1  # + row id for stable ties
+    operands.append(iota)
+
+    payload_base = len(operands)
+    arg_slots: list[tuple[Optional[int], Optional[int]]] = []
+    seen: dict[int, int] = {}
+    for c in calls:
+        if c.arg is None:
+            arg_slots.append((None, None))
+            continue
+        data, valid = c.arg
+        data = jnp.broadcast_to(data, (cap,)) if jnp.ndim(data) == 0 else data
+        if id(data) not in seen:
+            seen[id(data)] = len(operands)
+            operands.append(data)
+        di = seen[id(data)]
+        vi = None
+        if valid is not None:
+            if id(valid) not in seen:
+                seen[id(valid)] = len(operands)
+                operands.append(valid.astype(jnp.int8))
+            vi = seen[id(valid)]
+        arg_slots.append((di, vi))
+
+    s = lax.sort(operands, num_keys=num_keys)
+    rowid = s[payload_base - 1]
+    n_valid = jnp.sum(sel.astype(jnp.int32))
+    sel_s = iota < n_valid
+
+    # ---- boundaries in sorted space -------------------------------------
+    def changed(ops_start: int, n_ops: list[int]) -> jax.Array:
+        ch = jnp.zeros((cap,), jnp.bool_)
+        k = ops_start
+        for n in n_ops:
+            for j in range(n):
+                a = s[k + j]
+                ch = jnp.logical_or(ch, a != jnp.roll(a, 1))
+            k += n
+        return ch
+
+    pb = jnp.logical_or(iota == 0, changed(1, n_pk_ops))
+    # the first unselected row closes the last real partition
+    pb = jnp.logical_or(pb, iota == n_valid)
+    ob = jnp.logical_or(pb, changed(1 + sum(n_pk_ops), n_ok_ops))
+
+    pstart = _first_pos(pb, iota)
+    pend = _next_pos(pb, iota, cap)  # exclusive
+    has_order = len(order_keys) > 0
+
+    out_sorted: list[ColVal] = []
+    for c, (di, vi) in zip(calls, arg_slots):
+        if c.kind == "row_number":
+            out_sorted.append(((iota - pstart + 1).astype(physical_np(DataType.Int64)), None))
+            continue
+        if c.kind == "rank":
+            out_sorted.append(
+                ((_first_pos(ob, iota) - pstart + 1).astype(physical_np(DataType.Int64)), None)
+            )
+            continue
+        if c.kind == "dense_rank":
+            obc = jnp.cumsum(ob.astype(jnp.int32))
+            dr = obc - jnp.take(obc, jnp.clip(pstart, 0, cap - 1)) + 1
+            out_sorted.append((dr.astype(physical_np(DataType.Int64)), None))
+            continue
+        if c.kind in SHIFTS:
+            off = c.offset if c.kind == "lag" else -c.offset
+            src = iota - off
+            inside = (
+                jnp.logical_and(src >= pstart, src < jnp.minimum(pend, n_valid))
+                if c.kind == "lead"
+                else (src >= pstart)
+            )
+            srcc = jnp.clip(src, 0, cap - 1)
+            d = jnp.take(s[di], srcc)
+            v = inside
+            if vi is not None:
+                v = jnp.logical_and(v, jnp.take(s[vi], srcc) > 0)
+            out_sorted.append((d, v))
+            continue
+        if c.kind in ("sum", "count", "avg"):
+            if c.kind == "count" and di is None:
+                ok = sel_s
+            else:
+                ok = sel_s if vi is None else jnp.logical_and(sel_s, s[vi] > 0)
+            cnt_c = jnp.cumsum(ok.astype(physical_np(DataType.Int64)))
+            cnt_first = jnp.take(cnt_c, jnp.clip(pstart, 0, cap - 1)) - jnp.take(
+                ok.astype(physical_np(DataType.Int64)), jnp.clip(pstart, 0, cap - 1)
+            )
+            if c.kind == "count":
+                run = cnt_c - cnt_first
+                if not has_order:  # whole partition: value at partition end
+                    run = jnp.take(run, jnp.clip(pend - 1, 0, cap - 1))
+                out_sorted.append((run.astype(physical_np(DataType.UInt64)), None))
+                continue
+            acc_dt = (
+                s[di].dtype
+                if jnp.issubdtype(s[di].dtype, jnp.floating)
+                else physical_np(DataType.Int64)
+            )
+            contrib = jnp.where(ok, s[di], jnp.zeros((), s[di].dtype)).astype(acc_dt)
+            sc = jnp.cumsum(contrib)
+            s_first = jnp.take(sc, jnp.clip(pstart, 0, cap - 1)) - jnp.take(
+                contrib, jnp.clip(pstart, 0, cap - 1)
+            )
+            run_s = sc - s_first
+            run_c = cnt_c - cnt_first
+            if not has_order:
+                end = jnp.clip(pend - 1, 0, cap - 1)
+                run_s = jnp.take(run_s, end)
+                run_c = jnp.take(run_c, end)
+            if c.kind == "avg":
+                d = run_s.astype(physical_np(DataType.Float64))
+                d = d / jnp.maximum(run_c, 1)
+            else:
+                d = run_s.astype(s[di].dtype)
+            out_sorted.append((d, run_c > 0))
+            continue
+        if c.kind in ("min", "max"):
+            if has_order:
+                raise NotImplementedError_(
+                    "running MIN/MAX OVER (... ORDER BY ...) is not "
+                    "supported; drop the ORDER BY for the whole-partition "
+                    "value"
+                )
+            # dedicated sub-spec: the argument rides as the ORDER BY key
+            # (ascending for MIN, descending for MAX, NULLs last either
+            # way), so the extreme is the value at the partition start
+            (sub,) = window_spec(
+                part_keys,
+                [(c.arg, c.kind == "min")],
+                [WindowCall("first_in_partition", c.arg)],
+                sel,
+            )
+            out_sorted.append(("__READY__", sub))  # already in source order
+            continue
+        if c.kind == "first_in_partition":
+            # internal: value of the argument at the partition start (the
+            # caller ordered the spec so this is the MIN or MAX)
+            st = jnp.clip(pstart, 0, cap - 1)
+            d = jnp.take(s[di], st)
+            v = None if vi is None else jnp.take(s[vi], st) > 0
+            out_sorted.append((d, v))
+            continue
+        raise NotImplementedError_(f"window function '{c.kind}' is not supported")
+
+    # ---- ride results back to original row order -------------------------
+    back_ops: list[jax.Array] = [rowid]
+    back_plan: list[tuple[Optional[int], Optional[int], Optional[ColVal]]] = []
+    for d, v in out_sorted:
+        if isinstance(d, str):  # min/max computed in their own spec sort,
+            back_plan.append((None, None, v))  # already in original order
+            continue
+        di2 = len(back_ops)
+        back_ops.append(d)
+        vi2 = None
+        if v is not None:
+            vi2 = len(back_ops)
+            back_ops.append(v.astype(jnp.int8))
+        back_plan.append((di2, vi2, None))
+    if len(back_ops) > 1:
+        b = lax.sort(back_ops, num_keys=1)
+    out: list[ColVal] = []
+    for di2, vi2, ready in back_plan:
+        if ready is not None:
+            out.append(ready)
+            continue
+        out.append(
+            (b[di2], None if vi2 is None else b[vi2].astype(jnp.bool_))
+        )
+    return out

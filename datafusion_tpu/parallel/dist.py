@@ -334,6 +334,15 @@ class DistCompiler(PlanCompiler):
 
         return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
 
+    def _lower_window(self, plan: L.Window) -> Lowered:
+        """Window partitions can span row-block shards, so v1 gathers the
+        filtered rows to every chip and computes locally (replicated
+        output). A hash-repartition-by-partition-key strategy can follow
+        for PARTITION BY windows."""
+        child = self._gather_batch(self.lower(plan.input))
+        self.notes.append("window: gather to replicated, local evaluation")
+        return self._window_over(plan, child)
+
     def _lower_join(self, plan: L.Join) -> Lowered:
         """Two strategies (DFTPU_JOIN_STRATEGY = auto|broadcast|shuffle):
 

@@ -247,6 +247,33 @@ class ScalarFunction(Expr):
 
 
 @dataclass(frozen=True, repr=False)
+class WindowFunction(Expr):
+    """fn(args) OVER (PARTITION BY ... ORDER BY ...) — beyond the
+    reference. Evaluated by the Window plan node (ops/window.py)."""
+
+    name: str
+    args: tuple[Expr, ...]
+    partition_by: tuple[Expr, ...]
+    order_by: tuple["SortExpr", ...]
+    return_type: DataType
+    offset: int = 1  # LAG/LEAD
+
+    def get_type(self, schema: Schema) -> DataType:
+        return self.return_type
+
+    def __repr__(self) -> str:
+        inner = ", ".join(repr(a) for a in self.args)
+        parts = []
+        if self.partition_by:
+            parts.append(
+                "PARTITION BY " + ", ".join(repr(e) for e in self.partition_by)
+            )
+        if self.order_by:
+            parts.append("ORDER BY " + ", ".join(repr(e) for e in self.order_by))
+        return f"{self.name}({inner}) OVER ({' '.join(parts)})"
+
+
+@dataclass(frozen=True, repr=False)
 class AggregateFunction(Expr):
     name: str  # as written in SQL (reference keeps original case)
     args: tuple[Expr, ...]
@@ -357,6 +384,24 @@ class Projection(LogicalPlan):
 
     def _fmt(self, indent: int) -> str:
         head = "Projection: " + ", ".join(repr(e) for e in self.exprs)
+        return head + self._child_fmt(indent) + self.input._fmt(indent + 1)
+
+
+@dataclass(repr=False)
+class Window(LogicalPlan):
+    """Appends one column per window expression to the input schema
+    (beyond the reference). Evaluated by ops/window.py: one co-sort per
+    distinct (PARTITION BY, ORDER BY) spec."""
+
+    input: LogicalPlan
+    window_exprs: tuple[WindowFunction, ...]
+    schema: Schema  # input fields + one per window expr
+
+    def children(self):
+        return (self.input,)
+
+    def _fmt(self, indent: int) -> str:
+        head = "Window: " + ", ".join(repr(e) for e in self.window_exprs)
         return head + self._child_fmt(indent) + self.input._fmt(indent + 1)
 
 
@@ -541,6 +586,17 @@ def expr_to_json(e: Expr):
                 "else": None if e.else_expr is None else expr_to_json(e.else_expr),
             }
         }
+    if isinstance(e, WindowFunction):
+        return {
+            "WindowFunction": {
+                "name": e.name,
+                "args": [expr_to_json(a) for a in e.args],
+                "partition_by": [expr_to_json(a) for a in e.partition_by],
+                "order_by": [expr_to_json(a) for a in e.order_by],
+                "return_type": e.return_type.value,
+                "offset": e.offset,
+            }
+        }
     raise PlanError(f"cannot serialize expr {e!r}")
 
 
@@ -584,6 +640,15 @@ def expr_from_json(d) -> Expr:
                 (expr_from_json(c), expr_from_json(r)) for c, r in body["branches"]
             ),
             None if body["else"] is None else expr_from_json(body["else"]),
+        )
+    if kind == "WindowFunction":
+        return WindowFunction(
+            body["name"],
+            tuple(expr_from_json(a) for a in body["args"]),
+            tuple(expr_from_json(a) for a in body["partition_by"]),
+            tuple(expr_from_json(a) for a in body["order_by"]),
+            DataType(body["return_type"]),
+            body.get("offset", 1),
         )
     raise PlanError(f"cannot deserialize expr kind {kind}")
 
@@ -660,6 +725,14 @@ def plan_to_json(p: LogicalPlan):
                 "schema": _schema_to_json(p.schema),
             }
         }
+    if isinstance(p, Window):
+        return {
+            "Window": {
+                "input": plan_to_json(p.input),
+                "window_exprs": [expr_to_json(e) for e in p.window_exprs],
+                "schema": _schema_to_json(p.schema),
+            }
+        }
     raise PlanError(f"cannot serialize plan {type(p).__name__}")
 
 
@@ -708,6 +781,12 @@ def plan_from_json(d) -> LogicalPlan:
     if kind == "Union":
         return Union(
             tuple(plan_from_json(c) for c in body["inputs"]),
+            _schema_from_json(body["schema"]),
+        )
+    if kind == "Window":
+        return Window(
+            plan_from_json(body["input"]),
+            tuple(expr_from_json(e) for e in body["window_exprs"]),
             _schema_from_json(body["schema"]),
         )
     raise PlanError(f"cannot deserialize plan kind {kind}")

@@ -42,6 +42,8 @@ from datafusion_tpu.plan.logical import (
     SortExpr,
     TableScan,
     Union,
+    Window,
+    WindowFunction,
     exprlist_to_fields,
 )
 
@@ -278,10 +280,12 @@ class SqlToRel:
         # sql_to_rel recursion (derived tables, IN/scalar subqueries)
         # must not clobber the enclosing scope's map
         saved = getattr(self, "_scalar_subs", {})
+        saved_w = getattr(self, "_window_cols", {})
         try:
             return self._plan_select_impl(sel)
         finally:
             self._scalar_subs = saved
+            self._window_cols = saved_w
 
     def _plan_select_impl(self, sel: A.SQLSelect) -> LogicalPlan:
         if sel.relation is not None:
@@ -314,6 +318,13 @@ class SqlToRel:
             assert pred is not None
             selection_plan = Selection(pred, extended)
 
+        # window functions evaluate over the WHERE-filtered rows and
+        # append helper columns (beyond the reference)
+        base_plan = selection_plan if selection_plan is not None else input_plan
+        win_plan = self._attach_windows(sel, base_plan, qualifiers)
+        if win_plan is not base_plan:
+            input_schema = win_plan.schema
+
         # projection expressions, expanding `*` (reference leaves wildcard
         # unimplemented, sqlplanner.rs:235-239; we expand it)
         proj_exprs: list[Expr] = []
@@ -334,6 +345,11 @@ class SqlToRel:
             e for e in proj_exprs if isinstance(_unwrap(e), AggregateFunction)
         ]
         aggr_exprs = [_unwrap(e) for e in aggr_aliased]
+        if aggr_exprs and getattr(self, "_window_cols", {}):
+            raise PlanError(
+                "window functions cannot be combined with aggregate "
+                "queries yet; aggregate in a derived table first"
+            )
 
         # expressions OVER aggregates (SELECT MAX(b)-MIN(b), ...) take the
         # projection-over-aggregate path — beyond both engines' bare-
@@ -415,7 +431,7 @@ class SqlToRel:
             plan = self._plan_order_limit(sel, plan, qualifiers)
             return plan
 
-        proj_input = selection_plan if selection_plan is not None else input_plan
+        proj_input = win_plan
         proj_schema = Schema(exprlist_to_fields(proj_exprs, input_schema))
         plan = Projection(tuple(proj_exprs), proj_input, proj_schema)
         if sel.distinct:
@@ -493,6 +509,118 @@ class SqlToRel:
                 plan, sub, (), JoinType.Left, plan.schema.join(sub.schema)
             )
         return plan
+
+    _WINDOW_RET = {
+        "row_number": DataType.Int64,
+        "rank": DataType.Int64,
+        "dense_rank": DataType.Int64,
+        "count": DataType.UInt64,
+        "avg": DataType.Float64,
+    }
+    _WINDOW_NAMES = {
+        "row_number", "rank", "dense_rank", "lag", "lead",
+        "sum", "count", "avg", "min", "max",
+    }
+
+    def _attach_windows(
+        self, sel: A.SQLSelect, base_plan: LogicalPlan, qualifiers
+    ) -> LogicalPlan:
+        """Collect fn() OVER (...) items from the SELECT list into one
+        Window plan node appending a column per distinct window
+        expression; sql_to_rex resolves each SQLWindowExpr to its
+        appended column via self._window_cols."""
+        import dataclasses
+
+        def iter_wins(node):
+            if isinstance(node, A.SQLWindowExpr):
+                yield node
+                return
+            if isinstance(node, (A.SQLSelect, A.SQLUnion, A.SQLDerivedTable)):
+                return
+            if dataclasses.is_dataclass(node):
+                for f in dataclasses.fields(node):
+                    vals = getattr(node, f.name)
+                    vals = vals if isinstance(vals, tuple) else (vals,)
+                    for v in vals:
+                        if isinstance(v, A.AstNode):
+                            yield from iter_wins(v)
+                        elif isinstance(v, tuple):
+                            for w in v:
+                                if isinstance(w, A.AstNode):
+                                    yield from iter_wins(w)
+
+        nodes: list[A.SQLWindowExpr] = []
+        for r in sel.projection:
+            nodes.extend(iter_wins(r))
+        self._window_cols = {}
+        if not nodes:
+            return base_plan
+        if sel.group_by:
+            raise PlanError(
+                "window functions cannot be combined with GROUP BY yet; "
+                "aggregate in a derived table first"
+            )
+        schema = base_plan.schema
+        wexprs: list[WindowFunction] = []
+        key_map: dict[WindowFunction, int] = {}
+        for node in nodes:
+            wf = self._plan_window(node, schema, qualifiers)
+            if wf not in key_map:
+                key_map[wf] = len(schema) + len(wexprs)
+                wexprs.append(wf)
+            self._window_cols[id(node)] = Column(key_map[wf])
+        fields = list(schema.fields) + [
+            Field(wf.name.upper(), wf.return_type, True) for wf in wexprs
+        ]
+        return Window(base_plan, tuple(wexprs), Schema(fields))
+
+    def _plan_window(
+        self, node: A.SQLWindowExpr, schema: Schema, qualifiers
+    ) -> WindowFunction:
+        low = node.func.name.lower()
+        if low not in self._WINDOW_NAMES:
+            raise PlanError(f"'{node.func.name}' is not a window function")
+        raw_args = node.func.args
+        offset = 1
+        if low in ("row_number", "rank", "dense_rank"):
+            if raw_args:
+                raise PlanError(f"{node.func.name}() takes no arguments")
+            args: tuple[Expr, ...] = ()
+            ret = self._WINDOW_RET[low]
+        elif low in ("lag", "lead"):
+            if not 1 <= len(raw_args) <= 2:
+                raise PlanError(f"{node.func.name} expects 1-2 arguments")
+            arg = self.sql_to_rex(raw_args[0], schema, qualifiers)
+            if len(raw_args) == 2:
+                if not isinstance(raw_args[1], A.SQLLong):
+                    raise PlanError(
+                        f"{node.func.name} offset must be an integer literal"
+                    )
+                offset = int(raw_args[1].value)
+            args = (arg,)
+            ret = arg.get_type(schema)
+        else:  # sum/count/avg/min/max
+            if low == "count" and (
+                len(raw_args) == 0
+                or isinstance(raw_args[0], A.SQLWildcard)
+                or (isinstance(raw_args[0], A.SQLLong) and raw_args[0].value == 1)
+            ):
+                args = ()
+                ret = self._WINDOW_RET["count"]
+            else:
+                if len(raw_args) != 1:
+                    raise PlanError(f"{node.func.name} expects one argument")
+                arg = self.sql_to_rex(raw_args[0], schema, qualifiers)
+                args = (arg,)
+                ret = self._WINDOW_RET.get(low, arg.get_type(schema))
+        part = tuple(
+            self.sql_to_rex(e, schema, qualifiers) for e in node.partition_by
+        )
+        order = tuple(
+            SortExpr(self.sql_to_rex(ob.expr, schema, qualifiers), ob.asc)
+            for ob in node.order_by
+        )
+        return WindowFunction(low, args, part, order, ret, offset)
 
     def _rewrite_in_subqueries(
         self,
@@ -813,6 +941,14 @@ class SqlToRel:
                 raise PlanError(
                     "scalar subqueries are supported in the WHERE clause "
                     "and SELECT items only"
+                )
+            return col
+
+        if isinstance(node, A.SQLWindowExpr):
+            col = getattr(self, "_window_cols", {}).get(id(node))
+            if col is None:
+                raise PlanError(
+                    "window functions are supported in SELECT items only"
                 )
             return col
 

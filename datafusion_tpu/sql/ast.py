@@ -121,6 +121,16 @@ class SQLFunction(AstNode):
 
 
 @dataclass(frozen=True)
+class SQLWindowExpr(AstNode):
+    """fn(args) OVER ([PARTITION BY ...] [ORDER BY ...]) — beyond the
+    reference's grammar."""
+
+    func: SQLFunction
+    partition_by: tuple[AstNode, ...]
+    order_by: tuple["SQLOrderByExpr", ...]
+
+
+@dataclass(frozen=True)
 class SQLUnion(AstNode):
     """left UNION [ALL] right (beyond the reference)."""
 

@@ -102,6 +102,7 @@ _RESERVED_STOP = {
     "IS",
     "NULL",
     "LIKE",
+    "OVER",
     "SELECT",
     "UNION",
     "CASE",
@@ -487,13 +488,41 @@ class Parser:
                         continue
                     self.expect_op(")")
                     break
-            return SQLFunction(t.value, tuple(args), distinct)
+            fn_node = SQLFunction(t.value, tuple(args), distinct)
+            if self.consume_keyword("OVER"):
+                return self._parse_over(fn_node)
+            return fn_node
         # compound identifier a.b
         if self.peek().kind is Tok.OP and self.peek().value == ".":
             self.next()
             name = self.expect_ident()
             return SQLCompoundIdentifier(t.value, name)
         return SQLIdentifier(t.value)
+
+    def _parse_over(self, fn_node: SQLFunction) -> AstNode:
+        """OVER ([PARTITION BY e, ...] [ORDER BY e [ASC|DESC], ...])."""
+        from datafusion_tpu.sql.ast import SQLWindowExpr
+
+        self.expect_op("(")
+        partition: list[AstNode] = []
+        if self.consume_keywords("PARTITION", "BY"):
+            partition.append(self.parse_expr())
+            while self.consume_op(","):
+                partition.append(self.parse_expr())
+        order: list[SQLOrderByExpr] = []
+        if self.consume_keywords("ORDER", "BY"):
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.consume_keyword("DESC"):
+                    asc = False
+                elif self.consume_keyword("ASC"):
+                    asc = True
+                order.append(SQLOrderByExpr(e, asc))
+                if not self.consume_op(","):
+                    break
+        self.expect_op(")")
+        return SQLWindowExpr(fn_node, tuple(partition), tuple(order))
 
     def _parse_infix(self, left: AstNode, precedence: int) -> AstNode:
         t = self.next()

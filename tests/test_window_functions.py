@@ -1,0 +1,142 @@
+"""Window functions (beyond the reference) — one co-sort per
+(PARTITION BY, ORDER BY) spec, boundaries via scans, results ride a
+row-id sort back to source order (ops/window.py)."""
+
+import numpy as np
+import pytest
+
+from datafusion_tpu import ExecutionContext, Table
+from datafusion_tpu.errors import NotImplementedError_, PlanError
+from datafusion_tpu.parallel.mesh import make_mesh
+
+
+def make_ctx(mesh=None):
+    ctx = ExecutionContext(mesh=mesh)
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {
+                "g": ["a", "a", "a", "b", "b", "c"],
+                "k": np.array([3, 1, 2, 5, 4, 9], np.int32),
+                "v": np.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0]),
+            }
+        ),
+    )
+    return ctx
+
+
+def q(ctx, sql):
+    return ctx.sql(sql).result_str()
+
+
+def test_row_number():
+    out = q(
+        make_ctx(),
+        "SELECT g, k, ROW_NUMBER() OVER (PARTITION BY g ORDER BY k) AS rn "
+        "FROM t ORDER BY g, k",
+    )
+    assert out == (
+        '"a"\t1\t1\n"a"\t2\t2\n"a"\t3\t3\n"b"\t4\t1\n"b"\t5\t2\n"c"\t9\t1\n'
+    )
+
+
+def test_rank_and_dense_rank_with_ties():
+    out = q(make_ctx(), "SELECT k, RANK() OVER (ORDER BY g) AS r FROM t ORDER BY k")
+    assert out == "1\t1\n2\t1\n3\t1\n4\t4\n5\t4\n9\t6\n"
+    out = q(
+        make_ctx(), "SELECT k, DENSE_RANK() OVER (ORDER BY g) AS r FROM t ORDER BY k"
+    )
+    assert out == "1\t1\n2\t1\n3\t1\n4\t2\n5\t2\n9\t3\n"
+
+
+def test_partition_aggregates():
+    out = q(
+        make_ctx(),
+        "SELECT g, SUM(v) OVER (PARTITION BY g) AS s, "
+        "MIN(v) OVER (PARTITION BY g) AS lo, MAX(v) OVER (PARTITION BY g) AS hi, "
+        "COUNT(*) OVER (PARTITION BY g) AS c, AVG(v) OVER (PARTITION BY g) AS m "
+        "FROM t ORDER BY g",
+    )
+    lines = out.splitlines()
+    assert lines[0] == '"a"\t60.0\t10.0\t30.0\t3\t20.0'
+    assert lines[3] == '"b"\t90.0\t40.0\t50.0\t2\t45.0'
+    assert lines[5] == '"c"\t60.0\t60.0\t60.0\t1\t60.0'
+
+
+def test_running_sum_and_count():
+    out = q(
+        make_ctx(),
+        "SELECT g, k, SUM(v) OVER (PARTITION BY g ORDER BY k) AS rs "
+        "FROM t ORDER BY g, k",
+    )
+    assert out == (
+        '"a"\t1\t20.0\n"a"\t2\t50.0\n"a"\t3\t60.0\n'
+        '"b"\t4\t50.0\n"b"\t5\t90.0\n"c"\t9\t60.0\n'
+    )
+
+
+def test_lag_lead():
+    out = q(
+        make_ctx(),
+        "SELECT g, k, LAG(v) OVER (PARTITION BY g ORDER BY k) AS p, "
+        "LEAD(k, 1) OVER (PARTITION BY g ORDER BY k) AS n FROM t ORDER BY g, k",
+    )
+    assert out == (
+        '"a"\t1\tNULL\t2\n"a"\t2\t20.0\t3\n"a"\t3\t30.0\tNULL\n'
+        '"b"\t4\tNULL\t5\n"b"\t5\t50.0\tNULL\n"c"\t9\tNULL\tNULL\n'
+    )
+
+
+def test_window_over_where_filtered_rows():
+    # windows see only the WHERE-surviving rows
+    out = q(
+        make_ctx(),
+        "SELECT g, k, ROW_NUMBER() OVER (PARTITION BY g ORDER BY k) AS rn "
+        "FROM t WHERE k > 1 ORDER BY g, k",
+    )
+    assert out == '"a"\t2\t1\n"a"\t3\t2\n"b"\t4\t1\n"b"\t5\t2\n"c"\t9\t1\n'
+
+
+def test_lag_of_string_column_keeps_dictionary():
+    out = q(
+        make_ctx(),
+        "SELECT k, LAG(g) OVER (ORDER BY k) AS pg FROM t ORDER BY k",
+    )
+    assert out == (
+        '1\tNULL\n2\t"a"\n3\t"a"\n4\t"a"\n5\t"b"\n9\t"b"\n'
+    )
+
+
+def test_window_distributed_parity():
+    mesh = make_mesh()
+    for sql in (
+        "SELECT g, k, ROW_NUMBER() OVER (PARTITION BY g ORDER BY k) AS rn "
+        "FROM t ORDER BY g, k",
+        "SELECT g, k, SUM(v) OVER (PARTITION BY g ORDER BY k) AS rs "
+        "FROM t ORDER BY g, k",
+        "SELECT g, k, MIN(v) OVER (PARTITION BY g) AS lo FROM t ORDER BY g, k",
+    ):
+        assert q(make_ctx(), sql) == q(make_ctx(mesh), sql)
+
+
+def test_window_errors():
+    ctx = make_ctx()
+    with pytest.raises(PlanError, match="GROUP BY"):
+        ctx.sql("SELECT g, ROW_NUMBER() OVER (ORDER BY g) FROM t GROUP BY g")
+    with pytest.raises(PlanError, match="not a window function"):
+        ctx.sql("SELECT SQRT(v) OVER (ORDER BY k) FROM t")
+    with pytest.raises(NotImplementedError_, match="running MIN/MAX"):
+        ctx.sql("SELECT MIN(v) OVER (PARTITION BY g ORDER BY k) FROM t").result_str()
+    with pytest.raises(PlanError, match="SELECT items only"):
+        ctx.sql("SELECT k FROM t WHERE ROW_NUMBER() OVER (ORDER BY k) < 3")
+
+
+def test_window_in_derived_table():
+    # rank-filter via derived table (windows not allowed in WHERE directly)
+    out = q(
+        make_ctx(),
+        "SELECT g, k FROM (SELECT g, k, ROW_NUMBER() OVER "
+        "(PARTITION BY g ORDER BY v DESC) AS rn FROM t) s "
+        "WHERE rn = 1 ORDER BY g",
+    )
+    assert out == '"a"\t2\n"b"\t4\n"c"\t9\n'

@@ -315,8 +315,11 @@ class SqlToRel:
             )
             for e in extra:
                 pred = e if pred is None else BinaryExpr(pred, Operator.And, e)
-            assert pred is not None
-            selection_plan = Selection(pred, extended)
+            if pred is not None:
+                selection_plan = Selection(pred, extended)
+            else:
+                # a bare EXISTS(...) lowers entirely to its semi join
+                selection_plan = extended
 
         # window functions evaluate over the WHERE-filtered rows and
         # append helper columns (beyond the reference)
@@ -444,6 +447,120 @@ class SqlToRel:
                 proj_schema,
             )
         return self._plan_order_limit(sel, plan, qualifiers)
+
+    def _apply_exists(
+        self,
+        sub: A.AstNode,
+        negated: bool,
+        plan: LogicalPlan,
+        outer_schema: Schema,
+        outer_qualifiers,
+    ):
+        """Decorrelate [NOT] EXISTS (SELECT ... WHERE <preds>):
+
+        * inner-only predicates stay a Selection over the inner relation
+        * outer=inner column equalities become semi/anti-join keys — the
+          inner side projects the DISTINCT key columns and joins the
+          outer plan (INNER for EXISTS, LEFT + IS NULL for NOT EXISTS)
+        * with no correlation the subquery reduces to LIMIT 1 and a
+          zero-key (cross) join: one inner row keeps/kills every outer
+          row
+
+        Returns (new_plan, extra_exprs). The subquery's SELECT list is
+        irrelevant to EXISTS and ignored, as in standard SQL."""
+        if not isinstance(sub, A.SQLSelect):
+            raise PlanError("EXISTS subquery must be a plain SELECT")
+        if sub.group_by or sub.having:
+            raise PlanError(
+                "EXISTS subqueries with GROUP BY/HAVING are not supported; "
+                "use a derived table"
+            )
+        if sub.relation is None:
+            raise PlanError("EXISTS subquery needs a FROM clause")
+        inner_from = self.sql_to_rel(sub.relation)
+        inner_quals = self._relation_qualifiers(sub.relation)
+        inner_schema = inner_from.schema
+
+        def conjuncts_of(node):
+            out: list[A.AstNode] = []
+
+            def go(n):
+                if isinstance(n, A.SQLBinaryExpr) and n.op == "And":
+                    go(n.left)
+                    go(n.right)
+                else:
+                    out.append(n)
+
+            go(node)
+            return out
+
+        corr: list[tuple[int, int]] = []  # (outer col, inner col)
+        local: list[Expr] = []
+        if sub.selection is not None:
+            for c in conjuncts_of(sub.selection):
+                try:
+                    local.append(self.sql_to_rex(c, inner_schema, inner_quals))
+                    continue
+                except (PlanError, InvalidColumnError):
+                    pass
+                pair = None
+                if isinstance(c, A.SQLBinaryExpr) and c.op == "Eq":
+                    sides = []
+                    for side in (c.left, c.right):
+                        try:
+                            e = self.sql_to_rex(side, inner_schema, inner_quals)
+                            scope = "inner"
+                        except (PlanError, InvalidColumnError):
+                            e = self.sql_to_rex(side, outer_schema, outer_qualifiers)
+                            scope = "outer"
+                        e = e.expr if isinstance(e, Cast) else e
+                        sides.append((scope, e))
+                    scopes = {s for s, _ in sides}
+                    if scopes == {"inner", "outer"} and all(
+                        isinstance(e, Column) for _, e in sides
+                    ):
+                        o = next(e for s, e in sides if s == "outer")
+                        i = next(e for s, e in sides if s == "inner")
+                        pair = (o.index, i.index)
+                if pair is None:
+                    raise PlanError(
+                        "EXISTS subquery predicates must be inner-only or "
+                        "outer=inner column equalities"
+                    )
+                corr.append(pair)
+
+        inner_plan: LogicalPlan = inner_from
+        if local:
+            pred = local[0]
+            for e in local[1:]:
+                pred = BinaryExpr(pred, Operator.And, e)
+            inner_plan = Selection(pred, inner_plan)
+
+        extra: list[Expr] = []
+        mark_idx = len(plan.schema)
+        if corr:
+            proj = tuple(Column(i) for _, i in corr)
+            pschema = Schema([inner_schema.fields[i] for _, i in corr])
+            inner_plan = Projection(proj, inner_plan, pschema)
+            inner_plan = Aggregate(
+                inner_plan,
+                tuple(Column(j) for j in range(len(corr))),
+                (),
+                pschema,
+            )
+            on = tuple((o, j) for j, (o, _) in enumerate(corr))
+        else:
+            one = Schema([Field("one", DataType.Int64, False)])
+            inner_plan = Projection(
+                (Literal(ScalarValue.int64(1)),), inner_plan, one
+            )
+            inner_plan = Limit(1, inner_plan, one)
+            on = ()
+        jt = JoinType.Left if negated else JoinType.Inner
+        plan = Join(plan, inner_plan, on, jt, plan.schema.join(inner_plan.schema))
+        if negated:
+            extra.append(IsNull(Column(mark_idx)))
+        return plan, extra
 
     def _attach_scalar_subqueries(
         self, sel: A.SQLSelect, input_plan: LogicalPlan
@@ -654,7 +771,7 @@ class SqlToRel:
                 out.append(node)
 
         def contains_sub(node: A.AstNode) -> bool:
-            if isinstance(node, A.SQLInSubquery):
+            if isinstance(node, (A.SQLInSubquery, A.SQLExists)):
                 return True
             kids = []
             if isinstance(node, A.SQLBinaryExpr):
@@ -663,13 +780,28 @@ class SqlToRel:
                 kids = [node.expr]
             return any(contains_sub(k) for k in kids)
 
+        def exists_of(node: A.AstNode):
+            """(subselect, negated) when the conjunct is [NOT] EXISTS."""
+            if isinstance(node, A.SQLExists):
+                return node.select, False
+            if (
+                isinstance(node, A.SQLUnary)
+                and node.op == "Not"
+                and isinstance(node.expr, A.SQLExists)
+            ):
+                return node.expr.select, True
+            return None
+
         conjuncts: list[A.AstNode] = []
         split_and(where, conjuncts)
-        if not any(isinstance(c, A.SQLInSubquery) for c in conjuncts):
+        if not any(
+            isinstance(c, A.SQLInSubquery) or exists_of(c) is not None
+            for c in conjuncts
+        ):
             if contains_sub(where):
                 raise PlanError(
-                    "IN (SELECT ...) is only supported as a top-level AND "
-                    "conjunct of WHERE (not under OR/NOT)"
+                    "IN (SELECT ...) / EXISTS is only supported as a "
+                    "top-level AND conjunct of WHERE (not under OR/NOT)"
                 )
             return input_plan, where, []
 
@@ -677,11 +809,18 @@ class SqlToRel:
         extra: list[Expr] = []
         residual: list[A.AstNode] = []
         for c in conjuncts:
+            ex = exists_of(c)
+            if ex is not None:
+                plan, ex_extra = self._apply_exists(
+                    ex[0], ex[1], plan, input_schema, qualifiers
+                )
+                extra.extend(ex_extra)
+                continue
             if not isinstance(c, A.SQLInSubquery):
                 if contains_sub(c):
                     raise PlanError(
-                        "IN (SELECT ...) is only supported as a top-level "
-                        "AND conjunct of WHERE (not under OR/NOT)"
+                        "IN (SELECT ...) / EXISTS is only supported as a "
+                        "top-level AND conjunct of WHERE (not under OR/NOT)"
                     )
                 residual.append(c)
                 continue

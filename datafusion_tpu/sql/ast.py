@@ -49,6 +49,14 @@ class SQLInSubquery(AstNode):
 
 
 @dataclass(frozen=True)
+class SQLExists(AstNode):
+    """[NOT] EXISTS (SELECT ...) — decorrelated into a semi/anti join on
+    the outer=inner equality predicates (beyond the reference)."""
+
+    select: AstNode
+
+
+@dataclass(frozen=True)
 class SQLScalarSubquery(AstNode):
     """(SELECT ...) used as a scalar expression — planned as a LEFT cross
     join against the LIMIT-1 subquery result (beyond the reference)."""

@@ -103,6 +103,7 @@ _RESERVED_STOP = {
     "NULL",
     "LIKE",
     "OVER",
+    "EXISTS",
     "SELECT",
     "UNION",
     "CASE",
@@ -464,6 +465,16 @@ class Parser:
             else_e = self.parse_expr() if self.consume_keyword("ELSE") else None
             self.expect_keyword("END")
             return SQLCase(operand, tuple(whens), else_e)
+        if up == "EXISTS":
+            from datafusion_tpu.sql.ast import SQLExists
+
+            self.expect_op("(")
+            nt = self.peek()
+            if not (nt.kind is Tok.IDENT and nt.upper == "SELECT"):
+                raise ParserError("EXISTS requires a (SELECT ...) subquery")
+            sub = self._parse_select_set()
+            self.expect_op(")")
+            return SQLExists(sub)
         if up == "NOT":
             return SQLUnary("Not", self.parse_expr(15))
         if up == "NULL":

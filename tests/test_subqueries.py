@@ -279,3 +279,100 @@ def test_scalar_subquery_errors():
         ctx.sql("SELECT k FROM t WHERE v > (SELECT k, tag FROM s)")
     with pytest.raises(PlanError, match="WHERE clause"):
         ctx.sql("SELECT k FROM t ORDER BY (SELECT MAX(k) FROM s)")
+
+
+def make_exists_ctx(mesh=None):
+    ctx = ExecutionContext(mesh=mesh)
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {"k": np.array([1, 2, 3, 4], np.int32), "v": np.array([10.0, 20.0, 30.0, 40.0])}
+        ),
+    )
+    ctx.register_table(
+        "s",
+        Table.from_pydict(
+            {"k": np.array([2, 4, 4], np.int32), "w": np.array([1.0, 2.0, 99.0])}
+        ),
+    )
+    return ctx
+
+
+def test_exists_correlated():
+    ctx = make_exists_ctx()
+    # duplicate 4s in s must not duplicate output rows (DISTINCT semi join)
+    out = ctx.sql(
+        "SELECT k FROM t WHERE EXISTS (SELECT 1 FROM s WHERE s.k = t.k) ORDER BY k"
+    ).result_str()
+    assert out == "2\n4\n"
+    out = ctx.sql(
+        "SELECT k FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.k = t.k) ORDER BY k"
+    ).result_str()
+    assert out == "1\n3\n"
+
+
+def test_exists_correlated_with_inner_predicate():
+    ctx = make_exists_ctx()
+    out = ctx.sql(
+        "SELECT k FROM t WHERE EXISTS "
+        "(SELECT 1 FROM s WHERE s.k = t.k AND s.w > 50) ORDER BY k"
+    ).result_str()
+    assert out == "4\n"
+
+
+def test_exists_uncorrelated():
+    ctx = make_exists_ctx()
+    assert (
+        ctx.sql(
+            "SELECT k FROM t WHERE EXISTS (SELECT 1 FROM s WHERE s.w > 100)"
+        ).result_str()
+        == ""
+    )
+    assert (
+        ctx.sql(
+            "SELECT k FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.w > 100) "
+            "ORDER BY k"
+        ).result_str()
+        == "1\n2\n3\n4\n"
+    )
+    # non-empty subquery keeps every outer row
+    assert (
+        ctx.sql(
+            "SELECT k FROM t WHERE EXISTS (SELECT 1 FROM s WHERE s.w > 50) ORDER BY k"
+        ).result_str()
+        == "1\n2\n3\n4\n"
+    )
+
+
+def test_exists_with_residual_where():
+    ctx = make_exists_ctx()
+    out = ctx.sql(
+        "SELECT k FROM t WHERE v > 15 AND EXISTS "
+        "(SELECT 1 FROM s WHERE s.k = t.k) ORDER BY k"
+    ).result_str()
+    assert out == "2\n4\n"
+
+
+def test_exists_distributed():
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    for sql in (
+        "SELECT k FROM t WHERE EXISTS (SELECT 1 FROM s WHERE s.k = t.k) ORDER BY k",
+        "SELECT k FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.k = t.k) ORDER BY k",
+    ):
+        assert (
+            make_exists_ctx().sql(sql).result_str()
+            == make_exists_ctx(mesh).sql(sql).result_str()
+        )
+
+
+def test_exists_errors():
+    import pytest
+    from datafusion_tpu.errors import PlanError
+
+    ctx = make_exists_ctx()
+    with pytest.raises(PlanError, match="top-level AND conjunct"):
+        ctx.sql("SELECT k FROM t WHERE k > 3 OR EXISTS (SELECT 1 FROM s WHERE s.k = t.k)")
+    with pytest.raises(PlanError, match="inner-only or"):
+        ctx.sql("SELECT k FROM t WHERE EXISTS (SELECT 1 FROM s WHERE s.k > t.k)")

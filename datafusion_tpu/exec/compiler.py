@@ -656,11 +656,28 @@ class PlanCompiler:
         if group_c:
             # sort-free dense path: a single dictionary-coded key with a
             # small static vocabulary IS the group id — no lax.sort, one
-            # pallas pass (ops/aggregate.py grouped_aggregate_dense)
+            # pallas pass (ops/aggregate.py grouped_aggregate_dense).
+            # Integer keys qualify too when the scanned column's probed
+            # min..max range is small (_int_key_range) — the compile-time
+            # probe costs two tiny reductions on the table buffer.
             kdict = group_c[0].dictionary if len(group_c) == 1 else None
+            dom = 0
+            key_offset = 0
+            dense_note = ""
+            if kdict is not None and 1 <= len(kdict) <= agg_ops.DENSE_MAX_GROUPS:
+                dom = len(kdict)
+                dense_note = f"dictionary domain={dom}"
+            elif kdict is None and len(group_c) == 1:
+                rng = self._int_key_range(plan.group_exprs[0], child)
+                if rng is not None:
+                    kmin, kmax = rng
+                    d = kmax - kmin + 1
+                    if 1 <= d <= agg_ops.DENSE_MAX_GROUPS:
+                        dom = d
+                        key_offset = kmin
+                        dense_note = f"int key range [{kmin}, {kmax}]"
             dense_ok = (
-                kdict is not None
-                and 1 <= len(kdict) <= agg_ops.DENSE_MAX_GROUPS
+                dom > 0
                 and child.capacity % 1024 == 0
                 and agg_ops._pallas_enabled()
             )
@@ -679,9 +696,8 @@ class PlanCompiler:
                     elif name not in ("sum", "avg", "min", "max", "count"):
                         dense_ok = False
             if dense_ok:
-                dom = len(kdict)
                 self.notes.append(
-                    f"aggregate: dense sort-free group-by (dictionary domain={dom})"
+                    f"aggregate: dense sort-free group-by ({dense_note})"
                 )
 
                 def fn_dense(env) -> Batch:
@@ -694,7 +710,7 @@ class PlanCompiler:
                         for (name, arg, rt) in agg_meta
                     ]
                     okeys, oaggs, osel, _ = agg_ops.grouped_aggregate_dense(
-                        keys, specs, b.sel, dom
+                        keys, specs, b.sel, dom, key_offset
                     )
                     return Batch(list(okeys) + list(oaggs), osel)
 
@@ -739,6 +755,38 @@ class PlanCompiler:
             return Batch(cols, iota < 1)
 
         return Lowered(plan.schema, out_dicts, fn0, out_cap, child.layout)
+
+    def _int_key_range(self, gexpr, child: Lowered):
+        """Compile-time probe for the dense-int group-by path: when the
+        single group key is a pure pass-through of a scanned integer
+        column (only row masks applied), read the table buffer's min/max
+        eagerly (two tiny device reductions, cached with the compiled
+        plan). A filtered-out extreme only widens the range — never
+        wrong, just a looser domain bound."""
+        e = gexpr.expr if isinstance(gexpr, L.Alias) else gexpr
+        if not isinstance(e, L.Column):
+            return None
+        src = child.src()[e.index]
+        if src is None:
+            return None
+        if child.schema.fields[e.index].dtype not in (
+            DataType.Int8, DataType.Int16, DataType.Int32, DataType.Int64,
+            DataType.UInt8, DataType.UInt16, DataType.UInt32, DataType.UInt64,
+        ):
+            return None
+        tbl = self.scan_tables[src[0]]
+        if tbl.num_rows <= 0:
+            return None
+        col = tbl.columns[src[1]]
+        try:
+            from datafusion_tpu.parallel.multihost import to_host
+
+            data = col.data[: tbl.num_rows]  # exclude padding rows
+            kmin = int(to_host(jnp.min(data)))
+            kmax = int(to_host(jnp.max(data)))
+        except Exception:
+            return None
+        return kmin, kmax
 
     def _lower_sort(self, plan: L.Sort) -> Lowered:
         child = self.lower(plan.input)

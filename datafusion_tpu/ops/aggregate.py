@@ -170,24 +170,29 @@ def grouped_aggregate_dense(
     specs: Sequence[AggSpec],
     sel: jax.Array,
     domain_size: int,
+    key_offset: int = 0,
 ):
     """Sort-free GROUP BY for a single dense int key domain of statically
     known size (≤ DENSE_MAX_GROUPS): the key IS the group id — one pallas
     pass over the unsorted rows, no lax.sort at all. Group order is key
-    order (same as the sorted path). Returns the grouped_aggregate
-    contract: (out_keys, out_aggs, out_sel, n_groups)."""
+    order (same as the sorted path). `key_offset` shifts raw integer keys
+    in [offset, offset+domain) onto slots [0, domain) — the compiler
+    probes the scanned key column's min/max to pick it. Returns the
+    grouped_aggregate contract: (out_keys, out_aggs, out_sel, n_groups)."""
     segred = segmented_reduce_sorted_import()
     capacity = int(sel.shape[0])
     dom = int(domain_size)
     (kd, kv) = key_cols[0]
+    code = kd if key_offset == 0 else kd - jnp.asarray(key_offset, kd.dtype)
+    code = code.astype(jnp.int32) if kd.dtype != jnp.int32 else code
     # slot layout: [0, dom) = key codes; slot dom = NULL-key group (used
     # only when the key column is nullable); slot dom+1 = unselected rows
     gcap = dom + 1
     if kv is None:
-        gid = jnp.where(sel, jnp.clip(kd, 0, dom - 1), gcap)
+        gid = jnp.where(sel, jnp.clip(code, 0, dom - 1), gcap)
     else:
         gid = jnp.where(
-            sel, jnp.where(kv, jnp.clip(kd, 0, dom - 1), dom), gcap
+            sel, jnp.where(kv, jnp.clip(code, 0, dom - 1), dom), gcap
         )
     base_mask = sel
 
@@ -243,7 +248,8 @@ def grouped_aggregate_dense(
     giota = lax.broadcasted_iota(jnp.int32, (gcap,), 0)
     out_sel = exists_cnt > 0
     # slot dom is the NULL-key group: key value invalid there
-    out_keys = [(jnp.clip(giota, 0, dom - 1), None if kv is None else giota < dom)]
+    okd = (jnp.clip(giota, 0, dom - 1) + key_offset).astype(kd.dtype)
+    out_keys = [(okd, None if kv is None else giota < dom)]
 
     out_aggs = []
     for si, spec in enumerate(specs):

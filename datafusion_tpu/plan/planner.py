@@ -297,7 +297,7 @@ class SqlToRel:
         # `SELECT *` expands to the FROM schema, BEFORE any helper
         # columns appended by subquery rewrites
         star_width = len(input_plan.schema)
-        input_plan = self._attach_scalar_subqueries(sel, input_plan)
+        input_plan = self._attach_scalar_subqueries(sel, input_plan, qualifiers)
         input_schema = input_plan.schema
 
         # WHERE is planned against the scan schema first
@@ -448,35 +448,72 @@ class SqlToRel:
             )
         return self._plan_order_limit(sel, plan, qualifiers)
 
-    def _apply_exists(
+    def _attach_correlated_scalar(
         self,
-        sub: A.AstNode,
-        negated: bool,
+        node: A.SQLScalarSubquery,
         plan: LogicalPlan,
         outer_schema: Schema,
         outer_qualifiers,
-    ):
-        """Decorrelate [NOT] EXISTS (SELECT ... WHERE <preds>):
+    ) -> LogicalPlan:
+        """Decorrelate (SELECT agg(x) FROM s WHERE s.k = t.k [AND ...]):
+        the subquery aggregates GROUP BY its correlation keys and LEFT
+        JOINs the outer plan on them — per outer row the scalar is the
+        group's aggregate, or NULL when no inner rows match (documented
+        deviation: SQL's COUNT over an empty set is 0, here NULL)."""
+        sub_sel = node.select
+        inner_plan, inner_schema, inner_quals, corr = self._split_correlation(
+            sub_sel, "scalar", outer_schema, outer_qualifiers
+        )
+        if not corr:
+            # not actually correlated — re-raise the original plan error
+            return self.sql_to_rel(sub_sel) and plan  # pragma: no cover
+        if len(sub_sel.projection) != 1:
+            raise PlanError("scalar subquery must return exactly one column")
+        item = sub_sel.projection[0]
+        item = item.expr if isinstance(item, A.SQLAliasedExpr) else item
+        agg = self.sql_to_rex(item, inner_schema, inner_quals)
+        agg = agg.expr if isinstance(agg, Alias) else agg
+        if not isinstance(agg, AggregateFunction):
+            raise PlanError(
+                "a correlated scalar subquery must select a single "
+                "aggregate, e.g. (SELECT MAX(x) FROM s WHERE s.k = t.k)"
+            )
+        group_cols = tuple(Column(i) for _, i in corr)
+        agg_schema = Schema(
+            [inner_schema.fields[i] for _, i in corr]
+            + exprlist_to_fields([agg], inner_schema)
+        )
+        inner_plan = Aggregate(inner_plan, group_cols, (agg,), agg_schema)
+        base = len(plan.schema)
+        on = tuple((o, j) for j, (o, _) in enumerate(corr))
+        plan = Join(
+            plan, inner_plan, on, JoinType.Left, plan.schema.join(agg_schema)
+        )
+        self._scalar_subs[id(node)] = Column(base + len(corr))
+        return plan
 
-        * inner-only predicates stay a Selection over the inner relation
-        * outer=inner column equalities become semi/anti-join keys — the
-          inner side projects the DISTINCT key columns and joins the
-          outer plan (INNER for EXISTS, LEFT + IS NULL for NOT EXISTS)
-        * with no correlation the subquery reduces to LIMIT 1 and a
-          zero-key (cross) join: one inner row keeps/kills every outer
-          row
-
-        Returns (new_plan, extra_exprs). The subquery's SELECT list is
-        irrelevant to EXISTS and ignored, as in standard SQL."""
+    def _split_correlation(
+        self,
+        sub: A.AstNode,
+        what: str,
+        outer_schema: Schema,
+        outer_qualifiers,
+    ) -> tuple[LogicalPlan, Schema, list[tuple[int, int]]]:
+        """Shared decorrelation front half for EXISTS and correlated
+        scalar subqueries: plan the inner FROM, split the inner WHERE
+        into inner-only predicates (kept as a Selection) and outer=inner
+        column equalities (returned as (outer col, inner col) pairs).
+        Returns (inner plan, inner FROM schema, inner qualifiers,
+        correlation pairs)."""
         if not isinstance(sub, A.SQLSelect):
-            raise PlanError("EXISTS subquery must be a plain SELECT")
+            raise PlanError(f"{what} subquery must be a plain SELECT")
         if sub.group_by or sub.having:
             raise PlanError(
-                "EXISTS subqueries with GROUP BY/HAVING are not supported; "
+                f"{what} subqueries with GROUP BY/HAVING are not supported; "
                 "use a derived table"
             )
         if sub.relation is None:
-            raise PlanError("EXISTS subquery needs a FROM clause")
+            raise PlanError(f"{what} subquery needs a FROM clause")
         inner_from = self.sql_to_rel(sub.relation)
         inner_quals = self._relation_qualifiers(sub.relation)
         inner_schema = inner_from.schema
@@ -524,7 +561,7 @@ class SqlToRel:
                         pair = (o.index, i.index)
                 if pair is None:
                     raise PlanError(
-                        "EXISTS subquery predicates must be inner-only or "
+                        f"{what} subquery predicates must be inner-only or "
                         "outer=inner column equalities"
                     )
                 corr.append(pair)
@@ -535,7 +572,31 @@ class SqlToRel:
             for e in local[1:]:
                 pred = BinaryExpr(pred, Operator.And, e)
             inner_plan = Selection(pred, inner_plan)
+        return inner_plan, inner_schema, inner_quals, corr
 
+    def _apply_exists(
+        self,
+        sub: A.AstNode,
+        negated: bool,
+        plan: LogicalPlan,
+        outer_schema: Schema,
+        outer_qualifiers,
+    ):
+        """Decorrelate [NOT] EXISTS (SELECT ... WHERE <preds>):
+
+        * inner-only predicates stay a Selection over the inner relation
+        * outer=inner column equalities become semi/anti-join keys — the
+          inner side projects the DISTINCT key columns and joins the
+          outer plan (INNER for EXISTS, LEFT + IS NULL for NOT EXISTS)
+        * with no correlation the subquery reduces to LIMIT 1 and a
+          zero-key (cross) join: one inner row keeps/kills every outer
+          row
+
+        Returns (new_plan, extra_exprs). The subquery's SELECT list is
+        irrelevant to EXISTS and ignored, as in standard SQL."""
+        inner_plan, inner_schema, _, corr = self._split_correlation(
+            sub, "EXISTS", outer_schema, outer_qualifiers
+        )
         extra: list[Expr] = []
         mark_idx = len(plan.schema)
         if corr:
@@ -563,7 +624,7 @@ class SqlToRel:
         return plan, extra
 
     def _attach_scalar_subqueries(
-        self, sel: A.SQLSelect, input_plan: LogicalPlan
+        self, sel: A.SQLSelect, input_plan: LogicalPlan, qualifiers
     ) -> LogicalPlan:
         """Extend the FROM relation with one LEFT cross join per scalar
         subquery appearing in the WHERE clause or the SELECT items:
@@ -614,7 +675,15 @@ class SqlToRel:
         for node in nodes:
             if id(node) in self._scalar_subs:
                 continue
-            sub = self.sql_to_rel(node.select)
+            try:
+                sub = self.sql_to_rel(node.select)
+            except (PlanError, InvalidColumnError):
+                # references to outer columns fail self-contained
+                # planning: decorrelate to GROUP BY + LEFT JOIN
+                plan = self._attach_correlated_scalar(
+                    node, plan, input_plan.schema, qualifiers
+                )
+                continue
             if len(sub.schema) != 1:
                 raise PlanError(
                     f"scalar subquery must return exactly one column, got "

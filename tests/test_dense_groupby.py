@@ -112,3 +112,37 @@ def test_dense_distributed(monkeypatch):
         for x, y in zip(ra.split("\t"), rb.split("\t")):
             if x != y:
                 assert abs(float(x) - float(y)) <= 1e-4 * max(1.0, abs(float(x)))
+
+
+def test_dense_int_key_range(monkeypatch):
+    """Integer keys with a small probed min..max range take the dense
+    sort-free path (key_offset shifts the range onto slots)."""
+    import subprocess, sys, os
+
+    code = """
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np, datafusion_tpu as df
+ctx = df.ExecutionContext()
+n = 4096
+ctx.register_table("t", df.Table.from_pydict({
+    "k": (np.arange(n) % 37 + 1000).astype(np.int32),
+    "v": np.arange(n).astype(np.float32),
+}))
+r = ctx.sql("EXPLAIN VERBOSE SELECT k, COUNT(v), MIN(v), SUM(v) FROM t GROUP BY k")
+assert "int key range [1000, 1036]" in r.result_str(), r.result_str()
+out = ctx.sql("SELECT k, COUNT(v), MIN(v) FROM t WHERE k < 1003 GROUP BY k ORDER BY k").result_str()
+import os
+os.environ["DFTPU_PALLAS"] = "0"
+ctx2 = df.ExecutionContext()
+ctx2.register_table("t", ctx.table("t"))
+out2 = ctx2.sql("SELECT k, COUNT(v), MIN(v) FROM t WHERE k < 1003 GROUP BY k ORDER BY k").result_str()
+assert out == out2, (out, out2)
+print("ok")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=240,
+        env={**os.environ, "DFTPU_X64": "0", "DFTPU_PALLAS": "1", "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "ok" in proc.stdout

@@ -376,3 +376,40 @@ def test_exists_errors():
         ctx.sql("SELECT k FROM t WHERE k > 3 OR EXISTS (SELECT 1 FROM s WHERE s.k = t.k)")
     with pytest.raises(PlanError, match="inner-only or"):
         ctx.sql("SELECT k FROM t WHERE EXISTS (SELECT 1 FROM s WHERE s.k > t.k)")
+
+
+def test_correlated_scalar_subquery():
+    ctx = make_exists_ctx()
+    out = ctx.sql(
+        "SELECT k, (SELECT MAX(w) FROM s WHERE s.k = t.k) FROM t ORDER BY k"
+    ).result_str()
+    assert out == "1\tNULL\n2\t1.0\n3\tNULL\n4\t99.0\n"
+    out = ctx.sql(
+        "SELECT k FROM t WHERE v > (SELECT SUM(w) FROM s WHERE s.k = t.k) ORDER BY k"
+    ).result_str()
+    assert out == "2\n"
+    # inner-local predicate combines with the correlation key
+    out = ctx.sql(
+        "SELECT k, (SELECT COUNT(w) FROM s WHERE s.k = t.k AND s.w > 1.5) "
+        "FROM t ORDER BY k"
+    ).result_str()
+    assert out == "1\tNULL\n2\tNULL\n3\tNULL\n4\t2\n"
+
+
+def test_correlated_scalar_subquery_distributed():
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    sql = "SELECT k, (SELECT MAX(w) FROM s WHERE s.k = t.k) FROM t ORDER BY k"
+    assert (
+        make_exists_ctx().sql(sql).result_str()
+        == make_exists_ctx(make_mesh()).sql(sql).result_str()
+    )
+
+
+def test_correlated_scalar_subquery_errors():
+    import pytest
+    from datafusion_tpu.errors import PlanError
+
+    ctx = make_exists_ctx()
+    with pytest.raises(PlanError, match="single\\s+aggregate"):
+        ctx.sql("SELECT k, (SELECT w FROM s WHERE s.k = t.k) FROM t")

@@ -59,6 +59,54 @@ def _pack_keys(
     return (keys[0] << bits_b) | keys[1]
 
 
+def _combined_key_ids(
+    probe_keys: Sequence[jax.Array], build_keys: Sequence[jax.Array]
+) -> tuple[jax.Array, jax.Array]:
+    """N-column join keys → ONE dense int32 id per row, equal tuples ⇒
+    equal ids: both sides' key columns co-sort in one multi-operand
+    `lax.sort`, distinct-tuple boundaries cumsum into ids, and the ids
+    ride a second sort (key = source index) back to row order. Removes
+    the 2-key bit-packing limit without touching the join machinery
+    (ids are always int32-dense regardless of key dtypes/widths)."""
+    b_cap = int(build_keys[0].shape[0])
+    p_cap = int(probe_keys[0].shape[0])
+    comb = b_cap + p_cap
+    ops = [jnp.concatenate([b, p]) for b, p in zip(build_keys, probe_keys)]
+    nkeys = len(ops)
+    src = lax.broadcasted_iota(jnp.int32, (comb,), 0)
+    ops.append(src)
+    s = lax.sort(ops, num_keys=nkeys)
+    iota = lax.broadcasted_iota(jnp.int32, (comb,), 0)
+    boundary = iota == 0
+    for j in range(nkeys):
+        boundary = jnp.logical_or(boundary, s[j] != jnp.roll(s[j], 1))
+    ids = jnp.cumsum(boundary.astype(jnp.int32))
+    back = lax.sort([s[nkeys], ids], num_keys=1)
+    all_ids = back[1]
+    return all_ids[b_cap:], all_ids[:b_cap]  # (probe ids, build ids)
+
+
+def _normalize_keys(
+    probe_keys: Sequence[jax.Array],
+    build_keys: Sequence[jax.Array],
+    key_maxes: Optional[Sequence[Optional[int]]],
+) -> tuple[list[jax.Array], list[jax.Array], Optional[Sequence[Optional[int]]]]:
+    """Reduce multi-column join keys to one sortable column: bit-packing
+    when cheap (1-2 keys with known bounds or 64-bit available, see
+    _pack_keys), else dense combined-tuple ids (_combined_key_ids)."""
+    if len(probe_keys) == 1:
+        return list(probe_keys), list(build_keys), key_maxes
+    try:
+        return (
+            [_pack_keys(probe_keys, key_maxes)],
+            [_pack_keys(build_keys, key_maxes)],
+            None,
+        )
+    except NotImplementedError:
+        p_id, b_id = _combined_key_ids(probe_keys, build_keys)
+        return [p_id], [b_id], None
+
+
 def _build_matched_from_sorted(
     ks: jax.Array,
     isb: jax.Array,
@@ -199,8 +247,11 @@ def join_indices(
     p_cap = int(probe_sel.shape[0])
     b_cap = int(build_sel.shape[0])
 
-    pkey = _pack_keys(probe_keys, key_maxes)
-    bkey = _pack_keys(build_keys, key_maxes)
+    probe_keys, build_keys, key_maxes = _normalize_keys(
+        probe_keys, build_keys, key_maxes
+    )
+    pkey = probe_keys[0]
+    bkey = build_keys[0]
 
     # sort build side by key, unselected rows last via a +inf-like sentinel
     b_sentinel = jnp.asarray(jnp.iinfo(bkey.dtype).max, bkey.dtype)
@@ -369,8 +420,11 @@ def join_columns(
     b_cap = int(build_sel.shape[0])
     comb = b_cap + p_cap
 
-    pkey = _pack_keys(probe_keys, key_maxes)
-    bkey = _pack_keys(build_keys, key_maxes)
+    probe_keys, build_keys, key_maxes = _normalize_keys(
+        probe_keys, build_keys, key_maxes
+    )
+    pkey = probe_keys[0]
+    bkey = build_keys[0]
     b_sentinel = jnp.asarray(jnp.iinfo(bkey.dtype).max, bkey.dtype)
     p_sentinel = jnp.asarray(jnp.iinfo(pkey.dtype).max, pkey.dtype)
     bkey_m = jnp.where(build_sel, bkey, b_sentinel)

@@ -144,3 +144,42 @@ def test_cross_join_distributed():
     ctx.register_table("u", df.Table.from_pydict({"b": np.arange(3, dtype=np.int64)}))
     r = ctx.sql("SELECT t.a, u.b FROM t CROSS JOIN u")
     assert len(r.to_pylist()) == 48
+
+
+def test_three_key_join_combined_ids():
+    """>2 join keys can't bit-pack; they reduce to dense combined-tuple
+    ids (ops/join.py _combined_key_ids)."""
+    import numpy as np
+    from datafusion_tpu import ExecutionContext, Table
+
+    def ctx_of(mesh=None):
+        ctx = ExecutionContext(mesh=mesh)
+        ctx.register_table("a", Table.from_pydict({
+            "c1": ["x", "x", "y", "z", "x"],
+            "c2": np.array([1, 1, 2, 3, 1], np.int32),
+            "c3": np.array([7.0, 8.0, 7.0, 7.0, 9.0]),
+            "v": np.arange(5, dtype=np.int32)}))
+        ctx.register_table("b", Table.from_pydict({
+            "d1": ["x", "y", "z", "x"],
+            "d2": np.array([1, 2, 3, 1], np.int32),
+            "d3": np.array([8.0, 7.0, 9.0, 9.0]),
+            "w": np.array([10, 20, 30, 40], np.int32)}))
+        return ctx
+
+    sql = ("SELECT a.v, b.w FROM a JOIN b ON a.c1 = b.d1 AND a.c2 = b.d2 "
+           "AND a.c3 = b.d3 ORDER BY v")
+    left_sql = sql.replace("JOIN b", "LEFT JOIN b")
+    assert ctx_of().sql(sql).result_str() == "1\t10\n2\t20\n4\t40\n"
+    assert ctx_of().sql(left_sql).result_str() == (
+        "0\tNULL\n1\t10\n2\t20\n3\tNULL\n4\t40\n"
+    )
+    from datafusion_tpu.parallel.mesh import make_mesh
+    for env_strategy in ("broadcast", "shuffle"):
+        import os
+        os.environ["DFTPU_JOIN_STRATEGY"] = env_strategy
+        try:
+            assert ctx_of(make_mesh()).sql(sql).result_str() == (
+                "1\t10\n2\t20\n4\t40\n"
+            ), env_strategy
+        finally:
+            del os.environ["DFTPU_JOIN_STRATEGY"]

@@ -1071,8 +1071,12 @@ class SqlToRel:
         qualifiers = self._relation_qualifiers(node)
         joined_schema = left.schema.join(right.schema)
 
-        # extract conjunctive equality pairs from the ON expression
+        # extract conjunctive equality pairs from the ON expression;
+        # non-equality conjuncts become a post-join filter (INNER only —
+        # for outer joins a failed residual must still NULL-extend the
+        # row, which a post-filter cannot express)
         on_pairs: list[tuple[int, int]] = []
+        residual: list[Expr] = []
 
         def extract(e: A.AstNode) -> None:
             if isinstance(e, A.SQLBinaryExpr) and e.op == "And":
@@ -1093,10 +1097,7 @@ class SqlToRel:
                     if ri < nleft <= li:
                         on_pairs.append((ri, li - nleft))
                         return
-            raise PlanError(
-                "JOIN ON clause must be a conjunction of equalities between "
-                "columns of the two inputs"
-            )
+            residual.append(self.sql_to_rex(e, joined_schema, qualifiers))
 
         if node.on is not None:
             extract(node.on)
@@ -1107,7 +1108,21 @@ class SqlToRel:
             A.JoinKind.Right: JoinType.Right,
             A.JoinKind.Full: JoinType.Full,
         }[node.kind]
-        return Join(left, right, tuple(on_pairs), jt, joined_schema)
+        plan: LogicalPlan = Join(left, right, tuple(on_pairs), jt, joined_schema)
+        if residual:
+            if jt is not JoinType.Inner:
+                raise PlanError(
+                    "non-equality JOIN ON conditions are only supported for "
+                    "INNER joins (outer joins must NULL-extend rows whose "
+                    "residual fails)"
+                )
+            pred = residual[0]
+            for e in residual[1:]:
+                pred = BinaryExpr(pred, Operator.And, e)
+            if pred.get_type(joined_schema) is not DataType.Boolean:
+                raise PlanError("JOIN ON condition must be boolean")
+            plan = Selection(pred, plan)
+        return plan
 
     # ------------------------------------------------------------------
     def sql_to_rex(

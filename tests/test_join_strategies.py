@@ -183,3 +183,30 @@ def test_three_key_join_combined_ids():
             ), env_strategy
         finally:
             del os.environ["DFTPU_JOIN_STRATEGY"]
+
+
+def test_non_equi_join_conditions():
+    """Non-equality ON conjuncts post-filter INNER joins; a pure theta
+    join (no equality at all) lowers as cross join + filter."""
+    import numpy as np
+    import pytest
+    from datafusion_tpu import ExecutionContext, Table
+    from datafusion_tpu.errors import PlanError
+
+    ctx = ExecutionContext()
+    ctx.register_table("a", Table.from_pydict({
+        "k": np.array([1, 1, 2, 3], np.int32),
+        "v": np.array([5.0, 50.0, 5.0, 5.0])}))
+    ctx.register_table("b", Table.from_pydict({
+        "k": np.array([1, 2, 9], np.int32),
+        "w": np.array([10.0, 1.0, 1.0])}))
+    out = ctx.sql(
+        "SELECT a.v, b.w FROM a JOIN b ON a.k = b.k AND a.v < b.w ORDER BY v"
+    ).result_str()
+    assert out == "5.0\t10.0\n"
+    out = ctx.sql(
+        "SELECT a.v, b.w FROM a JOIN b ON a.v > b.w ORDER BY v, w"
+    ).result_str()
+    assert out.splitlines()[-1] == "50.0\t10.0" and len(out.splitlines()) == 9
+    with pytest.raises(PlanError, match="INNER joins"):
+        ctx.sql("SELECT a.v FROM a LEFT JOIN b ON a.k = b.k AND a.v < b.w")

@@ -51,6 +51,16 @@ QUERIES = [
     "SELECT g, COUNT(DISTINCT k) FROM fact WHERE {p} GROUP BY g",
     "SELECT k FROM fact WHERE {p} UNION SELECT pk FROM dim WHERE pk < 10",
     "SELECT COALESCE(NULLIF(g, 0), -99) AS c, COUNT(v) FROM fact WHERE {p} GROUP BY c",
+    # newer surface: FULL join, subqueries, window + string functions
+    "SELECT fact.k, dim.w FROM fact FULL JOIN dim ON fact.k = dim.pk WHERE {p}",
+    "SELECT k, v FROM fact WHERE k IN (SELECT pk FROM dim WHERE w > 3) AND ({p})",
+    "SELECT k FROM fact WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.pk = fact.k) AND ({p})",
+    "SELECT k, v - (SELECT AVG(v) FROM fact) AS d FROM fact WHERE {p} ORDER BY k, d LIMIT 40",
+    "SELECT k, (SELECT MAX(w) FROM dim WHERE dim.pk = fact.k) AS mw FROM fact WHERE {p} ORDER BY k, mw LIMIT 40",
+    "SELECT g, k, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, k) AS rn FROM fact WHERE {p} ORDER BY g, k, rn LIMIT 60",
+    "SELECT g, SUM(v) OVER (PARTITION BY g) AS sv, COUNT(*) OVER (PARTITION BY g) AS c FROM fact WHERE {p} ORDER BY g, sv LIMIT 60",
+    "SELECT UPPER(s) AS u, COUNT(v) FROM fact WHERE {p} GROUP BY u",
+    "SELECT s, LENGTH(s) FROM fact WHERE ({p}) AND SUBSTR(s, 1, 1) = 'c' ORDER BY s, 2 LIMIT 30",
 ]
 
 

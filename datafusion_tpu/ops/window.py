@@ -204,13 +204,54 @@ def window_spec(
                 d = run_s.astype(s[di].dtype)
             out_sorted.append((d, run_c > 0))
             continue
+        if c.kind in ("min", "max") and has_order:
+            # running extreme: segmented scan — (value, boundary) pairs
+            # under the associative op "right boundary resets"
+            # (lax.associative_scan, log-depth on device)
+            ok = sel_s if vi is None else jnp.logical_and(sel_s, s[vi] > 0)
+            big = (
+                jnp.asarray(jnp.finfo(s[di].dtype).max, s[di].dtype)
+                if jnp.issubdtype(s[di].dtype, jnp.floating)
+                else jnp.asarray(jnp.iinfo(s[di].dtype).max, s[di].dtype)
+            )
+            ident = big if c.kind == "min" else (
+                -big if jnp.issubdtype(s[di].dtype, jnp.floating) else ~big
+            )
+            vals = jnp.where(ok, s[di], ident)
+            ext = jnp.minimum if c.kind == "min" else jnp.maximum
+
+            def seg_op(a, b, ext=ext):
+                v = jnp.where(b[1], b[0], ext(a[0], b[0]))
+                return (v, jnp.logical_or(a[1], b[1]))
+
+            run_v, _ = lax.associative_scan(seg_op, (vals, pb))
+            # validity: any valid argument so far in the partition
+            okc = jnp.cumsum(ok.astype(jnp.int32))
+            ok_first = jnp.take(okc, jnp.clip(pstart, 0, cap - 1)) - jnp.take(
+                ok.astype(jnp.int32), jnp.clip(pstart, 0, cap - 1)
+            )
+            out_sorted.append((run_v, (okc - ok_first) > 0))
+            continue
+        if c.kind in ("first_value", "last_value"):
+            # whole-partition semantics (documented deviation: standard
+            # LAST_VALUE's default frame ends at the current row)
+            pos = (
+                jnp.clip(pstart, 0, cap - 1)
+                if c.kind == "first_value"
+                else jnp.clip(jnp.minimum(pend, n_valid) - 1, 0, cap - 1)
+            )
+            d = jnp.take(s[di], pos)
+            v = None if vi is None else jnp.take(s[vi], pos) > 0
+            out_sorted.append((d, v))
+            continue
+        if c.kind == "ntile":
+            nt = max(int(c.offset), 1)
+            psize = jnp.maximum(jnp.minimum(pend, n_valid) - pstart, 1)
+            rn0 = iota - pstart
+            tile = (rn0 * nt) // psize + 1
+            out_sorted.append((tile.astype(physical_np(DataType.Int64)), None))
+            continue
         if c.kind in ("min", "max"):
-            if has_order:
-                raise NotImplementedError_(
-                    "running MIN/MAX OVER (... ORDER BY ...) is not "
-                    "supported; drop the ORDER BY for the whole-partition "
-                    "value"
-                )
             # dedicated sub-spec: the argument rides as the ORDER BY key
             # (ascending for MIN, descending for MAX, NULLs last either
             # way), so the extreme is the value at the partition start

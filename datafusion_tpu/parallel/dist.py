@@ -335,13 +335,59 @@ class DistCompiler(PlanCompiler):
         return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
 
     def _lower_window(self, plan: L.Window) -> Lowered:
-        """Window partitions can span row-block shards, so v1 gathers the
-        filtered rows to every chip and computes locally (replicated
-        output). A hash-repartition-by-partition-key strategy can follow
-        for PARTITION BY windows."""
-        child = self._gather_batch(self.lower(plan.input))
-        self.notes.append("window: gather to replicated, local evaluation")
-        return self._window_over(plan, child)
+        """Window partitions can span row-block shards. When every window
+        expression shares the same non-empty PARTITION BY, the rows
+        hash-repartition by those keys over ICI (each partition lands
+        wholly on one chip; the local window is then exact). Otherwise —
+        global windows or mixed specs — the filtered rows gather to every
+        chip and compute locally (replicated output). Partition-key skew
+        grows the send capacity through the standard overflow retry; a
+        single giant partition degenerates toward one loaded chip but
+        stays correct."""
+        from datafusion_tpu.parallel.shuffle import hash_keys_to_device, repartition
+
+        child = self.lower(plan.input)
+        pkeys = plan.window_exprs[0].partition_by
+        same_spec = bool(pkeys) and all(
+            wf.partition_by == pkeys for wf in plan.window_exprs
+        )
+        if child.layout != "partitioned" or not same_spec:
+            child = self._gather_batch(child)
+            self.notes.append("window: gather to replicated, local evaluation")
+            return self._window_over(plan, child)
+
+        n = self.n_dev
+        local_cap = child.capacity // n
+        s_cap = self._alloc_cap(max(128, -(-2 * local_cap // n) // 128 * 128))
+        self.notes.append(
+            f"window: hash-repartition by PARTITION BY keys over ICI "
+            f"all_to_all, split_cap={s_cap}"
+        )
+        part_c = [
+            compile_expr(e, child.schema, child.dicts, self.fn_registry)
+            for e in pkeys
+        ]
+
+        def reparted_fn(env) -> Batch:
+            b = child.fn(env)
+            keys = []
+            for c in part_c:
+                d, v = _broadcast_col(c.fn(b.cols), local_cap)
+                if v is not None:
+                    # NULL keys form ONE window partition: hash them alike
+                    d = jnp.where(v, d, jnp.zeros((), d.dtype))
+                keys.append(d)
+            dst = hash_keys_to_device(keys, n)
+            cols2, sel2, smax = repartition(
+                [_broadcast_col(c, local_cap) for c in b.cols], dst, b.sel, n, s_cap
+            )
+            self.totals.append(lax.pmax(smax, AXIS))
+            return Batch(cols2, sel2)
+
+        reparted = Lowered(
+            child.schema, child.dicts, reparted_fn, n * n * s_cap, "partitioned"
+        )
+        return self._window_over(plan, reparted)
 
     def _lower_join(self, plan: L.Join) -> Lowered:
         """Two strategies (DFTPU_JOIN_STRATEGY = auto|broadcast|shuffle):

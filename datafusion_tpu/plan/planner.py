@@ -700,12 +700,13 @@ class SqlToRel:
         "row_number": DataType.Int64,
         "rank": DataType.Int64,
         "dense_rank": DataType.Int64,
+        "ntile": DataType.Int64,
         "count": DataType.UInt64,
         "avg": DataType.Float64,
     }
     _WINDOW_NAMES = {
-        "row_number", "rank", "dense_rank", "lag", "lead",
-        "sum", "count", "avg", "min", "max",
+        "row_number", "rank", "dense_rank", "ntile", "lag", "lead",
+        "sum", "count", "avg", "min", "max", "first_value", "last_value",
     }
 
     def _attach_windows(
@@ -772,6 +773,14 @@ class SqlToRel:
             if raw_args:
                 raise PlanError(f"{node.func.name}() takes no arguments")
             args: tuple[Expr, ...] = ()
+            ret = self._WINDOW_RET[low]
+        elif low == "ntile":
+            if len(raw_args) != 1 or not isinstance(raw_args[0], A.SQLLong):
+                raise PlanError("NTILE expects one integer literal argument")
+            if raw_args[0].value < 1:
+                raise PlanError("NTILE bucket count must be >= 1")
+            offset = int(raw_args[0].value)
+            args = ()
             ret = self._WINDOW_RET[low]
         elif low in ("lag", "lead"):
             if not 1 <= len(raw_args) <= 2:

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from datafusion_tpu import ExecutionContext, Table
-from datafusion_tpu.errors import NotImplementedError_, PlanError
+from datafusion_tpu.errors import PlanError
 from datafusion_tpu.parallel.mesh import make_mesh
 
 
@@ -125,10 +125,35 @@ def test_window_errors():
         ctx.sql("SELECT g, ROW_NUMBER() OVER (ORDER BY g) FROM t GROUP BY g")
     with pytest.raises(PlanError, match="not a window function"):
         ctx.sql("SELECT SQRT(v) OVER (ORDER BY k) FROM t")
-    with pytest.raises(NotImplementedError_, match="running MIN/MAX"):
-        ctx.sql("SELECT MIN(v) OVER (PARTITION BY g ORDER BY k) FROM t").result_str()
     with pytest.raises(PlanError, match="SELECT items only"):
         ctx.sql("SELECT k FROM t WHERE ROW_NUMBER() OVER (ORDER BY k) < 3")
+
+
+def test_running_min_max():
+    # segmented associative_scan: running extremes within each partition
+    out = q(
+        make_ctx(),
+        "SELECT g, k, MIN(v) OVER (PARTITION BY g ORDER BY k) AS lo, "
+        "MAX(v) OVER (PARTITION BY g ORDER BY k) AS hi FROM t ORDER BY g, k",
+    )
+    # partition a in k order sees v = 20, 30, 10
+    assert out == (
+        '"a"\t1\t20.0\t20.0\n"a"\t2\t20.0\t30.0\n"a"\t3\t10.0\t30.0\n'
+        '"b"\t4\t50.0\t50.0\n"b"\t5\t40.0\t50.0\n"c"\t9\t60.0\t60.0\n'
+    )
+
+
+def test_first_last_value_ntile():
+    out = q(
+        make_ctx(),
+        "SELECT g, k, FIRST_VALUE(v) OVER (PARTITION BY g ORDER BY k) AS f, "
+        "LAST_VALUE(v) OVER (PARTITION BY g ORDER BY k) AS l, "
+        "NTILE(2) OVER (PARTITION BY g ORDER BY k) AS t2 FROM t ORDER BY g, k",
+    )
+    assert out == (
+        '"a"\t1\t20.0\t10.0\t1\n"a"\t2\t20.0\t10.0\t1\n"a"\t3\t20.0\t10.0\t2\n'
+        '"b"\t4\t50.0\t40.0\t1\n"b"\t5\t50.0\t40.0\t2\n"c"\t9\t60.0\t60.0\t1\n'
+    )
 
 
 def test_window_in_derived_table():
@@ -140,3 +165,30 @@ def test_window_in_derived_table():
         "WHERE rn = 1 ORDER BY g",
     )
     assert out == '"a"\t2\n"b"\t4\n"c"\t9\n'
+
+
+def test_window_distributed_repartition_larger():
+    """PARTITION BY windows hash-repartition over the mesh instead of
+    gathering; EXPLAIN shows the strategy and results match single-chip."""
+    rng = np.random.default_rng(1)
+    n = 3000
+    data = {
+        "g": rng.integers(0, 13, n).astype(np.int32),
+        "v": rng.random(n).round(4),
+    }
+    sqls = [
+        "SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn "
+        "FROM t ORDER BY g, v, rn LIMIT 80",
+        "SELECT g, SUM(v) OVER (PARTITION BY g) AS s FROM t ORDER BY g, s LIMIT 80",
+    ]
+    for sql in sqls:
+        c1 = ExecutionContext()
+        c1.register_table("t", Table.from_pydict(dict(data)))
+        c2 = ExecutionContext(mesh=make_mesh())
+        c2.register_table("t", Table.from_pydict(dict(data)))
+        assert sorted(c1.sql(sql).result_str().splitlines()) == sorted(
+            c2.sql(sql).result_str().splitlines()
+        ), sql
+        assert "hash-repartition by PARTITION BY" in c2.sql(
+            "EXPLAIN VERBOSE " + sql
+        ).result_str()

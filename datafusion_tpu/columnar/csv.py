@@ -30,6 +30,18 @@ def _parse_column(values: list[str], dtype: DataType):
     """Parse one column of raw CSV strings; returns (array, validity|None)."""
     if dtype is DataType.Utf8:
         return values, None
+    if dtype is DataType.Date32:
+        from datafusion_tpu.utils.dates import parse_iso_date
+
+        n = len(values)
+        arr = np.zeros((n,), dtype=np.int32)
+        validity = np.ones((n,), dtype=np.bool_)
+        for i, v in enumerate(values):
+            if v == "":
+                validity[i] = False
+            else:
+                arr[i] = parse_iso_date(v)
+        return arr, (None if validity.all() else validity)
     n = len(values)
     np_dtype = dtype.to_np()
     missing = [i for i, v in enumerate(values) if v == ""]

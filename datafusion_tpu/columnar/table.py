@@ -139,6 +139,10 @@ class Table:
                 else:
                     codes, vocab = encode_dictionary(arr)
                     host = codes
+            elif field.dtype is DataType.Date32:
+                from datafusion_tpu.utils.dates import to_days_array
+
+                host = to_days_array(arr)
             else:
                 host = np.asarray(arr, dtype=physical_np(field.dtype))
             if len(host) != n:
@@ -161,8 +165,15 @@ class Table:
             fields = []
             for name, vals in data.items():
                 v0 = np.asarray(vals)
-                if v0.dtype.kind in ("U", "O", "S"):
-                    fields.append(Field(name, DataType.Utf8))
+                if v0.dtype.kind == "M":  # datetime64 → Date32
+                    fields.append(Field(name, DataType.Date32))
+                elif v0.dtype.kind in ("U", "O", "S"):
+                    import datetime as _dtm
+
+                    if len(v0) and isinstance(v0.flat[0], _dtm.date):
+                        fields.append(Field(name, DataType.Date32))
+                    else:
+                        fields.append(Field(name, DataType.Utf8))
                 else:
                     fields.append(Field(name, from_np(v0.dtype)))
             schema = Schema(fields)

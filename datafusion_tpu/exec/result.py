@@ -41,6 +41,10 @@ class ResultTable:
         if dt is DataType.Utf8 and self.dicts[j] is not None:
             vocab = np.asarray(self.dicts[j], dtype=object)
             vals = vocab[np.clip(data, 0, max(len(vocab) - 1, 0))]
+        elif dt is DataType.Date32:
+            from datafusion_tpu.utils.dates import date_of_days
+
+            vals = [date_of_days(int(v)) for v in data]
         else:
             # numeric / Struct / host-produced raw Utf8 (object array)
             vals = data

@@ -32,6 +32,7 @@ _DTYPE_CODE = {
     DataType.Float32: 9,
     DataType.Float64: 10,
     DataType.Utf8: 11,
+    DataType.Date32: 12,
 }
 
 _lock = threading.Lock()

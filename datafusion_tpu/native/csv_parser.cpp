@@ -49,7 +49,32 @@ enum DType : int32_t {
   DT_F32 = 9,
   DT_F64 = 10,
   DT_UTF8 = 11,
+  DT_DATE32 = 12,  // days since 1970-01-01, parsed from YYYY-MM-DD
 };
+
+// Howard Hinnant's days_from_civil (public domain algorithm)
+inline int32_t days_from_civil(int y, int m, int d) {
+  y -= m <= 2;
+  const int era = (y >= 0 ? y : y - 399) / 400;
+  const int yoe = y - era * 400;
+  const int doy = (153 * (m + (m > 2 ? -3 : 9)) + 2) / 5 + d - 1;
+  const int doe = yoe * 365 + yoe / 4 - yoe / 100 + doy;
+  return era * 146097 + doe - 719468;
+}
+
+// Parse YYYY-MM-DD (strict) into days since epoch.
+inline bool parse_date32(const char* b, int64_t len, int32_t* out) {
+  if (len != 10 || b[4] != '-' || b[7] != '-') return false;
+  int y = 0, m = 0, d = 0;
+  auto r1 = std::from_chars(b, b + 4, y);
+  auto r2 = std::from_chars(b + 5, b + 7, m);
+  auto r3 = std::from_chars(b + 8, b + 10, d);
+  if (r1.ec != std::errc() || r2.ec != std::errc() || r3.ec != std::errc())
+    return false;
+  if (m < 1 || m > 12 || d < 1 || d > 31) return false;
+  *out = days_from_civil(y, m, d);
+  return true;
+}
 
 struct Field {
   const char* ptr;
@@ -239,6 +264,12 @@ void parse_rows(const char* buf, int64_t buf_len, const int64_t* row_starts,
         case DT_U64: { uint64_t v = 0; ok = ok && parse_int(f, &v); ((uint64_t*)out_bufs[c])[r] = v; break; }
         case DT_F32: { double v = 0; ok = ok && parse_f64(f, &v); ((float*)out_bufs[c])[r] = (float)v; break; }
         case DT_F64: { double v = 0; ok = ok && parse_f64(f, &v); ((double*)out_bufs[c])[r] = v; break; }
+        case DT_DATE32: {
+          int32_t v = 0;
+          ok = ok && parse_date32(f.ptr, f.len, &v);
+          ((int32_t*)out_bufs[c])[r] = v;
+          break;
+        }
         case DT_UTF8: {
           // (offset, length) pair into the input buffer
           int64_t* dst = (int64_t*)out_bufs[c];

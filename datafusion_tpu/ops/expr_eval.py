@@ -197,6 +197,20 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
 
         return CompiledExpr(isnotnull_fn, DataType.Boolean)
 
+    if isinstance(expr, ScalarFunction) and expr.name.lower() in (
+        "year", "month", "day"
+    ):
+        from datafusion_tpu.utils import dates as _dates
+
+        inner = _compile(expr.args[0], schema, dicts, registry)
+        extract = getattr(_dates, f"extract_{expr.name.lower()}")
+
+        def date_fn(cols, inner=inner, extract=extract):
+            d, v = inner.fn(cols)
+            return extract(d), v
+
+        return CompiledExpr(date_fn, DataType.Int32)
+
     if isinstance(expr, ScalarFunction) and expr.name.lower() in _STRING_FN_NAMES:
         return _compile_string_fn(expr, schema, dicts, registry)
 

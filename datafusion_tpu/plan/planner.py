@@ -194,6 +194,7 @@ def convert_data_type(type_name: str) -> DataType:
         "FLOAT": DataType.Float64,
         "REAL": DataType.Float64,
         "DOUBLE": DataType.Float64,
+        "DATE": DataType.Date32,
         "CHAR": DataType.Utf8,
         "VARCHAR": DataType.Utf8,
         "TEXT": DataType.Utf8,
@@ -1148,6 +1149,13 @@ class SqlToRel:
             return Literal(ScalarValue.float64(node.value))
         if isinstance(node, A.SQLString):
             return Literal(ScalarValue.utf8(node.value))
+        if isinstance(node, A.SQLDate):
+            from datafusion_tpu.utils.dates import parse_iso_date
+
+            try:
+                return Literal(ScalarValue.date32(parse_iso_date(node.value)))
+            except ValueError as e:
+                raise PlanError(f"invalid DATE literal {node.value!r}: {e}")
 
         if isinstance(node, A.SQLIdentifier):
             if node.name.upper() == "TRUE":
@@ -1276,6 +1284,18 @@ class SqlToRel:
         """Cast both sides to their supertype (reference: sqlplanner.rs:284-299)."""
         lt = left.get_type(schema)
         rt = right.get_type(schema)
+        # convenience: a Utf8 literal compared against a Date32 column
+        # parses as a DATE literal (d > '2024-01-01')
+        if lt is DataType.Date32 and rt is DataType.Utf8 and isinstance(right, Literal):
+            from datafusion_tpu.utils.dates import parse_iso_date
+
+            right = Literal(ScalarValue.date32(parse_iso_date(right.value.value)))
+            rt = DataType.Date32
+        elif rt is DataType.Date32 and lt is DataType.Utf8 and isinstance(left, Literal):
+            from datafusion_tpu.utils.dates import parse_iso_date
+
+            left = Literal(ScalarValue.date32(parse_iso_date(left.value.value)))
+            lt = DataType.Date32
         st = get_supertype(lt, rt)
         if st is None:
             raise PlanError(
@@ -1321,6 +1341,11 @@ class SqlToRel:
             return Case(
                 ((IsNull(a), a), (IsNull(b), a), (neq, a)), None
             )
+        if low in ("year", "month", "day"):
+            args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
+            if len(args) != 1 or args[0].get_type(schema) is not DataType.Date32:
+                raise PlanError(f"{name} expects one DATE argument")
+            return ScalarFunction(low, args, DataType.Int32)
         if low in _STRING_FN_TYPES:
             args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
             lo_n, hi_n = _STRING_FN_ARITY[low]
@@ -1337,8 +1362,11 @@ class SqlToRel:
             args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
             if len(args) != 1:
                 raise PlanError(f"{name} expects a single argument")
+            at = args[0].get_type(schema)
+            if at is DataType.Date32 and low in ("sum", "avg"):
+                raise PlanError(f"{name} is not defined for DATE values")
             # return type = argument type (reference: sqlplanner.rs:317)
-            return AggregateFunction(name, args, args[0].get_type(schema))
+            return AggregateFunction(name, args, at)
         if low == "count":
             args = tuple(
                 Column(0)

@@ -93,6 +93,13 @@ class SQLString(AstNode):
 
 
 @dataclass(frozen=True)
+class SQLDate(AstNode):
+    """DATE 'YYYY-MM-DD' literal (beyond the reference)."""
+
+    value: str
+
+
+@dataclass(frozen=True)
 class SQLBinaryExpr(AstNode):
     left: AstNode
     op: str  # canonical operator name: Eq, NotEq, Gt, ..., And, Or, Like

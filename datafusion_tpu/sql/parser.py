@@ -465,6 +465,14 @@ class Parser:
             else_e = self.parse_expr() if self.consume_keyword("ELSE") else None
             self.expect_keyword("END")
             return SQLCase(operand, tuple(whens), else_e)
+        if up == "DATE":
+            lt = self.peek()
+            if lt.kind is Tok.STRING:
+                from datafusion_tpu.sql.ast import SQLDate
+
+                self.next()
+                return SQLDate(lt.value)
+            # plain identifier named "date" otherwise
         if up == "EXISTS":
             from datafusion_tpu.sql.ast import SQLExists
 

@@ -32,6 +32,10 @@ class DataType(enum.Enum):
     Float32 = "Float32"
     Float64 = "Float64"
     Utf8 = "Utf8"
+    # Date32: days since 1970-01-01, int32 on device — comparisons,
+    # sorts, groups, joins, MIN/MAX all run on the integer image
+    # (utils/dates.py; beyond the reference, whose type set had no dates)
+    Date32 = "Date32"
     # Struct values exist only on host (object column of python tuples);
     # the reference declared ScalarValue::Struct but every use was
     # unimplemented! (reference: logicalplan.rs:110,128). Here they are
@@ -46,7 +50,9 @@ class DataType(enum.Enum):
 
     @property
     def is_numeric(self) -> bool:
-        return self not in (DataType.Boolean, DataType.Utf8, DataType.Struct)
+        return self not in (
+            DataType.Boolean, DataType.Utf8, DataType.Struct, DataType.Date32
+        )
 
     @property
     def is_integer(self) -> bool:
@@ -101,6 +107,7 @@ _NP_DTYPES = {
     DataType.Float64: np.dtype(np.float64),
     DataType.Utf8: np.dtype(np.int32),  # dictionary codes
     DataType.Struct: np.dtype(object),  # host-only
+    DataType.Date32: np.dtype(np.int32),  # days since epoch
 }
 
 _FROM_NP = {
@@ -199,6 +206,10 @@ _st(_D.Utf8, _D.Utf8, _D.Utf8)
 _st(_D.Boolean, _D.Boolean, _D.Boolean)
 
 
+# Date32 only unifies with itself (beyond the reference's lattice)
+_st(_D.Date32, _D.Date32, _D.Date32)
+
+
 def get_supertype(l: DataType, r: DataType) -> Optional[DataType]:
     """Common supertype for binary expressions, or None
     (reference: logicalplan.rs:446-454 tries (l,r) then (r,l))."""
@@ -256,6 +267,9 @@ _COERCE_FROM: dict[DataType, frozenset[DataType]] = {
 }
 
 
+_COERCE_FROM[_D.Date32] = frozenset({_D.Date32})
+
+
 def can_coerce_from(target: DataType, source: DataType) -> bool:
     """Whether `source` losslessly coerces to `target`
     (reference: logicalplan.rs:556-605)."""
@@ -299,3 +313,7 @@ class ScalarValue:
     @staticmethod
     def boolean(v: bool) -> "ScalarValue":
         return ScalarValue(DataType.Boolean, bool(v))
+
+    @staticmethod
+    def date32(days: int) -> "ScalarValue":
+        return ScalarValue(DataType.Date32, int(days))

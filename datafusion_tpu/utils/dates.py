@@ -1,0 +1,83 @@
+"""Date32 arithmetic: days since the Unix epoch (1970-01-01) ↔ civil
+calendar. Physical storage is int32, so every device operator (compare,
+sort, group, join, MIN/MAX, windows) works on dates with zero changes.
+
+The civil↔days conversions are Howard Hinnant's public-domain era-based
+algorithms — branch-free integer arithmetic, so the device versions
+(YEAR/MONTH/DAY extraction) vectorize straight onto the VPU.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def days_from_civil(y: int, m: int, d: int) -> int:
+    """Civil date → days since 1970-01-01 (host scalar)."""
+    y -= m <= 2
+    era = (y if y >= 0 else y - 399) // 400
+    yoe = y - era * 400
+    doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def parse_iso_date(s: str) -> int:
+    """'YYYY-MM-DD' → days since epoch; raises ValueError on bad input."""
+    d = datetime.date.fromisoformat(s.strip())
+    return days_from_civil(d.year, d.month, d.day)
+
+
+def date_of_days(days: int) -> datetime.date:
+    return datetime.date(1970, 1, 1) + datetime.timedelta(days=int(days))
+
+
+def format_days(days: int) -> str:
+    return date_of_days(days).isoformat()
+
+
+def _civil_from_days_dev(z):
+    """Vectorized days-since-epoch → (year, month, day), device arrays."""
+    z = z.astype(jnp.int32) + 719468
+    era = jnp.where(z >= 0, z, z - 146096) // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = jnp.where(mp < 10, mp + 3, mp - 9)
+    y = y + (m <= 2)
+    return y.astype(jnp.int32), m.astype(jnp.int32), d.astype(jnp.int32)
+
+
+def extract_year(days):
+    return _civil_from_days_dev(days)[0]
+
+
+def extract_month(days):
+    return _civil_from_days_dev(days)[1]
+
+
+def extract_day(days):
+    return _civil_from_days_dev(days)[2]
+
+
+def to_days_array(values) -> np.ndarray:
+    """Host conversion of a python/numpy date-ish column to int32 days:
+    accepts datetime.date / datetime64 arrays / ISO strings / ints."""
+    arr = np.asarray(values)
+    if np.issubdtype(arr.dtype, np.datetime64):
+        return arr.astype("datetime64[D]").astype(np.int64).astype(np.int32)
+    if np.issubdtype(arr.dtype, np.integer):
+        return arr.astype(np.int32)
+    out = np.empty(len(arr), dtype=np.int32)
+    for i, v in enumerate(arr):
+        if isinstance(v, datetime.date):
+            out[i] = days_from_civil(v.year, v.month, v.day)
+        else:
+            out[i] = parse_iso_date(str(v))
+    return out

@@ -95,6 +95,14 @@ def format_cell(dtype, value) -> str:
 
     if dtype is DataType.Utf8:
         return rust_str_debug(value)
+    if dtype is DataType.Date32:
+        import datetime as _dtm
+
+        if isinstance(value, _dtm.date):
+            return value.isoformat()
+        from datafusion_tpu.utils.dates import format_days
+
+        return format_days(int(value))
     if dtype is DataType.Float64:
         return rust_f64(float(value))
     if dtype is DataType.Float32:

@@ -197,7 +197,7 @@ def split_host_projection(plan: L.LogicalPlan, fn_registry: dict):
         inner, post = split_host_projection(plan.input, fn_registry)
         if post is None:
             return plan, None
-        return L.Limit(plan.limit, inner, inner.schema), post
+        return L.Limit(plan.limit, inner, inner.schema, plan.offset), post
     if isinstance(plan, L.Sort):
         inner, post = split_host_projection(plan.input, fn_registry)
         if post is None:
@@ -818,29 +818,47 @@ class PlanCompiler:
         # order the full sort's iota tie-break produces.
         import os
 
+        off = plan.offset
         topk_ok = (
             isinstance(plan.input, L.Sort)
             and len(plan.input.exprs) == 1
-            and 0 < plan.limit <= 4096
+            and plan.limit is not None
+            and 0 < plan.limit + off <= 4096
             and os.environ.get("DFTPU_TOPK", "1") != "0"
         )
         if topk_ok:
             lowered = self._speculative(
-                lambda: self._lower_topk(plan.input, plan.limit)
+                lambda: self._lower_topk(plan.input, plan.limit + off)
             )
             if lowered is not None:
                 self.notes.append(
-                    f"sort+limit: fused lax.top_k (k={plan.limit}, no full sort)"
+                    f"sort+limit: fused lax.top_k (k={plan.limit + off}, no full sort)"
                 )
-                return lowered
+                return self._skip_compacted(lowered, off)
         child = self.lower(plan.input)
         k = plan.limit
 
         def fn(env) -> Batch:
             b = child.fn(env)
-            return Batch(b.cols, sort_ops.limit_mask(b.sel, k))
+            return Batch(b.cols, sort_ops.limit_mask(b.sel, k, off))
 
         return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
+
+    @staticmethod
+    def _skip_compacted(lowered: Lowered, offset: int) -> Lowered:
+        """Mask out the first `offset` rows of a compacted (top-k) batch,
+        whose selected rows sit at positions 0..count-1 in order."""
+        if not offset:
+            return lowered
+
+        def fn(env) -> Batch:
+            b = lowered.fn(env)
+            iota = lax.broadcasted_iota(jnp.int32, (lowered.capacity,), 0)
+            return Batch(b.cols, jnp.logical_and(b.sel, iota >= offset))
+
+        return Lowered(
+            lowered.schema, lowered.dicts, fn, lowered.capacity, lowered.layout
+        )
 
     def _lower_topk(self, plan: L.Sort, k: int) -> Optional[Lowered]:
         child = self.lower(plan.input)

@@ -84,8 +84,14 @@ def sort_batch(
     return out_cols, count
 
 
-def limit_mask(sel: jax.Array, limit: int) -> jax.Array:
-    """Keep the first `limit` selected rows in current order
-    (reference semantics: Limit over the projected stream)."""
+def limit_mask(sel: jax.Array, limit, offset: int = 0) -> jax.Array:
+    """Keep selected rows with selected-rank in (offset, offset+limit]
+    in current order (reference semantics: Limit over the projected
+    stream; OFFSET is beyond the reference). limit=None caps nothing."""
     ranks = jnp.cumsum(sel.astype(jnp.int32))
-    return jnp.logical_and(sel, ranks <= limit)
+    m = sel
+    if limit is not None:
+        m = jnp.logical_and(m, ranks <= offset + limit)
+    if offset:
+        m = jnp.logical_and(m, ranks > offset)
+    return m

@@ -234,24 +234,26 @@ class DistCompiler(PlanCompiler):
     def _lower_limit(self, plan: L.Limit) -> Lowered:
         import os
 
+        off = plan.offset
         if (
             isinstance(plan.input, L.Sort)
             and len(plan.input.exprs) == 1
-            and 0 < plan.limit <= 4096
+            and plan.limit is not None
+            and 0 < plan.limit + off <= 4096
             and os.environ.get("DFTPU_TOPK", "1") != "0"
         ):
             low = self._speculative(
-                lambda: self._lower_topk_dist(plan.input, plan.limit)
+                lambda: self._lower_topk_dist(plan.input, plan.limit + off)
             )
             if low is not None:
                 self.notes.append(
                     f"sort+limit: per-shard top-k + candidate all_gather "
-                    f"(k={plan.limit})"
+                    f"(k={plan.limit + off})"
                 )
-                return low
+                return self._skip_compacted(low, off)
         child = self.lower(plan.input)
         if child.layout != "partitioned":
-            return self._limit_over(child, plan.limit)
+            return self._limit_over(child, plan.limit, off)
         k = plan.limit
 
         def fn(env) -> Batch:
@@ -261,8 +263,13 @@ class DistCompiler(PlanCompiler):
             counts = lax.all_gather(local_count, AXIS)  # [n_dev]
             me = lax.axis_index(AXIS)
             dev_iota = lax.broadcasted_iota(jnp.int32, (self.n_dev,), 0)
-            offset = jnp.sum(jnp.where(dev_iota < me, counts, 0))
-            keep = jnp.logical_and(b.sel, offset + local_ranks <= k)
+            base = jnp.sum(jnp.where(dev_iota < me, counts, 0))
+            grank = base + local_ranks
+            keep = b.sel
+            if k is not None:
+                keep = jnp.logical_and(keep, grank <= off + k)
+            if off:
+                keep = jnp.logical_and(keep, grank > off)
             return Batch(b.cols, keep)
 
         return Lowered(child.schema, child.dicts, fn, child.capacity, "partitioned")
@@ -327,10 +334,10 @@ class DistCompiler(PlanCompiler):
         kf_static = min(k, n * kk)
         return Lowered(child.schema, child.dicts, fn, kf_static, "replicated")
 
-    def _limit_over(self, child: Lowered, k: int) -> Lowered:
+    def _limit_over(self, child: Lowered, k, offset: int = 0) -> Lowered:
         def fn(env) -> Batch:
             b = child.fn(env)
-            return Batch(b.cols, sort_ops.limit_mask(b.sel, k))
+            return Batch(b.cols, sort_ops.limit_mask(b.sel, k, offset))
 
         return Lowered(child.schema, child.dicts, fn, child.capacity, child.layout)
 

@@ -461,19 +461,23 @@ class Sort(LogicalPlan):
 
 @dataclass(repr=False)
 class Limit(LogicalPlan):
-    limit: int
+    """LIMIT [n] [OFFSET m]. limit=None means no cap (bare OFFSET —
+    beyond the reference); offset skips the first m rows of the
+    input's current order."""
+
+    limit: Optional[int]
     input: LogicalPlan
     schema: Schema
+    offset: int = 0
 
     def children(self):
         return (self.input,)
 
     def _fmt(self, indent: int) -> str:
-        return (
-            f"Limit: {self.limit}"
-            + self._child_fmt(indent)
-            + self.input._fmt(indent + 1)
-        )
+        head = f"Limit: {'ALL' if self.limit is None else self.limit}"
+        if self.offset:
+            head += f" OFFSET {self.offset}"
+        return head + self._child_fmt(indent) + self.input._fmt(indent + 1)
 
 
 class JoinType(enum.Enum):
@@ -706,6 +710,7 @@ def plan_to_json(p: LogicalPlan):
                 "limit": p.limit,
                 "input": plan_to_json(p.input),
                 "schema": _schema_to_json(p.schema),
+                "offset": p.offset,
             }
         }
     if isinstance(p, Join):
@@ -769,7 +774,12 @@ def plan_from_json(d) -> LogicalPlan:
             _schema_from_json(body["schema"]),
         )
     if kind == "Limit":
-        return Limit(body["limit"], plan_from_json(body["input"]), _schema_from_json(body["schema"]))
+        return Limit(
+            body["limit"],
+            plan_from_json(body["input"]),
+            _schema_from_json(body["schema"]),
+            body.get("offset", 0),
+        )
     if kind == "Join":
         return Join(
             plan_from_json(body["left"]),

@@ -135,7 +135,7 @@ def push_down_projection(plan: L.LogicalPlan) -> L.LogicalPlan:
             new_input = walk(p.input, None)
             return L.Sort(p.exprs, new_input, p.schema)
         if isinstance(p, L.Limit):
-            return L.Limit(p.limit, walk(p.input, required), p.schema)
+            return L.Limit(p.limit, walk(p.input, required), p.schema, p.offset)
         if isinstance(p, L.TableScan):
             if required is None or p.projection is not None:
                 return p

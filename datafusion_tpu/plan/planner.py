@@ -205,22 +205,35 @@ def convert_data_type(type_name: str) -> DataType:
     return mapping[up]
 
 
+class _CteDef:
+    """One WITH-clause entry: its AST, the CTE environment visible at
+    its definition point (earlier CTEs only — non-recursive), and a
+    schema cache so qualifier resolution doesn't re-plan the body."""
+
+    __slots__ = ("ast", "env", "schema")
+
+    def __init__(self, ast: A.AstNode, env: dict):
+        self.ast = ast
+        self.env = env
+        self.schema: Optional[Schema] = None
+
+
 class SqlToRel:
     """AST → LogicalPlan translator (reference: SqlToRel, sqlplanner.rs:34)."""
 
     def __init__(self, schema_provider: SchemaProvider):
         self.schema_provider = schema_provider
+        # CTE scope: name → _CteDef (beyond the reference's grammar)
+        self._ctes: dict[str, _CteDef] = {}
 
     # ------------------------------------------------------------------
     def sql_to_rel(self, node: A.AstNode) -> LogicalPlan:
         if isinstance(node, A.SQLSelect):
             return self._plan_select(node)
-        if isinstance(node, A.SQLIdentifier):
-            schema = self.schema_provider.get_table_meta(node.name)
-            if schema is None:
-                raise PlanError(f"no schema found for table {node.name}")
-            return TableScan("default", node.name, schema, None)
-        if isinstance(node, A.SQLAliasedTable):
+        if isinstance(node, (A.SQLIdentifier, A.SQLAliasedTable)):
+            cte = self._ctes.get(node.name)
+            if cte is not None:
+                return self._plan_cte(cte)
             schema = self.schema_provider.get_table_meta(node.name)
             if schema is None:
                 raise PlanError(f"no schema found for table {node.name}")
@@ -231,19 +244,58 @@ class SqlToRel:
             return self._plan_join(node)
         if isinstance(node, A.SQLUnion):
             return self._plan_union(node)
+        if isinstance(node, A.SQLSetOp):
+            return self._plan_setop(node)
+        if isinstance(node, A.SQLWith):
+            return self._plan_with(node)
         raise PlanError(f"sql_to_rel does not support this relation: {node!r}")
 
     # ------------------------------------------------------------------
-    def _plan_union(self, node: A.SQLUnion) -> LogicalPlan:
-        """UNION [ALL] (beyond the reference). Sides must have equal column
-        counts; each column pair coerces to its supertype. Output names
-        come from the left side. Plain UNION adds a distinct Aggregate."""
-        left = self.sql_to_rel(node.left)
-        right = self.sql_to_rel(node.right)
+    def _plan_with(self, node: A.SQLWith) -> LogicalPlan:
+        """WITH a AS (...), b AS (...) body — register each CTE with a
+        snapshot of the scope at its definition (so b sees a, a does
+        not see b; inner WITHs shadow outer names), then plan the body.
+        CTE bodies are planned lazily at each reference and inlined —
+        a CTE referenced twice appears twice in the plan."""
+        saved = self._ctes
+        env = dict(saved)
+        for name, sub in node.ctes:
+            env[name] = _CteDef(sub, dict(env))
+        self._ctes = env
+        try:
+            return self.sql_to_rel(node.body)
+        finally:
+            self._ctes = saved
+
+    def _plan_cte(self, cte: _CteDef) -> LogicalPlan:
+        saved = self._ctes
+        self._ctes = cte.env
+        try:
+            plan = self.sql_to_rel(cte.ast)
+        finally:
+            self._ctes = saved
+        cte.schema = plan.schema
+        return plan
+
+    def _cte_schema(self, cte: _CteDef) -> Schema:
+        if cte.schema is None:
+            self._plan_cte(cte)
+        assert cte.schema is not None
+        return cte.schema
+
+    # ------------------------------------------------------------------
+    def _coerce_setop_sides(
+        self, node_left: A.AstNode, node_right: A.AstNode, opname: str
+    ) -> tuple[LogicalPlan, LogicalPlan, Schema]:
+        """Plan both sides of a set operation and coerce each column
+        pair to its supertype; output names come from the left side."""
+        left = self.sql_to_rel(node_left)
+        right = self.sql_to_rel(node_right)
         ls, rs = left.schema, right.schema
         if len(ls) != len(rs):
             raise PlanError(
-                f"UNION sides have different column counts ({len(ls)} vs {len(rs)})"
+                f"{opname} sides have different column counts "
+                f"({len(ls)} vs {len(rs)})"
             )
         fields = []
         lcasts: list[Expr] = []
@@ -254,7 +306,7 @@ class SqlToRel:
             st = get_supertype(lt, rt)
             if st is None:
                 raise PlanError(
-                    f"UNION column {i} has no common supertype ({lt!r} vs {rt!r})"
+                    f"{opname} column {i} has no common supertype ({lt!r} vs {rt!r})"
                 )
             fields.append(Field(ls.field(i).name, st, True))
             lcasts.append(Column(i).cast_to(st, ls))
@@ -266,6 +318,13 @@ class SqlToRel:
             left = Projection(tuple(lcasts), left, schema)
         if need_r:
             right = Projection(tuple(rcasts), right, schema)
+        return left, right, schema
+
+    def _plan_union(self, node: A.SQLUnion) -> LogicalPlan:
+        """UNION [ALL] (beyond the reference). Sides must have equal column
+        counts; each column pair coerces to its supertype. Output names
+        come from the left side. Plain UNION adds a distinct Aggregate."""
+        left, right, schema = self._coerce_setop_sides(node.left, node.right, "UNION")
         plan: LogicalPlan = Union((left, right), schema)
         if not node.all:
             # plain UNION = distinct over all columns (same desugaring as
@@ -274,6 +333,50 @@ class SqlToRel:
                 plan, tuple(Column(i) for i in range(len(schema))), (), schema
             )
         return plan
+
+    def _plan_setop(self, node: A.SQLSetOp) -> LogicalPlan:
+        """INTERSECT / EXCEPT (beyond the reference), desugared onto
+        existing plan nodes:
+
+        * INTERSECT = DISTINCT(left) equi-joined (INNER) to
+          DISTINCT(right) on every column, projecting the left columns.
+        * EXCEPT = DISTINCT(left) LEFT-joined to DISTINCT(right)
+          extended with a constant __setop_mark column; rows whose mark
+          is NULL (no match) survive.
+
+        Documented deviation: ANSI treats NULLs as not-distinct in set
+        ops (NULL INTERSECT NULL = NULL); our equi-join does not match
+        NULL keys, so NULL rows never intersect and always survive
+        EXCEPT."""
+        left, right, schema = self._coerce_setop_sides(node.left, node.right, node.op)
+        n = len(schema)
+        allcols = tuple(Column(i) for i in range(n))
+        left = Aggregate(left, allcols, (), schema)
+        right = Aggregate(right, allcols, (), schema)
+        if node.op == "INTERSECT":
+            plan: LogicalPlan = Join(
+                left,
+                right,
+                tuple((i, i) for i in range(n)),
+                JoinType.Inner,
+                schema.join(schema),
+            )
+            return Projection(allcols, plan, schema)
+        # EXCEPT: mark matched rows via a non-null constant on the right
+        mark = Field("__setop_mark", DataType.Int64, True)
+        rschema = Schema(list(schema.fields) + [mark])
+        right = Projection(
+            allcols + (Literal(ScalarValue.int64(1)),), right, rschema
+        )
+        plan = Join(
+            left,
+            right,
+            tuple((i, i) for i in range(n)),
+            JoinType.Left,
+            schema.join(rschema),
+        )
+        plan = Selection(IsNull(Column(2 * n)), plan)
+        return Projection(allcols, plan, schema)
 
     # ------------------------------------------------------------------
     def _plan_select(self, sel: A.SQLSelect) -> LogicalPlan:
@@ -646,7 +749,7 @@ class SqlToRel:
                 yield node
                 return
             # nested SELECT scopes plan their own scalar subqueries
-            if isinstance(node, (A.SQLSelect, A.SQLUnion, A.SQLDerivedTable)):
+            if isinstance(node, (A.SQLSelect, A.SQLUnion, A.SQLSetOp, A.SQLWith, A.SQLDerivedTable)):
                 return
             if isinstance(node, A.SQLInSubquery):
                 yield from iter_subs(node.expr)
@@ -723,7 +826,7 @@ class SqlToRel:
             if isinstance(node, A.SQLWindowExpr):
                 yield node
                 return
-            if isinstance(node, (A.SQLSelect, A.SQLUnion, A.SQLDerivedTable)):
+            if isinstance(node, (A.SQLSelect, A.SQLUnion, A.SQLSetOp, A.SQLWith, A.SQLDerivedTable)):
                 return
             if dataclasses.is_dataclass(node):
                 for f in dataclasses.fields(node):
@@ -1043,10 +1146,18 @@ class SqlToRel:
                 return SortExpr(self.sql_to_rex(ob.expr, plan.schema, None), ob.asc)
 
             plan = Sort(tuple(key_of(ob) for ob in sel.order_by), plan, plan.schema)
-        if sel.limit is not None:
-            if not isinstance(sel.limit, A.SQLLong):
-                raise PlanError("LIMIT parameter is not a number")
-            plan = Limit(sel.limit.value, plan, plan.schema)
+        if sel.limit is not None or sel.offset is not None:
+            off = 0
+            if sel.offset is not None:
+                if not isinstance(sel.offset, A.SQLLong):
+                    raise PlanError("OFFSET parameter is not a number")
+                off = sel.offset.value
+            lim = None
+            if sel.limit is not None:
+                if not isinstance(sel.limit, A.SQLLong):
+                    raise PlanError("LIMIT parameter is not a number")
+                lim = sel.limit.value
+            plan = Limit(lim, plan, plan.schema, off)
         return plan
 
     # ------------------------------------------------------------------
@@ -1061,7 +1172,11 @@ class SqlToRel:
                 out[node.alias] = (offset, schema)
                 return offset + len(schema)
             if isinstance(node, (A.SQLIdentifier, A.SQLAliasedTable)):
-                schema = self.schema_provider.get_table_meta(node.name)
+                cte = self._ctes.get(node.name)
+                if cte is not None:
+                    schema = self._cte_schema(cte)
+                else:
+                    schema = self.schema_provider.get_table_meta(node.name)
                 if schema is None:
                     raise PlanError(f"no schema found for table {node.name}")
                 key = node.alias if isinstance(node, A.SQLAliasedTable) else node.name

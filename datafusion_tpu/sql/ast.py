@@ -155,6 +155,26 @@ class SQLUnion(AstNode):
 
 
 @dataclass(frozen=True)
+class SQLSetOp(AstNode):
+    """left INTERSECT|EXCEPT right (beyond the reference). Planned as
+    distinct + semi/anti join over all columns."""
+
+    op: str  # "INTERSECT" | "EXCEPT"
+    left: AstNode
+    right: AstNode
+
+
+@dataclass(frozen=True)
+class SQLWith(AstNode):
+    """WITH name AS (SELECT ...) [, ...] body — common table
+    expressions (beyond the reference's grammar). Non-recursive; each
+    CTE sees the ones defined before it."""
+
+    ctes: tuple[tuple[str, AstNode], ...]
+    body: AstNode
+
+
+@dataclass(frozen=True)
 class SQLCase(AstNode):
     """CASE [operand] WHEN cond THEN result ... [ELSE result] END
     (beyond the reference, whose sqlparser 0.2.1 had no CASE grammar)."""
@@ -206,6 +226,7 @@ class SQLSelect(AstNode):
     having: Optional[AstNode]
     order_by: tuple[SQLOrderByExpr, ...]
     limit: Optional[AstNode]
+    offset: Optional[AstNode] = None
 
 
 class FileType(enum.Enum):

@@ -111,6 +111,9 @@ _RESERVED_STOP = {
     "THEN",
     "ELSE",
     "END",
+    "INTERSECT",
+    "EXCEPT",
+    "OFFSET",
 }
 
 
@@ -176,19 +179,47 @@ class Parser:
             return SQLExplain(self.parse_statement(), verbose)
         if self.consume_keywords("CREATE", "EXTERNAL", "TABLE"):
             return self._parse_create_external_table()
-        if self.peek().kind is Tok.IDENT and self.peek().upper == "SELECT":
+        if self.peek().kind is Tok.IDENT and self.peek().upper in ("SELECT", "WITH"):
             return self._parse_select_set()
         t = self.peek()
         raise ParserError(f"unexpected token {t.value!r} at offset {t.pos}")
 
     def _parse_select_set(self) -> AstNode:
-        """SELECT ... [UNION [ALL] SELECT ...]*, left-associative."""
-        from datafusion_tpu.sql.ast import SQLUnion
+        """[WITH ctes] SELECT ... [UNION [ALL]|INTERSECT|EXCEPT ...]*.
+
+        UNION/EXCEPT are left-associative at equal precedence;
+        INTERSECT binds tighter (ANSI).
+        """
+        from datafusion_tpu.sql.ast import SQLSetOp, SQLUnion, SQLWith
+
+        if self.consume_keyword("WITH"):
+            ctes: list[tuple[str, AstNode]] = []
+            while True:
+                name = self.expect_ident()
+                self.expect_keyword("AS")
+                self.expect_op("(")
+                sub = self._parse_select_set()
+                self.expect_op(")")
+                ctes.append((name, sub))
+                if not self.consume_op(","):
+                    break
+            return SQLWith(tuple(ctes), self._parse_select_set())
+        node: AstNode = self._parse_intersect()
+        while True:
+            if self.consume_keyword("UNION"):
+                all_ = self.consume_keyword("ALL")
+                node = SQLUnion(node, self._parse_intersect(), all_)
+            elif self.consume_keyword("EXCEPT"):
+                node = SQLSetOp("EXCEPT", node, self._parse_intersect())
+            else:
+                return node
+
+    def _parse_intersect(self) -> AstNode:
+        from datafusion_tpu.sql.ast import SQLSetOp
 
         node: AstNode = self._parse_select()
-        while self.consume_keyword("UNION"):
-            all_ = self.consume_keyword("ALL")
-            node = SQLUnion(node, self._parse_select(), all_)
+        while self.consume_keyword("INTERSECT"):
+            node = SQLSetOp("INTERSECT", node, self._parse_select())
         return node
 
     def _parse_create_external_table(self) -> SQLCreateExternalTable:
@@ -302,6 +333,7 @@ class Parser:
                     break
 
         limit = self.parse_expr() if self.consume_keyword("LIMIT") else None
+        offset = self.parse_expr() if self.consume_keyword("OFFSET") else None
 
         return SQLSelect(
             projection=tuple(projection),
@@ -312,6 +344,7 @@ class Parser:
             having=having,
             order_by=tuple(order_by),
             limit=limit,
+            offset=offset,
         )
 
     def _parse_table_ref(self) -> AstNode:
@@ -384,7 +417,7 @@ class Parser:
         becomes SQLInSubquery for the planner's semi/anti-join rewrite."""
         self.expect_op("(")
         t = self.peek()
-        if t.kind is Tok.IDENT and t.upper == "SELECT":
+        if t.kind is Tok.IDENT and t.upper in ("SELECT", "WITH"):
             sub = self._parse_select_set()
             self.expect_op(")")
             return SQLInSubquery(left, sub, negated)
@@ -423,7 +456,7 @@ class Parser:
         if t.kind is Tok.OP:
             if t.value == "(":
                 nt = self.peek()
-                if nt.kind is Tok.IDENT and nt.upper == "SELECT":
+                if nt.kind is Tok.IDENT and nt.upper in ("SELECT", "WITH"):
                     from datafusion_tpu.sql.ast import SQLScalarSubquery
 
                     sub = self._parse_select_set()
@@ -478,7 +511,7 @@ class Parser:
 
             self.expect_op("(")
             nt = self.peek()
-            if not (nt.kind is Tok.IDENT and nt.upper == "SELECT"):
+            if not (nt.kind is Tok.IDENT and nt.upper in ("SELECT", "WITH")):
                 raise ParserError("EXISTS requires a (SELECT ...) subquery")
             sub = self._parse_select_set()
             self.expect_op(")")

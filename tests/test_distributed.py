@@ -187,3 +187,26 @@ def test_repartition_aggregate_strategy(mesh, monkeypatch):
         "SELECT k, COUNT(DISTINCT w) FROM t GROUP BY k ORDER BY k",
         ordered=True,
     )
+
+def test_offset_parity(mesh):
+    # OFFSET must skip rows in GLOBAL order across shards
+    check_parity(mesh, "SELECT k, v FROM t ORDER BY v LIMIT 20 OFFSET 35", ordered=True)
+    check_parity(mesh, "SELECT k FROM t LIMIT 50 OFFSET 100", ordered=True)
+    check_parity(mesh, "SELECT v FROM t ORDER BY v DESC OFFSET 4970", ordered=True)
+
+
+def test_cte_and_setops_parity(mesh):
+    check_parity(
+        mesh,
+        "WITH hot AS (SELECT k, v FROM t WHERE v > 90) "
+        "SELECT k, COUNT(v) FROM hot GROUP BY k ORDER BY k",
+        ordered=True,
+    )
+    check_parity(
+        mesh,
+        "SELECT k FROM t WHERE v > 50 INTERSECT SELECT k FROM t WHERE w > 0",
+    )
+    check_parity(
+        mesh,
+        "SELECT k FROM t EXCEPT SELECT k FROM t WHERE v < 95",
+    )

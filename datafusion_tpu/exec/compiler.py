@@ -213,7 +213,7 @@ def split_host_projection(plan: L.LogicalPlan, fn_registry: dict):
                     )
                 return L.Column(entry[1])
             if isinstance(e, L.SortExpr):
-                return L.SortExpr(remap(e.expr), e.asc)
+                return L.SortExpr(remap(e.expr), e.asc, e.nulls_first)
             if isinstance(e, L.Alias):
                 return L.Alias(remap(e.expr), e.name)
             if isinstance(e, L.Cast):
@@ -446,13 +446,19 @@ class PlanCompiler:
         spec_index: dict = {}
         metas: list[tuple[int, int]] = []  # per window expr: (spec, call)
         for wf in plan.window_exprs:
-            skey = (wf.partition_by, tuple((o.expr, o.asc) for o in wf.order_by))
+            skey = (
+                wf.partition_by,
+                tuple((o.expr, o.asc, o.nulls_first) for o in wf.order_by),
+            )
             if skey not in spec_index:
                 spec_index[skey] = len(specs)
                 specs.append(
                     {
                         "part": [cexpr(e) for e in wf.partition_by],
-                        "order": [(cexpr(o.expr), o.asc) for o in wf.order_by],
+                        "order": [
+                            (cexpr(o.expr), o.asc, o.nulls_first is True)
+                            for o in wf.order_by
+                        ],
                         "calls": [],
                     }
                 )
@@ -479,12 +485,15 @@ class PlanCompiler:
             results: list[list] = []
             for spec in specs:
                 part_vals = [c.fn(b.cols) for c in spec["part"]]
-                order_vals = [(c.fn(b.cols), asc) for c, asc in spec["order"]]
+                order_vals = [
+                    (c.fn(b.cols), asc, nf) for c, asc, nf in spec["order"]
+                ]
                 calls = [
                     window_ops.WindowCall(
                         wf.name,
                         None if arg_c is None else arg_c.fn(b.cols),
                         wf.offset,
+                        wf.frame,
                     )
                     for wf, arg_c in spec["calls"]
                 ]
@@ -794,6 +803,7 @@ class PlanCompiler:
             (
                 compile_expr(se.expr, child.schema, child.dicts, self.fn_registry),
                 se.asc,
+                se.nulls_first is True,
             )
             for se in plan.exprs
         ]
@@ -801,7 +811,8 @@ class PlanCompiler:
         def fn(env) -> Batch:
             b = child.fn(env)
             key_vals = [
-                (_broadcast_col(c.fn(b.cols), b.capacity), asc) for c, asc in keys
+                (_broadcast_col(c.fn(b.cols), b.capacity), asc, nf)
+                for c, asc, nf in keys
             ]
             cols, count = sort_ops.sort_batch(
                 key_vals, [_broadcast_col(c, b.capacity) for c in b.cols], b.sel
@@ -822,6 +833,7 @@ class PlanCompiler:
         topk_ok = (
             isinstance(plan.input, L.Sort)
             and len(plan.input.exprs) == 1
+            and plan.input.exprs[0].nulls_first is not True
             and plan.limit is not None
             and 0 < plan.limit + off <= 4096
             and os.environ.get("DFTPU_TOPK", "1") != "0"

@@ -21,12 +21,21 @@ from jax import lax
 ColVal = tuple[jax.Array, Optional[jax.Array]]
 
 
-def _directed_key(data: jax.Array, valid: Optional[jax.Array], asc: bool) -> list[jax.Array]:
+def _directed_key(
+    data: jax.Array,
+    valid: Optional[jax.Array],
+    asc: bool,
+    nulls_first: bool = False,
+) -> list[jax.Array]:
     """Transform one sort key for ascending lax.sort. NULLs sort last
-    (regardless of direction), matching common SQL engines."""
+    (regardless of direction) by default, matching common SQL engines;
+    NULLS FIRST flips the null-order key."""
     keys = []
     if valid is not None:
-        keys.append(jnp.logical_not(valid).astype(jnp.int8))  # nulls last
+        if nulls_first:
+            keys.append(valid.astype(jnp.int8))  # nulls (0) first
+        else:
+            keys.append(jnp.logical_not(valid).astype(jnp.int8))  # nulls last
     if jnp.issubdtype(data.dtype, jnp.floating):
         keys.append(data if asc else -data)
     elif data.dtype == jnp.bool_:
@@ -50,9 +59,11 @@ def sort_batch(
     capacity = int(sel.shape[0])
     iota = lax.broadcasted_iota(jnp.int32, (capacity,), 0)
     operands: list[jax.Array] = [jnp.logical_not(sel).astype(jnp.int8)]
-    for (data, valid), asc in keys:
+    for entry in keys:
+        (data, valid), asc = entry[0], entry[1]
+        nf = entry[2] if len(entry) > 2 else False
         data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
-        operands.extend(_directed_key(data, valid, asc))
+        operands.extend(_directed_key(data, valid, asc, nf))
     operands.append(iota)  # stable tie-break by original row
     num_keys = len(operands)
 

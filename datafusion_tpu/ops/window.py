@@ -48,6 +48,10 @@ class WindowCall:
     kind: str
     arg: Optional[ColVal] = None  # None for row_number/rank/dense_rank/count(*)
     offset: int = 1  # lag/lead
+    # explicit ROWS frame (lo, hi) row offsets vs the current row; None
+    # end = unbounded; frame=None = default (running with ORDER BY,
+    # whole partition without)
+    frame: Optional[tuple[Optional[int], Optional[int]]] = None
 
 
 def _first_pos(flag: jax.Array, iota: jax.Array) -> jax.Array:
@@ -82,9 +86,11 @@ def window_spec(
         n_pk_ops.append(len(ks))
         operands.extend(ks)
     n_ok_ops: list[int] = []
-    for (data, valid), asc in order_keys:
+    for entry in order_keys:
+        (data, valid), asc = entry[0], entry[1]
+        nf = entry[2] if len(entry) > 2 else False
         d = jnp.broadcast_to(data, (cap,)) if jnp.ndim(data) == 0 else data
-        ks = _directed_key(d, valid, asc)
+        ks = _directed_key(d, valid, asc, nf)
         n_ok_ops.append(len(ks))
         operands.extend(ks)
     num_keys = len(operands) + 1  # + row id for stable ties
@@ -171,9 +177,48 @@ def window_spec(
                 ok = sel_s
             else:
                 ok = sel_s if vi is None else jnp.logical_and(sel_s, s[vi] > 0)
-            cnt_c = jnp.cumsum(ok.astype(physical_np(DataType.Int64)))
+            ok_i64 = ok.astype(physical_np(DataType.Int64))
+            cnt_c = jnp.cumsum(ok_i64)
+            if c.frame is not None:
+                # explicit ROWS frame: windowed difference of inclusive
+                # cumsums over [lo_idx, hi_idx] clipped to the partition
+                lo_off, hi_off = c.frame
+                last = jnp.clip(jnp.minimum(pend, n_valid) - 1, 0, cap - 1)
+                lo_idx = (
+                    pstart if lo_off is None else jnp.maximum(pstart, iota + lo_off)
+                )
+                hi_idx = last if hi_off is None else jnp.minimum(last, iota + hi_off)
+                nonempty = hi_idx >= lo_idx
+                lo_c = jnp.clip(lo_idx, 0, cap - 1)
+                hi_c = jnp.clip(hi_idx, 0, cap - 1)
+                w_cnt = (
+                    jnp.take(cnt_c, hi_c)
+                    - jnp.take(cnt_c, lo_c)
+                    + jnp.take(ok_i64, lo_c)
+                )
+                if c.kind == "count":
+                    d = jnp.where(nonempty, w_cnt, 0)
+                    out_sorted.append((d.astype(physical_np(DataType.UInt64)), None))
+                    continue
+                acc_dt = (
+                    s[di].dtype
+                    if jnp.issubdtype(s[di].dtype, jnp.floating)
+                    else physical_np(DataType.Int64)
+                )
+                contrib = jnp.where(ok, s[di], jnp.zeros((), s[di].dtype)).astype(acc_dt)
+                sc = jnp.cumsum(contrib)
+                w_sum = (
+                    jnp.take(sc, hi_c) - jnp.take(sc, lo_c) + jnp.take(contrib, lo_c)
+                )
+                if c.kind == "avg":
+                    d = w_sum.astype(physical_np(DataType.Float64))
+                    d = d / jnp.maximum(w_cnt, 1)
+                else:
+                    d = w_sum.astype(s[di].dtype)
+                out_sorted.append((d, jnp.logical_and(nonempty, w_cnt > 0)))
+                continue
             cnt_first = jnp.take(cnt_c, jnp.clip(pstart, 0, cap - 1)) - jnp.take(
-                ok.astype(physical_np(DataType.Int64)), jnp.clip(pstart, 0, cap - 1)
+                ok_i64, jnp.clip(pstart, 0, cap - 1)
             )
             if c.kind == "count":
                 run = cnt_c - cnt_first
@@ -204,7 +249,7 @@ def window_spec(
                 d = run_s.astype(s[di].dtype)
             out_sorted.append((d, run_c > 0))
             continue
-        if c.kind in ("min", "max") and has_order:
+        if c.kind in ("min", "max") and has_order and c.frame != (None, None):
             # running extreme: segmented scan — (value, boundary) pairs
             # under the associative op "right boundary resets"
             # (lax.associative_scan, log-depth on device)
@@ -233,8 +278,26 @@ def window_spec(
             out_sorted.append((run_v, (okc - ok_first) > 0))
             continue
         if c.kind in ("first_value", "last_value"):
-            # whole-partition semantics (documented deviation: standard
-            # LAST_VALUE's default frame ends at the current row)
+            # default: whole-partition semantics (documented deviation:
+            # standard LAST_VALUE's default frame ends at the current
+            # row). An explicit ROWS frame is honored exactly.
+            if c.frame is not None:
+                lo_off, hi_off = c.frame
+                last = jnp.clip(jnp.minimum(pend, n_valid) - 1, 0, cap - 1)
+                lo_idx = (
+                    pstart if lo_off is None else jnp.maximum(pstart, iota + lo_off)
+                )
+                hi_idx = last if hi_off is None else jnp.minimum(last, iota + hi_off)
+                nonempty = hi_idx >= lo_idx
+                pos = jnp.clip(
+                    lo_idx if c.kind == "first_value" else hi_idx, 0, cap - 1
+                )
+                d = jnp.take(s[di], pos)
+                v = nonempty
+                if vi is not None:
+                    v = jnp.logical_and(v, jnp.take(s[vi], pos) > 0)
+                out_sorted.append((d, v))
+                continue
             pos = (
                 jnp.clip(pstart, 0, cap - 1)
                 if c.kind == "first_value"

@@ -138,22 +138,26 @@ class DistCompiler(PlanCompiler):
             "all_to_all + local sorts)"
         )
         se = plan.exprs[0]
+        nf = se.nulls_first is True
         keyc = compile_expr(se.expr, child.schema, child.dicts, self.fn_registry)
 
         def fn(env) -> Batch:
             b = child.fn(env)
             kv = _broadcast_col(keyc.fn(b.cols), local_cap)
-            dkeys = sort_ops._directed_key(kv[0], kv[1], se.asc)
-            dkey = dkeys[-1]  # primary directed key (nulls-last flag folded
+            dkeys = sort_ops._directed_key(kv[0], kv[1], se.asc, nf)
+            dkey = dkeys[-1]  # primary directed key (null-order flag folded
             # into the sampling sentinel below when validity exists)
             if len(dkeys) > 1:
-                # push NULL keys to the very top of the directed order
-                big = (
-                    jnp.asarray(jnp.inf, dkey.dtype)
-                    if jnp.issubdtype(dkey.dtype, jnp.floating)
-                    else jnp.asarray(jnp.iinfo(dkey.dtype).max, dkey.dtype)
-                )
-                dkey = jnp.where(dkeys[0].astype(jnp.bool_), big, dkey)
+                # fold NULL keys to the end of the directed order they
+                # belong at: the very top (nulls last, default) or the
+                # very bottom (NULLS FIRST)
+                if jnp.issubdtype(dkey.dtype, jnp.floating):
+                    sent = jnp.asarray(-jnp.inf if nf else jnp.inf, dkey.dtype)
+                else:
+                    info = jnp.iinfo(dkey.dtype)
+                    sent = jnp.asarray(info.min if nf else info.max, dkey.dtype)
+                is_null = dkeys[0] == (0 if nf else 1)
+                dkey = jnp.where(is_null, sent, dkey)
 
             # local sort of the directed key (selected first)
             cols_sorted, n_sel = sort_ops.sort_batch(
@@ -216,13 +220,20 @@ class DistCompiler(PlanCompiler):
 
     def _sort_over(self, child: Lowered, plan: L.Sort) -> Lowered:
         keys = [
-            (compile_expr(se.expr, child.schema, child.dicts, self.fn_registry), se.asc)
+            (
+                compile_expr(se.expr, child.schema, child.dicts, self.fn_registry),
+                se.asc,
+                se.nulls_first is True,
+            )
             for se in plan.exprs
         ]
 
         def fn(env) -> Batch:
             b = child.fn(env)
-            key_vals = [(_broadcast_col(c.fn(b.cols), b.capacity), asc) for c, asc in keys]
+            key_vals = [
+                (_broadcast_col(c.fn(b.cols), b.capacity), asc, nf)
+                for c, asc, nf in keys
+            ]
             cols, count = sort_ops.sort_batch(
                 key_vals, [_broadcast_col(c, b.capacity) for c in b.cols], b.sel
             )
@@ -238,6 +249,7 @@ class DistCompiler(PlanCompiler):
         if (
             isinstance(plan.input, L.Sort)
             and len(plan.input.exprs) == 1
+            and plan.input.exprs[0].nulls_first is not True
             and plan.limit is not None
             and 0 < plan.limit + off <= 4096
             and os.environ.get("DFTPU_TOPK", "1") != "0"

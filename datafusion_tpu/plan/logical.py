@@ -221,16 +221,22 @@ class Case(Expr):
 
 @dataclass(frozen=True, repr=False)
 class SortExpr(Expr):
-    """A sort key with direction (reference: Expr::Sort)."""
+    """A sort key with direction (reference: Expr::Sort). nulls_first
+    None = engine default (nulls last regardless of direction); an
+    explicit NULLS FIRST/LAST sets True/False (beyond the reference)."""
 
     expr: Expr
     asc: bool = True
+    nulls_first: Optional[bool] = None
 
     def get_type(self, schema: Schema) -> DataType:
         return self.expr.get_type(schema)
 
     def __repr__(self) -> str:
-        return f"{self.expr!r} {'ASC' if self.asc else 'DESC'}"
+        base = f"{self.expr!r} {'ASC' if self.asc else 'DESC'}"
+        if self.nulls_first is not None:
+            base += " NULLS FIRST" if self.nulls_first else " NULLS LAST"
+        return base
 
 
 @dataclass(frozen=True, repr=False)
@@ -257,9 +263,20 @@ class WindowFunction(Expr):
     order_by: tuple["SortExpr", ...]
     return_type: DataType
     offset: int = 1  # LAG/LEAD
+    # explicit ROWS frame: (lo, hi) row offsets relative to the current
+    # row, None = unbounded in that direction; absent = default frame
+    frame: Optional[tuple[Optional[int], Optional[int]]] = None
 
     def get_type(self, schema: Schema) -> DataType:
         return self.return_type
+
+    @staticmethod
+    def _bound(off: Optional[int], is_lo: bool) -> str:
+        if off is None:
+            return "UNBOUNDED " + ("PRECEDING" if is_lo else "FOLLOWING")
+        if off == 0:
+            return "CURRENT ROW"
+        return f"{-off} PRECEDING" if off < 0 else f"{off} FOLLOWING"
 
     def __repr__(self) -> str:
         inner = ", ".join(repr(a) for a in self.args)
@@ -270,6 +287,11 @@ class WindowFunction(Expr):
             )
         if self.order_by:
             parts.append("ORDER BY " + ", ".join(repr(e) for e in self.order_by))
+        if self.frame is not None:
+            parts.append(
+                f"ROWS BETWEEN {self._bound(self.frame[0], True)} "
+                f"AND {self._bound(self.frame[1], False)}"
+            )
         return f"{self.name}({inner}) OVER ({' '.join(parts)})"
 
 
@@ -563,7 +585,10 @@ def expr_to_json(e: Expr):
     if isinstance(e, Cast):
         return {"Cast": {"expr": expr_to_json(e.expr), "data_type": e.data_type.value}}
     if isinstance(e, SortExpr):
-        return {"Sort": {"expr": expr_to_json(e.expr), "asc": e.asc}}
+        out = {"expr": expr_to_json(e.expr), "asc": e.asc}
+        if e.nulls_first is not None:
+            out["nulls_first"] = e.nulls_first
+        return {"Sort": out}
     if isinstance(e, ScalarFunction):
         return {
             "ScalarFunction": {
@@ -599,6 +624,7 @@ def expr_to_json(e: Expr):
                 "order_by": [expr_to_json(a) for a in e.order_by],
                 "return_type": e.return_type.value,
                 "offset": e.offset,
+                "frame": None if e.frame is None else list(e.frame),
             }
         }
     raise PlanError(f"cannot serialize expr {e!r}")
@@ -624,7 +650,9 @@ def expr_from_json(d) -> Expr:
     if kind == "Cast":
         return Cast(expr_from_json(body["expr"]), DataType(body["data_type"]))
     if kind == "Sort":
-        return SortExpr(expr_from_json(body["expr"]), body["asc"])
+        return SortExpr(
+            expr_from_json(body["expr"]), body["asc"], body.get("nulls_first")
+        )
     if kind == "ScalarFunction":
         return ScalarFunction(
             body["name"],
@@ -653,6 +681,7 @@ def expr_from_json(d) -> Expr:
             tuple(expr_from_json(a) for a in body["order_by"]),
             DataType(body["return_type"]),
             body.get("offset", 1),
+            None if body.get("frame") is None else tuple(body["frame"]),
         )
     raise PlanError(f"cannot deserialize expr kind {kind}")
 

@@ -68,7 +68,7 @@ def _remap_expr(e: L.Expr, mapping: dict[int, int]) -> L.Expr:
     if isinstance(e, L.Cast):
         return L.Cast(_remap_expr(e.expr, mapping), e.data_type)
     if isinstance(e, L.SortExpr):
-        return L.SortExpr(_remap_expr(e.expr, mapping), e.asc)
+        return L.SortExpr(_remap_expr(e.expr, mapping), e.asc, e.nulls_first)
     if isinstance(e, L.Alias):
         return L.Alias(_remap_expr(e.expr, mapping), e.name)
     if isinstance(e, L.ScalarFunction):

@@ -916,10 +916,27 @@ class SqlToRel:
             self.sql_to_rex(e, schema, qualifiers) for e in node.partition_by
         )
         order = tuple(
-            SortExpr(self.sql_to_rex(ob.expr, schema, qualifiers), ob.asc)
+            SortExpr(
+                self.sql_to_rex(ob.expr, schema, qualifiers),
+                ob.asc,
+                ob.nulls_first,
+            )
             for ob in node.order_by
         )
-        return WindowFunction(low, args, part, order, ret, offset)
+        frame = node.frame
+        if frame is not None:
+            if low in ("row_number", "rank", "dense_rank", "ntile", "lag", "lead"):
+                raise PlanError(f"{node.func.name} does not accept a ROWS frame")
+            if not order:
+                raise PlanError("a ROWS frame requires ORDER BY in the window")
+            if low in ("min", "max") and frame not in ((None, 0), (None, None)):
+                raise PlanError(
+                    f"{node.func.name} supports only ROWS BETWEEN UNBOUNDED "
+                    "PRECEDING AND CURRENT ROW (running) or UNBOUNDED "
+                    "PRECEDING AND UNBOUNDED FOLLOWING (whole partition) "
+                    "frames; bounded sliding extremes are not implemented"
+                )
+        return WindowFunction(low, args, part, order, ret, offset, frame)
 
     def _rewrite_in_subqueries(
         self,
@@ -1142,8 +1159,12 @@ class SqlToRel:
                             f"ORDER BY position {i} is out of range "
                             f"(1..{len(plan.schema)})"
                         )
-                    return SortExpr(Column(i - 1), ob.asc)
-                return SortExpr(self.sql_to_rex(ob.expr, plan.schema, None), ob.asc)
+                    return SortExpr(Column(i - 1), ob.asc, ob.nulls_first)
+                return SortExpr(
+                    self.sql_to_rex(ob.expr, plan.schema, None),
+                    ob.asc,
+                    ob.nulls_first,
+                )
 
             plan = Sort(tuple(key_of(ob) for ob in sel.order_by), plan, plan.schema)
         if sel.limit is not None or sel.offset is not None:
@@ -1473,6 +1494,47 @@ class SqlToRel:
             if not any(a.get_type(schema) is DataType.Utf8 for a in args):
                 raise PlanError(f"function '{name}' expects a string argument")
             return ScalarFunction(name, args, _STRING_FN_TYPES[low])
+        if low in ("stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop"):
+            # Desugar onto SUM/SUM-of-squares/COUNT composite aggregates
+            # (beyond the reference). Textbook E[x²]−E[x]² form — the
+            # single-pass trade-off is documented: catastrophic
+            # cancellation when stddev ≪ mean. Sample variants yield
+            # NULL for n ≤ 1 (ANSI).
+            if len(node.args) != 1:
+                raise PlanError(f"{name} expects a single argument")
+            x = self.sql_to_rex(node.args[0], schema, qualifiers)
+            at = x.get_type(schema)
+            if at in (DataType.Utf8, DataType.Boolean, DataType.Date32):
+                raise PlanError(f"{name} is not defined for {at!r} values")
+            xf = x.cast_to(DataType.Float64, schema)
+            f64 = DataType.Float64
+            s = AggregateFunction("sum", (xf,), f64)
+            ssq = AggregateFunction(
+                "sum", (BinaryExpr(xf, Operator.Multiply, xf),), f64
+            )
+            n = Cast(AggregateFunction("count", (x,), DataType.UInt64), f64)
+            num = BinaryExpr(
+                ssq,
+                Operator.Minus,
+                BinaryExpr(
+                    BinaryExpr(s, Operator.Multiply, s), Operator.Divide, n
+                ),
+            )
+            one = Literal(ScalarValue.float64(1.0))
+            if low in ("stddev_pop", "var_pop"):
+                var = BinaryExpr(num, Operator.Divide, n)
+                guard = BinaryExpr(n, Operator.Gt, Literal(ScalarValue.float64(0.0)))
+            else:
+                var = BinaryExpr(
+                    num, Operator.Divide, BinaryExpr(n, Operator.Minus, one)
+                )
+                guard = BinaryExpr(n, Operator.Gt, one)
+            out: Expr = (
+                ScalarFunction("sqrt", (var,), f64)
+                if low.startswith("stddev")
+                else var
+            )
+            return Case(((guard, out),), None)
         if low in _AGG_NAMES:
             args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
             if len(args) != 1:

@@ -143,6 +143,9 @@ class SQLWindowExpr(AstNode):
     func: SQLFunction
     partition_by: tuple[AstNode, ...]
     order_by: tuple["SQLOrderByExpr", ...]
+    # ROWS frame: (lo, hi) offsets relative to the current row,
+    # None = unbounded; absent (None) = default frame
+    frame: Optional[tuple[Optional[int], Optional[int]]] = None
 
 
 @dataclass(frozen=True)
@@ -196,6 +199,7 @@ class SQLAliasedExpr(AstNode):
 class SQLOrderByExpr(AstNode):
     expr: AstNode
     asc: bool
+    nulls_first: Optional[bool] = None  # explicit NULLS FIRST/LAST
 
 
 class JoinKind(enum.Enum):

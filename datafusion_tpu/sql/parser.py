@@ -205,6 +205,7 @@ class Parser:
                     break
             return SQLWith(tuple(ctes), self._parse_select_set())
         node: AstNode = self._parse_intersect()
+        had_setop = False
         while True:
             if self.consume_keyword("UNION"):
                 all_ = self.consume_keyword("ALL")
@@ -212,7 +213,11 @@ class Parser:
             elif self.consume_keyword("EXCEPT"):
                 node = SQLSetOp("EXCEPT", node, self._parse_intersect())
             else:
-                return node
+                break
+            had_setop = True
+        if had_setop:
+            node = _hoist_trailing_order(node)
+        return node
 
     def _parse_intersect(self) -> AstNode:
         from datafusion_tpu.sql.ast import SQLSetOp
@@ -328,7 +333,7 @@ class Parser:
                     asc = False
                 else:
                     asc = True
-                order_by.append(SQLOrderByExpr(e, asc))
+                order_by.append(SQLOrderByExpr(e, asc, self._parse_nulls_order()))
                 if not self.consume_op(","):
                     break
 
@@ -346,6 +351,14 @@ class Parser:
             limit=limit,
             offset=offset,
         )
+
+    def _parse_nulls_order(self):
+        """[NULLS FIRST|LAST] after a sort key (beyond the reference)."""
+        if self.consume_keywords("NULLS", "FIRST"):
+            return True
+        if self.consume_keywords("NULLS", "LAST"):
+            return False
+        return None
 
     def _parse_table_ref(self) -> AstNode:
         from datafusion_tpu.sql.ast import SQLAliasedTable, SQLDerivedTable
@@ -506,6 +519,18 @@ class Parser:
                 self.next()
                 return SQLDate(lt.value)
             # plain identifier named "date" otherwise
+        if up == "EXTRACT" and self.peek().kind is Tok.OP and self.peek().value == "(":
+            # EXTRACT(unit FROM expr) sugar for unit(expr)
+            self.next()
+            unit = self.expect_ident()
+            if unit.upper() not in ("YEAR", "MONTH", "DAY"):
+                raise ParserError(
+                    f"EXTRACT supports YEAR/MONTH/DAY, got {unit!r}"
+                )
+            self.expect_keyword("FROM")
+            inner = self.parse_expr()
+            self.expect_op(")")
+            return SQLFunction(unit.lower(), (inner,), False)
         if up == "EXISTS":
             from datafusion_tpu.sql.ast import SQLExists
 
@@ -570,11 +595,47 @@ class Parser:
                     asc = False
                 elif self.consume_keyword("ASC"):
                     asc = True
-                order.append(SQLOrderByExpr(e, asc))
+                order.append(SQLOrderByExpr(e, asc, self._parse_nulls_order()))
                 if not self.consume_op(","):
                     break
+        frame = None
+        if self.consume_keyword("RANGE"):
+            raise ParserError(
+                "RANGE frames are not supported; use ROWS (the engine's "
+                "running aggregates already use ROWS semantics)"
+            )
+        if self.consume_keyword("ROWS"):
+            if self.consume_keyword("BETWEEN"):
+                lo = self._parse_frame_bound()
+                self.expect_keyword("AND")
+                hi = self._parse_frame_bound()
+            else:
+                lo = self._parse_frame_bound()
+                hi = 0  # short form: BETWEEN <bound> AND CURRENT ROW
+            frame = (lo, hi)
         self.expect_op(")")
-        return SQLWindowExpr(fn_node, tuple(partition), tuple(order))
+        return SQLWindowExpr(fn_node, tuple(partition), tuple(order), frame)
+
+    def _parse_frame_bound(self) -> Optional[int]:
+        """One ROWS frame bound → row offset relative to the current row
+        (negative = preceding, None = unbounded in that direction)."""
+        if self.consume_keywords("UNBOUNDED", "PRECEDING"):
+            return None
+        if self.consume_keywords("UNBOUNDED", "FOLLOWING"):
+            return None
+        if self.consume_keywords("CURRENT", "ROW"):
+            return 0
+        t = self.next()
+        if t.kind is not Tok.NUMBER or "." in t.value:
+            raise ParserError(
+                f"expected a frame bound, found {t.value!r} at offset {t.pos}"
+            )
+        n = int(t.value)
+        if self.consume_keyword("PRECEDING"):
+            return -n
+        if self.consume_keyword("FOLLOWING"):
+            return n
+        raise ParserError("expected PRECEDING or FOLLOWING after frame offset")
 
     def _parse_infix(self, left: AstNode, precedence: int) -> AstNode:
         t = self.next()
@@ -601,6 +662,53 @@ class Parser:
                     return SQLIsNull(left)
                 raise ParserError("expected NULL or NOT NULL after IS")
         raise ParserError(f"unexpected infix token {t.value!r} at offset {t.pos}")
+
+
+def _hoist_trailing_order(node: AstNode) -> AstNode:
+    """ANSI: a trailing ORDER BY/LIMIT/OFFSET after a set operation
+    applies to the WHOLE compound, not the last operand. The grammar
+    attaches them to the right-most SELECT, so strip them there and
+    re-apply via a pass-through wrapper over the compound."""
+    import dataclasses
+
+    from datafusion_tpu.sql.ast import (
+        SQLDerivedTable,
+        SQLSetOp,
+        SQLUnion,
+        SQLSelect,
+    )
+
+    def strip_last(n):
+        if isinstance(n, SQLUnion):
+            right, moved = strip_last(n.right)
+            return SQLUnion(n.left, right, n.all), moved
+        if isinstance(n, SQLSetOp):
+            right, moved = strip_last(n.right)
+            return SQLSetOp(n.op, n.left, right), moved
+        assert isinstance(n, SQLSelect)
+        if not (n.order_by or n.limit is not None or n.offset is not None):
+            return n, None
+        moved = (n.order_by, n.limit, n.offset)
+        return (
+            dataclasses.replace(n, order_by=(), limit=None, offset=None),
+            moved,
+        )
+
+    stripped, moved = strip_last(node)
+    if moved is None:
+        return node
+    order_by, limit, offset = moved
+    return SQLSelect(
+        projection=(SQLWildcard(),),
+        distinct=False,
+        relation=SQLDerivedTable(stripped, "__setop"),
+        selection=None,
+        group_by=(),
+        having=None,
+        order_by=order_by,
+        limit=limit,
+        offset=offset,
+    )
 
 
 def parse_sql(sql: str) -> AstNode:

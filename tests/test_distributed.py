@@ -210,3 +210,44 @@ def test_cte_and_setops_parity(mesh):
         mesh,
         "SELECT k FROM t EXCEPT SELECT k FROM t WHERE v < 95",
     )
+
+
+def test_nulls_first_sample_sort_parity(mesh):
+    # NULLS FIRST folds nulls to the BOTTOM sentinel of the directed key
+    # in the distributed sample sort; verify against single-chip
+    from datafusion_tpu.schema import Field, Schema
+    from datafusion_tpu.types import DataType
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    v = np.round(rng.random(n) * 100, 3)
+    valid = rng.random(n) > 0.1
+    schema = Schema([Field("k", DataType.Int32), Field("v", DataType.Float64, True)])
+    single, dist = both_ctxs(mesh)
+    for ctx in (single, dist):
+        t = Table.from_arrays(
+            schema,
+            [np.arange(n, dtype=np.int32), v],
+            validity=[None, valid],
+        )
+        ctx.register_table("t", t)
+    # NULL rows all share one directed key, so their relative order is a
+    # tie: stable single-chip, but cross-device tie order is unspecified
+    # in the sample sort (documented). Compare the v-sequence exactly and
+    # the row multiset, not the order within the NULL block.
+    for sql in (
+        "SELECT k, v FROM t ORDER BY v NULLS FIRST",
+        "SELECT k, v FROM t ORDER BY v DESC NULLS FIRST",
+        "SELECT k, v FROM t ORDER BY v NULLS LAST",
+    ):
+        a = single.sql(sql).result_str()
+        b = dist.sql(sql).result_str()
+        va = [line.split("\t")[1] for line in a.splitlines()]
+        vb = [line.split("\t")[1] for line in b.splitlines()]
+        assert va == vb, f"key order mismatch for {sql}"
+        assert sorted(a.splitlines()) == sorted(b.splitlines()), f"row mismatch for {sql}"
+    # unique non-null keys: LIMIT/OFFSET windows inside the non-null
+    # range are exact
+    a = single.sql("SELECT k, v FROM t ORDER BY v NULLS FIRST LIMIT 450 OFFSET 420").result_str()
+    b = dist.sql("SELECT k, v FROM t ORDER BY v NULLS FIRST LIMIT 450 OFFSET 420").result_str()
+    assert a == b

@@ -11,6 +11,8 @@ out, context.rs:48-76).
 from __future__ import annotations
 
 from dataclasses import dataclass
+
+import numpy as np
 from typing import Callable, Optional, Union
 
 from datafusion_tpu.columnar.csv import CsvDataSource, read_csv
@@ -24,6 +26,16 @@ from datafusion_tpu.schema import Field, Schema
 from datafusion_tpu.sql import ast as A
 from datafusion_tpu.sql.parser import parse_sql
 from datafusion_tpu.plan.planner import convert_data_type
+from datafusion_tpu.types import DataType
+
+
+_DDL_NODES = (
+    A.SQLCreateExternalTable,
+    A.SQLCreateTableAs,
+    A.SQLDropTable,
+    A.SQLShowTables,
+    A.SQLDescribeTable,
+)
 
 
 @dataclass
@@ -112,7 +124,7 @@ class ExecutionContext:
     def plan(self, sql: str) -> LogicalPlan:
         """Parse + plan without executing (used by planner tests)."""
         node = parse_sql(sql)
-        if isinstance(node, A.SQLCreateExternalTable):
+        if isinstance(node, _DDL_NODES):
             raise PlanError("DDL statements have no logical plan")
         return SqlToRel(self._catalog).sql_to_rel(node)
 
@@ -126,7 +138,7 @@ class ExecutionContext:
         t_parse = _time.perf_counter()
         if isinstance(node, A.SQLExplain):
             inner = node.stmt
-            if isinstance(inner, A.SQLCreateExternalTable):
+            if isinstance(inner, _DDL_NODES):
                 raise PlanError("cannot EXPLAIN a DDL statement")
             plan = SqlToRel(self._catalog).sql_to_rel(inner)
             from datafusion_tpu.plan.optimizer import push_down_projection
@@ -160,6 +172,54 @@ class ExecutionContext:
         if isinstance(node, A.SQLCreateExternalTable):
             self._execute_ddl(node)
             return ResultTable(Schema.empty(), [], [])
+        if isinstance(node, A.SQLCreateTableAs):
+            # CTAS (beyond the reference): run the query, re-materialize
+            # the host result as a device table, register under the name
+            plan = SqlToRel(self._catalog).sql_to_rel(node.select)
+            self.register_table(node.name, self.execute(plan).to_table())
+            return ResultTable(Schema.empty(), [], [])
+        if isinstance(node, A.SQLDropTable):
+            if node.name not in self._tables:
+                if node.if_exists:
+                    return ResultTable(Schema.empty(), [], [])
+                raise PlanError(f"no table named {node.name} to drop")
+            del self._tables[node.name]
+            return ResultTable(Schema.empty(), [], [])
+        if isinstance(node, A.SQLShowTables):
+            names = sorted(self._tables)
+            schema = Schema([Field("table", DataType.Utf8)])
+            return ResultTable(
+                schema,
+                [(np.array(names, dtype=object), None)],
+                [None],
+            )
+        if isinstance(node, A.SQLDescribeTable):
+            t = self._tables.get(node.name)
+            if t is None:
+                raise PlanError(f"no table named {node.name}")
+            schema = Schema(
+                [
+                    Field("column_name", DataType.Utf8),
+                    Field("data_type", DataType.Utf8),
+                    Field("nullable", DataType.Utf8),
+                ]
+            )
+            fields = t.schema.fields
+            return ResultTable(
+                schema,
+                [
+                    (np.array([f.name for f in fields], dtype=object), None),
+                    (np.array([f.dtype.value for f in fields], dtype=object), None),
+                    (
+                        np.array(
+                            ["YES" if f.nullable else "NO" for f in fields],
+                            dtype=object,
+                        ),
+                        None,
+                    ),
+                ],
+                [None, None, None],
+            )
         plan = SqlToRel(self._catalog).sql_to_rel(node)
         t_plan = _time.perf_counter()
         result = self.execute(plan)

@@ -96,6 +96,26 @@ class ResultTable:
             lines.append("\t".join(cells))
         return "".join(line + "\n" for line in lines)
 
+    def to_table(self):
+        """Re-materialize this host result as a device Table (used by
+        CREATE TABLE ... AS SELECT; beyond the reference)."""
+        from datafusion_tpu.columnar.table import Table
+        from datafusion_tpu.types import DataType as _DT
+
+        arrays = []
+        validity = []
+        for j, f in enumerate(self.schema.fields):
+            data, valid = self.cols[j]
+            if f.dtype is _DT.Utf8:
+                if self.dicts[j] is not None:
+                    arrays.append((np.asarray(data, np.int32), tuple(self.dicts[j])))
+                else:
+                    arrays.append([str(x) for x in data])
+            else:
+                arrays.append(np.asarray(data))
+            validity.append(None if valid is None else np.asarray(valid, bool))
+        return Table.from_arrays(self.schema, arrays, validity=validity)
+
     def to_csv(self, path: str, *, header: bool = True) -> None:
         """Write the result as CSV — realizes the reference's never-executed
         PhysicalPlan::Write{filename} (physicalplan.rs:25-29)."""

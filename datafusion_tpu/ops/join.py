@@ -93,7 +93,18 @@ def _normalize_keys(
 ) -> tuple[list[jax.Array], list[jax.Array], Optional[Sequence[Optional[int]]]]:
     """Reduce multi-column join keys to one sortable column: bit-packing
     when cheap (1-2 keys with known bounds or 64-bit available, see
-    _pack_keys), else dense combined-tuple ids (_combined_key_ids)."""
+    _pack_keys), else dense combined-tuple ids (_combined_key_ids).
+    Float keys first map through their order-preserving int image
+    (+0.0 added so -0.0 and +0.0 compare equal, as SQL requires)."""
+    from datafusion_tpu.ops.aggregate import to_sortable_int
+
+    def as_int(k: jax.Array) -> jax.Array:
+        if jnp.issubdtype(k.dtype, jnp.floating):
+            return to_sortable_int(k + jnp.zeros((), k.dtype))
+        return k
+
+    probe_keys = [as_int(k) for k in probe_keys]
+    build_keys = [as_int(k) for k in build_keys]
     if len(probe_keys) == 1:
         return list(probe_keys), list(build_keys), key_maxes
     try:

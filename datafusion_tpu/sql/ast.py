@@ -256,6 +256,37 @@ class SQLExplain(AstNode):
 
 
 @dataclass(frozen=True)
+class SQLCreateTableAs(AstNode):
+    """CREATE TABLE name AS <select> — materializes the query result as
+    a registered in-memory table (beyond the reference)."""
+
+    name: str
+    select: AstNode
+
+
+@dataclass(frozen=True)
+class SQLDropTable(AstNode):
+    """DROP TABLE [IF EXISTS] name (beyond the reference)."""
+
+    name: str
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class SQLShowTables(AstNode):
+    """SHOW TABLES — registered table names (the reference's vestigial
+    PhysicalPlan::Show, physicalplan.rs:31-33, never executed)."""
+
+
+@dataclass(frozen=True)
+class SQLDescribeTable(AstNode):
+    """DESCRIBE name — column name/type/nullability (beyond the
+    reference)."""
+
+    name: str
+
+
+@dataclass(frozen=True)
 class SQLCreateExternalTable(AstNode):
     """CREATE EXTERNAL TABLE name (cols) STORED AS fmt [WITH|WITHOUT HEADER
     ROW] LOCATION 'path' (reference: dfparser.rs:101-207)."""

@@ -179,6 +179,25 @@ class Parser:
             return SQLExplain(self.parse_statement(), verbose)
         if self.consume_keywords("CREATE", "EXTERNAL", "TABLE"):
             return self._parse_create_external_table()
+        if self.consume_keywords("CREATE", "TABLE"):
+            from datafusion_tpu.sql.ast import SQLCreateTableAs
+
+            name = self.expect_ident()
+            self.expect_keyword("AS")
+            return SQLCreateTableAs(name, self._parse_select_set())
+        if self.consume_keywords("DROP", "TABLE"):
+            from datafusion_tpu.sql.ast import SQLDropTable
+
+            if_exists = self.consume_keywords("IF", "EXISTS")
+            return SQLDropTable(self.expect_ident(), if_exists)
+        if self.consume_keywords("SHOW", "TABLES"):
+            from datafusion_tpu.sql.ast import SQLShowTables
+
+            return SQLShowTables()
+        if self.consume_keyword("DESCRIBE"):
+            from datafusion_tpu.sql.ast import SQLDescribeTable
+
+            return SQLDescribeTable(self.expect_ident())
         if self.peek().kind is Tok.IDENT and self.peek().upper in ("SELECT", "WITH"):
             return self._parse_select_set()
         t = self.peek()

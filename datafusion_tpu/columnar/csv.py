@@ -42,6 +42,18 @@ def _parse_column(values: list[str], dtype: DataType):
             else:
                 arr[i] = parse_iso_date(v)
         return arr, (None if validity.all() else validity)
+    if dtype is DataType.Timestamp:
+        from datafusion_tpu.utils.dates import parse_iso_timestamp
+
+        n = len(values)
+        arr = np.zeros((n,), dtype=np.int64)
+        validity = np.ones((n,), dtype=np.bool_)
+        for i, v in enumerate(values):
+            if v == "":
+                validity[i] = False
+            else:
+                arr[i] = parse_iso_timestamp(v)
+        return arr, (None if validity.all() else validity)
     n = len(values)
     np_dtype = dtype.to_np()
     missing = [i for i, v in enumerate(values) if v == ""]

@@ -143,6 +143,12 @@ class Table:
                 from datafusion_tpu.utils.dates import to_days_array
 
                 host = to_days_array(arr)
+            elif field.dtype is DataType.Timestamp:
+                from datafusion_tpu.utils.dates import to_seconds_array
+
+                host = to_seconds_array(arr).astype(
+                    physical_np(DataType.Timestamp)
+                )
             else:
                 host = np.asarray(arr, dtype=physical_np(field.dtype))
             if len(host) != n:
@@ -165,12 +171,20 @@ class Table:
             fields = []
             for name, vals in data.items():
                 v0 = np.asarray(vals)
-                if v0.dtype.kind == "M":  # datetime64 → Date32
-                    fields.append(Field(name, DataType.Date32))
+                if v0.dtype.kind == "M":
+                    # datetime64: day-or-coarser units → Date32, finer
+                    # (h/m/s/ms/us/ns) → Timestamp
+                    unit = np.datetime_data(v0.dtype)[0]
+                    coarse = unit in ("D", "W", "M", "Y")
+                    fields.append(
+                        Field(name, DataType.Date32 if coarse else DataType.Timestamp)
+                    )
                 elif v0.dtype.kind in ("U", "O", "S"):
                     import datetime as _dtm
 
-                    if len(v0) and isinstance(v0.flat[0], _dtm.date):
+                    if len(v0) and isinstance(v0.flat[0], _dtm.datetime):
+                        fields.append(Field(name, DataType.Timestamp))
+                    elif len(v0) and isinstance(v0.flat[0], _dtm.date):
                         fields.append(Field(name, DataType.Date32))
                     else:
                         fields.append(Field(name, DataType.Utf8))

@@ -45,6 +45,10 @@ class ResultTable:
             from datafusion_tpu.utils.dates import date_of_days
 
             vals = [date_of_days(int(v)) for v in data]
+        elif dt is DataType.Timestamp:
+            from datafusion_tpu.utils.dates import datetime_of_seconds
+
+            vals = [datetime_of_seconds(int(v)) for v in data]
         else:
             # numeric / Struct / host-produced raw Utf8 (object array)
             vals = data

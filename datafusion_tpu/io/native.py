@@ -33,6 +33,7 @@ _DTYPE_CODE = {
     DataType.Float64: 10,
     DataType.Utf8: 11,
     DataType.Date32: 12,
+    DataType.Timestamp: 13,  # seconds since epoch, 'YYYY-MM-DD[ ]HH:MM:SS'
 }
 
 _lock = threading.Lock()

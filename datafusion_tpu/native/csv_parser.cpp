@@ -50,6 +50,7 @@ enum DType : int32_t {
   DT_F64 = 10,
   DT_UTF8 = 11,
   DT_DATE32 = 12,  // days since 1970-01-01, parsed from YYYY-MM-DD
+  DT_TS64 = 13,    // seconds since epoch, parsed from YYYY-MM-DD[ |T]HH:MM:SS[.frac]
 };
 
 // Howard Hinnant's days_from_civil (public domain algorithm)
@@ -73,6 +74,29 @@ inline bool parse_date32(const char* b, int64_t len, int32_t* out) {
     return false;
   if (m < 1 || m > 12 || d < 1 || d > 31) return false;
   *out = days_from_civil(y, m, d);
+  return true;
+}
+
+// Parse YYYY-MM-DD[ |T]HH:MM:SS[.frac] (or a bare date = midnight) into
+// seconds since epoch; fractional seconds truncate.
+inline bool parse_ts64(const char* b, int64_t len, int64_t* out) {
+  int32_t days = 0;
+  if (len < 10 || !parse_date32(b, 10, &days)) return false;
+  int64_t secs = (int64_t)days * 86400;
+  if (len == 10) { *out = secs; return true; }
+  if (len < 19 || (b[10] != ' ' && b[10] != 'T') || b[13] != ':' || b[16] != ':')
+    return false;
+  int h = 0, mi = 0, sec = 0;
+  auto r1 = std::from_chars(b + 11, b + 13, h);
+  auto r2 = std::from_chars(b + 14, b + 16, mi);
+  auto r3 = std::from_chars(b + 17, b + 19, sec);
+  if (r1.ec != std::errc() || r2.ec != std::errc() || r3.ec != std::errc())
+    return false;
+  if (h > 23 || mi > 59 || sec > 60) return false;
+  if (len > 19 && b[19] != '.') return false;  // only a fraction may follow
+  for (int64_t i = 20; i < len; ++i)
+    if (b[i] < '0' || b[i] > '9') return false;
+  *out = secs + h * 3600 + mi * 60 + sec;
   return true;
 }
 
@@ -268,6 +292,12 @@ void parse_rows(const char* buf, int64_t buf_len, const int64_t* row_starts,
           int32_t v = 0;
           ok = ok && parse_date32(f.ptr, f.len, &v);
           ((int32_t*)out_bufs[c])[r] = v;
+          break;
+        }
+        case DT_TS64: {
+          int64_t v = 0;
+          ok = ok && parse_ts64(f.ptr, f.len, &v);
+          ((int64_t*)out_bufs[c])[r] = v;
           break;
         }
         case DT_UTF8: {

@@ -167,6 +167,21 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
             if inner.dtype == target:
                 return inner
             raise NotImplementedError_("CAST to/from Utf8 is not supported on device")
+        if inner.dtype is DataType.Date32 and target is DataType.Timestamp:
+            np_ts = physical_np(DataType.Timestamp)
+
+            def d2ts_fn(cols, inner=inner, np_ts=np_ts):
+                d, v = inner.fn(cols)
+                return d.astype(np_ts) * 86400, v
+
+            return CompiledExpr(d2ts_fn, target)
+        if inner.dtype is DataType.Timestamp and target is DataType.Date32:
+
+            def ts2d_fn(cols, inner=inner):
+                d, v = inner.fn(cols)
+                return jnp.floor_divide(d, 86400).astype(jnp.int32), v
+
+            return CompiledExpr(ts2d_fn, target)
         np_dt = physical_np(target)
 
         def cast_fn(cols, inner=inner, np_dt=np_dt):
@@ -198,12 +213,16 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
         return CompiledExpr(isnotnull_fn, DataType.Boolean)
 
     if isinstance(expr, ScalarFunction) and expr.name.lower() in (
-        "year", "month", "day"
+        "year", "month", "day", "hour", "minute", "second"
     ):
         from datafusion_tpu.utils import dates as _dates
 
         inner = _compile(expr.args[0], schema, dicts, registry)
-        extract = getattr(_dates, f"extract_{expr.name.lower()}")
+        low = expr.name.lower()
+        if inner.dtype is DataType.Timestamp:
+            extract = getattr(_dates, f"ts_extract_{low}")
+        else:
+            extract = getattr(_dates, f"extract_{low}")
 
         def date_fn(cols, inner=inner, extract=extract):
             d, v = inner.fn(cols)

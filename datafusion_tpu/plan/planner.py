@@ -195,6 +195,8 @@ def convert_data_type(type_name: str) -> DataType:
         "REAL": DataType.Float64,
         "DOUBLE": DataType.Float64,
         "DATE": DataType.Date32,
+        "TIMESTAMP": DataType.Timestamp,
+        "DATETIME": DataType.Timestamp,
         "CHAR": DataType.Utf8,
         "VARCHAR": DataType.Utf8,
         "TEXT": DataType.Utf8,
@@ -540,6 +542,64 @@ class SqlToRel:
 
         proj_input = win_plan
         proj_schema = Schema(exprlist_to_fields(proj_exprs, input_schema))
+        if sel.order_by and not sel.distinct:
+            # ORDER BY keys prefer the projection output schema
+            # (reference: sqlplanner.rs:141); keys NOT in the output plan
+            # against the FROM schema as hidden helper columns, sorted,
+            # then projected away (beyond the reference — most engines
+            # allow ORDER BY over non-selected columns)
+            sort_exprs: list[SortExpr] = []
+            hidden: list[Expr] = []
+            for ob in sel.order_by:
+                if isinstance(ob.expr, A.SQLLong):
+                    i = ob.expr.value
+                    if not 1 <= i <= len(proj_schema):
+                        raise PlanError(
+                            f"ORDER BY position {i} is out of range "
+                            f"(1..{len(proj_schema)})"
+                        )
+                    key: Expr = Column(i - 1)
+                else:
+                    try:
+                        key = self.sql_to_rex(ob.expr, proj_schema, None)
+                    except (PlanError, InvalidColumnError):
+                        e = self.sql_to_rex(ob.expr, input_schema, qualifiers)
+                        key = Column(len(proj_exprs) + len(hidden))
+                        hidden.append(e)
+                sort_exprs.append(SortExpr(key, ob.asc, ob.nulls_first))
+            def apply_limit(p: LogicalPlan) -> LogicalPlan:
+                if sel.limit is None and sel.offset is None:
+                    return p
+                off = 0
+                if sel.offset is not None:
+                    if not isinstance(sel.offset, A.SQLLong):
+                        raise PlanError("OFFSET parameter is not a number")
+                    off = sel.offset.value
+                lim = None
+                if sel.limit is not None:
+                    if not isinstance(sel.limit, A.SQLLong):
+                        raise PlanError("LIMIT parameter is not a number")
+                    lim = sel.limit.value
+                return Limit(lim, p, p.schema, off)
+
+            if hidden:
+                ext = list(proj_exprs) + hidden
+                ext_schema = Schema(exprlist_to_fields(ext, input_schema))
+                plan = Projection(tuple(ext), proj_input, ext_schema)
+                plan = Sort(tuple(sort_exprs), plan, ext_schema)
+                # LIMIT sits directly over the Sort (top-k fusion fires);
+                # the hidden sort keys drop afterwards
+                plan = apply_limit(plan)
+                plan = Projection(
+                    tuple(Column(i) for i in range(len(proj_exprs))),
+                    plan,
+                    proj_schema,
+                )
+            else:
+                plan = Projection(tuple(proj_exprs), proj_input, proj_schema)
+                plan = Sort(tuple(sort_exprs), plan, proj_schema)
+                plan = apply_limit(plan)
+            return plan
         plan = Projection(tuple(proj_exprs), proj_input, proj_schema)
         if sel.distinct:
             # SELECT DISTINCT = group by every output column (beyond the
@@ -1292,6 +1352,15 @@ class SqlToRel:
                 return Literal(ScalarValue.date32(parse_iso_date(node.value)))
             except ValueError as e:
                 raise PlanError(f"invalid DATE literal {node.value!r}: {e}")
+        if isinstance(node, A.SQLTimestamp):
+            from datafusion_tpu.utils.dates import parse_iso_timestamp
+
+            try:
+                return Literal(
+                    ScalarValue.timestamp(parse_iso_timestamp(node.value))
+                )
+            except ValueError as e:
+                raise PlanError(f"invalid TIMESTAMP literal {node.value!r}: {e}")
 
         if isinstance(node, A.SQLIdentifier):
             if node.name.upper() == "TRUE":
@@ -1477,10 +1546,16 @@ class SqlToRel:
             return Case(
                 ((IsNull(a), a), (IsNull(b), a), (neq, a)), None
             )
-        if low in ("year", "month", "day"):
+        if low in ("year", "month", "day", "hour", "minute", "second"):
             args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
-            if len(args) != 1 or args[0].get_type(schema) is not DataType.Date32:
-                raise PlanError(f"{name} expects one DATE argument")
+            ok_types = (
+                (DataType.Date32, DataType.Timestamp)
+                if low in ("year", "month", "day")
+                else (DataType.Timestamp,)
+            )
+            if len(args) != 1 or args[0].get_type(schema) not in ok_types:
+                want = " or ".join(t.value for t in ok_types)
+                raise PlanError(f"{name} expects one {want} argument")
             return ScalarFunction(low, args, DataType.Int32)
         if low in _STRING_FN_TYPES:
             args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
@@ -1504,7 +1579,9 @@ class SqlToRel:
                 raise PlanError(f"{name} expects a single argument")
             x = self.sql_to_rex(node.args[0], schema, qualifiers)
             at = x.get_type(schema)
-            if at in (DataType.Utf8, DataType.Boolean, DataType.Date32):
+            if at in (
+                DataType.Utf8, DataType.Boolean, DataType.Date32, DataType.Timestamp
+            ):
                 raise PlanError(f"{name} is not defined for {at!r} values")
             xf = x.cast_to(DataType.Float64, schema)
             f64 = DataType.Float64
@@ -1540,8 +1617,9 @@ class SqlToRel:
             if len(args) != 1:
                 raise PlanError(f"{name} expects a single argument")
             at = args[0].get_type(schema)
-            if at is DataType.Date32 and low in ("sum", "avg"):
-                raise PlanError(f"{name} is not defined for DATE values")
+            if at in (DataType.Date32, DataType.Timestamp) and low in ("sum", "avg"):
+                kindname = "DATE" if at is DataType.Date32 else "TIMESTAMP"
+                raise PlanError(f"{name} is not defined for {kindname} values")
             # return type = argument type (reference: sqlplanner.rs:317)
             return AggregateFunction(name, args, at)
         if low == "count":

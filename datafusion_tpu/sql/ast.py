@@ -100,6 +100,13 @@ class SQLDate(AstNode):
 
 
 @dataclass(frozen=True)
+class SQLTimestamp(AstNode):
+    """TIMESTAMP 'YYYY-MM-DD HH:MM:SS' literal (beyond the reference)."""
+
+    value: str
+
+
+@dataclass(frozen=True)
 class SQLBinaryExpr(AstNode):
     left: AstNode
     op: str  # canonical operator name: Eq, NotEq, Gt, ..., And, Or, Like

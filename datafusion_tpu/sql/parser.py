@@ -538,13 +538,24 @@ class Parser:
                 self.next()
                 return SQLDate(lt.value)
             # plain identifier named "date" otherwise
+        if up == "TIMESTAMP":
+            lt = self.peek()
+            if lt.kind is Tok.STRING:
+                from datafusion_tpu.sql.ast import SQLTimestamp
+
+                self.next()
+                return SQLTimestamp(lt.value)
+            # plain identifier named "timestamp" otherwise
         if up == "EXTRACT" and self.peek().kind is Tok.OP and self.peek().value == "(":
             # EXTRACT(unit FROM expr) sugar for unit(expr)
             self.next()
             unit = self.expect_ident()
-            if unit.upper() not in ("YEAR", "MONTH", "DAY"):
+            if unit.upper() not in (
+                "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND"
+            ):
                 raise ParserError(
-                    f"EXTRACT supports YEAR/MONTH/DAY, got {unit!r}"
+                    f"EXTRACT supports YEAR/MONTH/DAY/HOUR/MINUTE/SECOND, "
+                    f"got {unit!r}"
                 )
             self.expect_keyword("FROM")
             inner = self.parse_expr()

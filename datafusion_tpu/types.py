@@ -36,6 +36,11 @@ class DataType(enum.Enum):
     # sorts, groups, joins, MIN/MAX all run on the integer image
     # (utils/dates.py; beyond the reference, whose type set had no dates)
     Date32 = "Date32"
+    # Timestamp: SECONDS since the Unix epoch, int64 on device (int32 on
+    # no-x64 TPU → representable range 1901..2038 there, full range on
+    # x64 CPU; fractional seconds truncate — documented). All device
+    # operators ride the integer image (beyond the reference).
+    Timestamp = "Timestamp"
     # Struct values exist only on host (object column of python tuples);
     # the reference declared ScalarValue::Struct but every use was
     # unimplemented! (reference: logicalplan.rs:110,128). Here they are
@@ -51,7 +56,11 @@ class DataType(enum.Enum):
     @property
     def is_numeric(self) -> bool:
         return self not in (
-            DataType.Boolean, DataType.Utf8, DataType.Struct, DataType.Date32
+            DataType.Boolean,
+            DataType.Utf8,
+            DataType.Struct,
+            DataType.Date32,
+            DataType.Timestamp,
         )
 
     @property
@@ -108,6 +117,7 @@ _NP_DTYPES = {
     DataType.Utf8: np.dtype(np.int32),  # dictionary codes
     DataType.Struct: np.dtype(object),  # host-only
     DataType.Date32: np.dtype(np.int32),  # days since epoch
+    DataType.Timestamp: np.dtype(np.int64),  # seconds since epoch
 }
 
 _FROM_NP = {
@@ -206,8 +216,12 @@ _st(_D.Utf8, _D.Utf8, _D.Utf8)
 _st(_D.Boolean, _D.Boolean, _D.Boolean)
 
 
-# Date32 only unifies with itself (beyond the reference's lattice)
+# Date32 only unifies with itself (beyond the reference's lattice);
+# Date32 vs Timestamp compares as Timestamp (midnight of the date)
 _st(_D.Date32, _D.Date32, _D.Date32)
+_st(_D.Timestamp, _D.Timestamp, _D.Timestamp)
+_st(_D.Date32, _D.Timestamp, _D.Timestamp)
+_st(_D.Timestamp, _D.Date32, _D.Timestamp)
 
 
 def get_supertype(l: DataType, r: DataType) -> Optional[DataType]:
@@ -268,6 +282,7 @@ _COERCE_FROM: dict[DataType, frozenset[DataType]] = {
 
 
 _COERCE_FROM[_D.Date32] = frozenset({_D.Date32})
+_COERCE_FROM[_D.Timestamp] = frozenset({_D.Timestamp, _D.Date32})
 
 
 def can_coerce_from(target: DataType, source: DataType) -> bool:
@@ -317,3 +332,7 @@ class ScalarValue:
     @staticmethod
     def date32(days: int) -> "ScalarValue":
         return ScalarValue(DataType.Date32, int(days))
+
+    @staticmethod
+    def timestamp(seconds: int) -> "ScalarValue":
+        return ScalarValue(DataType.Timestamp, int(seconds))

@@ -81,3 +81,81 @@ def to_days_array(values) -> np.ndarray:
         else:
             out[i] = parse_iso_date(str(v))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Timestamp: seconds since the Unix epoch (fractional seconds truncate).
+# ---------------------------------------------------------------------------
+
+def parse_iso_timestamp(s: str) -> int:
+    """'YYYY-MM-DD[ |T]HH:MM:SS[.frac]' (or a bare date = midnight) →
+    seconds since epoch; raises ValueError on bad input."""
+    s = s.strip()
+    dt = datetime.datetime.fromisoformat(s.replace(" ", "T", 1) if " " in s else s)
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    days = days_from_civil(dt.year, dt.month, dt.day)
+    return days * 86400 + dt.hour * 3600 + dt.minute * 60 + dt.second
+
+
+def datetime_of_seconds(secs: int) -> datetime.datetime:
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=int(secs))
+
+
+def format_seconds(secs: int) -> str:
+    """'YYYY-MM-DD HH:MM:SS' rendering."""
+    return datetime_of_seconds(secs).isoformat(sep=" ")
+
+
+def _days_of_seconds_dev(secs):
+    return jnp.floor_divide(secs, 86400).astype(jnp.int32)
+
+
+def _second_of_day_dev(secs):
+    return (secs - jnp.floor_divide(secs, 86400) * 86400).astype(jnp.int32)
+
+
+def ts_extract_year(secs):
+    return extract_year(_days_of_seconds_dev(secs))
+
+
+def ts_extract_month(secs):
+    return extract_month(_days_of_seconds_dev(secs))
+
+
+def ts_extract_day(secs):
+    return extract_day(_days_of_seconds_dev(secs))
+
+
+def ts_extract_hour(secs):
+    return _second_of_day_dev(secs) // 3600
+
+
+def ts_extract_minute(secs):
+    return (_second_of_day_dev(secs) // 60) % 60
+
+
+def ts_extract_second(secs):
+    return _second_of_day_dev(secs) % 60
+
+
+def to_seconds_array(values) -> np.ndarray:
+    """Host conversion of a datetime-ish column to int64 seconds: accepts
+    datetime.datetime / datetime64 arrays / ISO strings / ints."""
+    arr = np.asarray(values)
+    if np.issubdtype(arr.dtype, np.datetime64):
+        return arr.astype("datetime64[s]").astype(np.int64)
+    if np.issubdtype(arr.dtype, np.integer):
+        return arr.astype(np.int64)
+    out = np.empty(len(arr), dtype=np.int64)
+    for i, v in enumerate(arr):
+        if isinstance(v, datetime.datetime):
+            out[i] = (
+                days_from_civil(v.year, v.month, v.day) * 86400
+                + v.hour * 3600 + v.minute * 60 + v.second
+            )
+        elif isinstance(v, datetime.date):
+            out[i] = days_from_civil(v.year, v.month, v.day) * 86400
+        else:
+            out[i] = parse_iso_timestamp(str(v))
+    return out

@@ -103,6 +103,14 @@ def format_cell(dtype, value) -> str:
         from datafusion_tpu.utils.dates import format_days
 
         return format_days(int(value))
+    if dtype is DataType.Timestamp:
+        import datetime as _dtm
+
+        if isinstance(value, _dtm.datetime):
+            return value.isoformat(sep=" ")
+        from datafusion_tpu.utils.dates import format_seconds
+
+        return format_seconds(int(value))
     if dtype is DataType.Float64:
         return rust_f64(float(value))
     if dtype is DataType.Float32:

@@ -293,3 +293,30 @@ def test_rows_frame_plan_rendering_serde():
     )
     assert "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING" in repr(plan)
     assert repr(plan_from_json(plan_to_json(plan))) == repr(plan)
+
+
+# ----------------------------------- ORDER BY over non-selected columns
+def test_order_by_hidden_column():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "h",
+        Table.from_pydict(
+            {"k": np.array([1, 2, 3, 4], np.int32), "v": np.array([40.0, 10.0, 30.0, 20.0])}
+        ),
+    )
+    assert ctx.sql("SELECT k FROM h ORDER BY v").result_str() == "2\n4\n3\n1\n"
+    # expression keys and mixed hidden/output keys
+    assert (
+        ctx.sql("SELECT k FROM h ORDER BY v * -1, k").result_str() == "1\n3\n4\n2\n"
+    )
+    # limit sits under the hidden-column drop: top-k fusion still fires
+    out = ctx.sql("EXPLAIN VERBOSE SELECT k FROM h ORDER BY v LIMIT 2").result_str()
+    assert "fused lax.top_k" in out
+    assert (
+        ctx.sql("SELECT k FROM h ORDER BY v DESC LIMIT 2 OFFSET 1").result_str()
+        == "3\n4\n"
+    )
+    # qualified hidden keys work too
+    assert (
+        ctx.sql("SELECT k FROM h AS a ORDER BY a.v LIMIT 1").result_str() == "2\n"
+    )

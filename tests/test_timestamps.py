@@ -1,0 +1,183 @@
+"""TIMESTAMP type: seconds since epoch on device (beyond the reference,
+whose type set had no temporal types at all)."""
+
+import datetime
+
+import numpy as np
+import pytest
+
+from datafusion_tpu import ExecutionContext, Table
+from datafusion_tpu.errors import PlanError
+
+
+def make_ctx():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "e",
+        Table.from_pydict(
+            {
+                "k": np.array([1, 2, 3], np.int32),
+                "ts": np.array(
+                    [
+                        "2021-03-15T08:30:05",
+                        "2022-07-01T23:59:59",
+                        "2021-03-15T10:00:00",
+                    ],
+                    "datetime64[s]",
+                ),
+            }
+        ),
+    )
+    return ctx
+
+
+def test_order_and_compare():
+    ctx = make_ctx()
+    assert (
+        ctx.sql("SELECT k, ts FROM e ORDER BY ts").result_str()
+        == "1\t2021-03-15 08:30:05\n3\t2021-03-15 10:00:00\n2\t2022-07-01 23:59:59\n"
+    )
+    assert (
+        ctx.sql(
+            "SELECT k FROM e WHERE ts > TIMESTAMP '2021-03-15 09:00:00' ORDER BY k"
+        ).result_str()
+        == "2\n3\n"
+    )
+    # bare-date TIMESTAMP literal = midnight
+    assert (
+        ctx.sql("SELECT k FROM e WHERE ts = TIMESTAMP '2021-03-15'").result_str()
+        == ""
+    )
+
+
+def test_extract_fields():
+    ctx = make_ctx()
+    assert (
+        ctx.sql(
+            "SELECT k, EXTRACT(HOUR FROM ts), EXTRACT(MINUTE FROM ts), "
+            "EXTRACT(SECOND FROM ts) FROM e ORDER BY k"
+        ).result_str()
+        == "1\t8\t30\t5\n2\t23\t59\t59\n3\t10\t0\t0\n"
+    )
+    assert (
+        ctx.sql("SELECT k, YEAR(ts), MONTH(ts), DAY(ts) FROM e ORDER BY k").result_str()
+        == "1\t2021\t3\t15\n2\t2022\t7\t1\n3\t2021\t3\t15\n"
+    )
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT HOUR(k) FROM e")  # HOUR needs a Timestamp
+
+
+def test_date_timestamp_coercion_and_casts():
+    ctx = make_ctx()
+    # Date32 coerces to Timestamp (midnight) in comparisons
+    assert (
+        ctx.sql("SELECT k FROM e WHERE ts > DATE '2021-06-01' ORDER BY k").result_str()
+        == "2\n"
+    )
+    assert (
+        ctx.sql(
+            "SELECT k FROM e WHERE CAST(ts AS DATE) = DATE '2021-03-15' ORDER BY k"
+        ).result_str()
+        == "1\n3\n"
+    )
+    assert (
+        ctx.sql(
+            "SELECT CAST(DATE '2021-03-15' AS TIMESTAMP) FROM e LIMIT 1"
+        ).result_str()
+        == "2021-03-15 00:00:00\n"
+    )
+
+
+def test_aggregate_and_group():
+    ctx = make_ctx()
+    assert (
+        ctx.sql("SELECT MIN(ts), MAX(ts) FROM e").result_str()
+        == "2021-03-15 08:30:05\t2022-07-01 23:59:59\n"
+    )
+    assert (
+        ctx.sql("SELECT YEAR(ts), COUNT(k) FROM e GROUP BY YEAR(ts) ORDER BY 1").result_str()
+        == "2021\t2\n2022\t1\n"
+    )
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT SUM(ts) FROM e")
+
+
+def test_to_pylist_gives_datetimes():
+    ctx = make_ctx()
+    rows = ctx.sql("SELECT ts FROM e ORDER BY ts LIMIT 1").to_pylist()
+    assert rows == [{"ts": datetime.datetime(2021, 3, 15, 8, 30, 5)}]
+
+
+def test_csv_ingest_both_paths(tmp_path):
+    csv = tmp_path / "ts.csv"
+    csv.write_text(
+        "k,ts\n"
+        "1,2021-03-15 08:30:05\n"
+        "2,2022-07-01T23:59:59\n"
+        "3,2021-03-15 10:00:00.25\n"  # fraction truncates
+        "4,2020-01-01\n"  # bare date = midnight
+        "5,\n"  # NULL
+    )
+    expected = (
+        "1\t2021-03-15 08:30:05\n"
+        "2\t2022-07-01 23:59:59\n"
+        "3\t2021-03-15 10:00:00\n"
+        "4\t2020-01-01 00:00:00\n"
+        "5\tNULL\n"
+    )
+    import os
+
+    for native in ("1", "0"):
+        os.environ["DFTPU_NATIVE_CSV"] = native
+        try:
+            ctx = ExecutionContext()
+            ctx.sql(
+                "CREATE EXTERNAL TABLE e (k INT, ts TIMESTAMP) STORED AS CSV "
+                f"WITH HEADER ROW LOCATION '{csv}'"
+            )
+            out = ctx.sql("SELECT k, ts FROM e ORDER BY k").result_str()
+            assert out == expected, f"native={native}"
+        finally:
+            os.environ.pop("DFTPU_NATIVE_CSV", None)
+
+
+def test_ctas_roundtrip_timestamps():
+    ctx = make_ctx()
+    ctx.sql("CREATE TABLE c AS SELECT k, ts FROM e WHERE k < 3")
+    assert (
+        ctx.sql("SELECT k, ts FROM c ORDER BY k").result_str()
+        == "1\t2021-03-15 08:30:05\n2\t2022-07-01 23:59:59\n"
+    )
+
+
+def test_from_pydict_datetime_objects():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "p",
+        Table.from_pydict(
+            {
+                "ts": [
+                    datetime.datetime(2021, 1, 1, 12, 0, 1),
+                    datetime.datetime(1999, 12, 31, 23, 59, 59),
+                ]
+            }
+        ),
+    )
+    assert (
+        ctx.sql("SELECT ts FROM p ORDER BY ts").result_str()
+        == "1999-12-31 23:59:59\n2021-01-01 12:00:01\n"
+    )
+
+
+def test_distributed_timestamp_parity():
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    single = make_ctx()
+    dist = ExecutionContext(mesh=make_mesh())
+    dist.register_table("e", single.table("e"))
+    for sql in (
+        "SELECT k, ts FROM e ORDER BY ts",
+        "SELECT MIN(ts), MAX(ts) FROM e",
+        "SELECT YEAR(ts), COUNT(k) FROM e GROUP BY YEAR(ts) ORDER BY 1",
+    ):
+        assert single.sql(sql).result_str() == dist.sql(sql).result_str(), sql

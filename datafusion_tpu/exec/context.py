@@ -35,7 +35,37 @@ _DDL_NODES = (
     A.SQLDropTable,
     A.SQLShowTables,
     A.SQLDescribeTable,
+    A.SQLInsert,
 )
+
+
+def _table_from_results(schema: Schema, rts) -> Table:
+    """Concatenate host ResultTables (same schema) into a device Table."""
+    import datetime as _dtm
+
+    arrays = []
+    validity = []
+    for j, f in enumerate(schema.fields):
+        vals: list = []
+        for rt in rts:
+            vals.extend(rt.column_values(j))
+        mask = np.array([v is not None for v in vals], dtype=bool)
+        if f.dtype is DataType.Utf8:
+            arrays.append(["" if v is None else str(v) for v in vals])
+        elif f.dtype is DataType.Date32:
+            arrays.append(
+                [_dtm.date(1970, 1, 1) if v is None else v for v in vals]
+            )
+        elif f.dtype is DataType.Timestamp:
+            arrays.append(
+                [_dtm.datetime(1970, 1, 1) if v is None else v for v in vals]
+            )
+        else:
+            arrays.append(
+                np.array([0 if v is None else v for v in vals], f.dtype.to_np())
+            )
+        validity.append(None if mask.all() else mask)
+    return Table.from_arrays(schema, arrays, validity=validity)
 
 
 @dataclass
@@ -178,6 +208,9 @@ class ExecutionContext:
             plan = SqlToRel(self._catalog).sql_to_rel(node.select)
             self.register_table(node.name, self.execute(plan).to_table())
             return ResultTable(Schema.empty(), [], [])
+        if isinstance(node, A.SQLInsert):
+            self._execute_insert(node)
+            return ResultTable(Schema.empty(), [], [])
         if isinstance(node, A.SQLDropTable):
             if node.name not in self._tables:
                 if node.if_exists:
@@ -258,6 +291,50 @@ class ExecutionContext:
         return compiled.run()
 
     # ------------------------------------------------------------------
+    def _execute_insert(self, node: A.SQLInsert) -> None:
+        """INSERT INTO (beyond the reference): run the source query,
+        coerce each column to the target schema, and re-materialize the
+        table as existing-rows + new-rows (device tables are immutable;
+        an insert rebuilds the table — documented)."""
+        from datafusion_tpu.plan.logical import Column as _Col, Projection as _Proj
+        from datafusion_tpu.plan.logical import TableScan as _Scan
+
+        target = self._tables.get(node.table)
+        if target is None:
+            raise PlanError(f"no table named {node.table} to insert into")
+        tschema = target.schema
+        src_plan = SqlToRel(self._catalog).sql_to_rel(node.source)
+        sschema = src_plan.schema
+        # optional column list reorders; it must cover every column
+        order = list(range(len(tschema)))
+        if node.columns is not None:
+            if sorted(node.columns) != sorted(tschema.names()):
+                raise PlanError(
+                    "INSERT column list must name every target column "
+                    f"exactly once (target: {tschema.names()})"
+                )
+            pos = {c: i for i, c in enumerate(node.columns)}
+            order = [pos[f.name] for f in tschema.fields]
+        if len(sschema) != len(tschema):
+            raise PlanError(
+                f"INSERT source has {len(sschema)} columns, table "
+                f"{node.table} has {len(tschema)}"
+            )
+        casts = []
+        for i, f in enumerate(tschema.fields):
+            src_col = _Col(order[i])
+            st = sschema.field(order[i]).dtype
+            if st is f.dtype:
+                casts.append(src_col)
+            else:
+                casts.append(src_col.cast_to(f.dtype, sschema))
+        src_plan = _Proj(tuple(casts), src_plan, tschema)
+        new_rt = self.execute(src_plan)
+        old_rt = self.execute(_Scan("default", node.table, tschema, None))
+        self.register_table(
+            node.table, _table_from_results(tschema, [old_rt, new_rt])
+        )
+
     def _execute_ddl(self, node: A.SQLCreateExternalTable) -> None:
         fields = [
             Field(c.name, convert_data_type(c.type_name), c.allow_null)

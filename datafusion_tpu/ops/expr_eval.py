@@ -148,12 +148,12 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
         sv = expr.value
         dt = sv.dtype
         if dt is DataType.Utf8:
-            # string literals only appear inside comparisons, which are
-            # rewritten against the column dictionary below
-            def fail(cols):
-                raise ExecutionError("bare Utf8 literal cannot be evaluated on device")
-
-            return CompiledExpr(fail, dt, None)
+            # a bare string literal projects as a one-entry dictionary
+            # column of code 0 (string comparisons never reach here —
+            # they rewrite against the column dictionary below)
+            vocab = (str(sv.value),)
+            zero = jnp.zeros((), jnp.int32)
+            return CompiledExpr(lambda cols, z=zero: (z, None), dt, vocab)
         const = jnp.asarray(sv.value, dtype=physical_np(dt))
         return CompiledExpr(lambda cols, c=const: (c, None), dt)
 
@@ -211,6 +211,31 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
             return v, None
 
         return CompiledExpr(isnotnull_fn, DataType.Boolean)
+
+    if isinstance(expr, ScalarFunction) and expr.name.lower() in (
+        "date_add_days", "ts_add_seconds", "add_months_days", "add_months_seconds"
+    ):
+        from datafusion_tpu.utils import dates as _dates
+        from datafusion_tpu.plan.logical import Literal as _Lit
+
+        inner = _compile(expr.args[0], schema, dicts, registry)
+        assert isinstance(expr.args[1], _Lit)
+        n = int(expr.args[1].value.value)
+        low = expr.name.lower()
+        if low == "date_add_days":
+            op = lambda d: (d + jnp.int32(n)).astype(d.dtype)
+        elif low == "ts_add_seconds":
+            op = lambda d: d + jnp.asarray(n, d.dtype)
+        elif low == "add_months_days":
+            op = lambda d: _dates.add_months_days(d, n)
+        else:
+            op = lambda d: _dates.add_months_seconds(d, n)
+
+        def iv_fn(cols, inner=inner, op=op):
+            d, v = inner.fn(cols)
+            return op(d), v
+
+        return CompiledExpr(iv_fn, expr.return_type)
 
     if isinstance(expr, ScalarFunction) and expr.name.lower() in (
         "year", "month", "day", "hour", "minute", "second"

@@ -253,6 +253,53 @@ class SqlToRel:
         raise PlanError(f"sql_to_rel does not support this relation: {node!r}")
 
     # ------------------------------------------------------------------
+    def _plan_interval_arith(self, node, schema, qualifiers) -> Expr:
+        """expr ± INTERVAL 'n' UNIT (beyond the reference).
+
+        Fixed-width units add a constant on the integer image (days for
+        DATE, seconds for TIMESTAMP; a sub-day unit promotes DATE to
+        TIMESTAMP). YEAR/MONTH are calendar-aware device functions with
+        end-of-month clamping (utils/dates.py add_months_*)."""
+        if isinstance(node.right, A.SQLInterval):
+            base_ast, iv = node.left, node.right
+        else:
+            if node.op == "Minus":
+                raise PlanError("INTERVAL - expr is not defined")
+            base_ast, iv = node.right, node.left
+        base = self.sql_to_rex(base_ast, schema, qualifiers)
+        bt = base.get_type(schema)
+        if bt not in (DataType.Date32, DataType.Timestamp):
+            raise PlanError(
+                "INTERVAL arithmetic requires a DATE or TIMESTAMP operand, "
+                f"got {bt!r}"
+            )
+        n = iv.value if node.op == "Plus" else -iv.value
+        if iv.unit in ("YEAR", "MONTH"):
+            months = n * 12 if iv.unit == "YEAR" else n
+            fname = (
+                "add_months_days" if bt is DataType.Date32 else "add_months_seconds"
+            )
+            return ScalarFunction(
+                fname, (base, Literal(ScalarValue.int64(months))), bt
+            )
+        if bt is DataType.Date32 and iv.unit in ("WEEK", "DAY"):
+            days = n * 7 if iv.unit == "WEEK" else n
+            return ScalarFunction(
+                "date_add_days", (base, Literal(ScalarValue.int64(days))), bt
+            )
+        # sub-day units promote DATE to TIMESTAMP (midnight base)
+        secs_per = {
+            "WEEK": 7 * 86400, "DAY": 86400, "HOUR": 3600,
+            "MINUTE": 60, "SECOND": 1,
+        }[iv.unit]
+        if bt is DataType.Date32:
+            base = Cast(base, DataType.Timestamp)
+        return ScalarFunction(
+            "ts_add_seconds",
+            (base, Literal(ScalarValue.int64(n * secs_per))),
+            DataType.Timestamp,
+        )
+
     def _plan_with(self, node: A.SQLWith) -> LogicalPlan:
         """WITH a AS (...), b AS (...) body — register each CTE with a
         snapshot of the scope at its definition (so b sees a, a does
@@ -393,7 +440,16 @@ class SqlToRel:
             self._scalar_subs = saved
             self._window_cols = saved_w
 
+    _AGG_FN_NAMES = frozenset(
+        {"min", "max", "sum", "avg", "count",
+         "stddev", "stddev_samp", "stddev_pop",
+         "variance", "var_samp", "var_pop"}
+    )
+
     def _plan_select_impl(self, sel: A.SQLSelect) -> LogicalPlan:
+        rewritten = self._rewrite_grouped_windows(sel)
+        if rewritten is not None:
+            return self._plan_select(rewritten)
         if sel.relation is not None:
             input_plan = self.sql_to_rel(sel.relation)
             qualifiers = self._relation_qualifiers(sel.relation)
@@ -560,7 +616,15 @@ class SqlToRel:
                         )
                     key: Expr = Column(i - 1)
                 else:
+                    # window keys resolve via _window_cols against the
+                    # window-extended INPUT schema — always hidden
+                    has_win = any(
+                        isinstance(n, A.SQLWindowExpr)
+                        for n in self._iter_ast(ob.expr)
+                    )
                     try:
+                        if has_win:
+                            raise PlanError("window sort key is hidden")
                         key = self.sql_to_rex(ob.expr, proj_schema, None)
                     except (PlanError, InvalidColumnError):
                         e = self.sql_to_rex(ob.expr, input_schema, qualifiers)
@@ -611,6 +675,168 @@ class SqlToRel:
                 proj_schema,
             )
         return self._plan_order_limit(sel, plan, qualifiers)
+
+    # scope boundaries: AST walks/transforms never descend into these
+    _SCOPE_NODES = (
+        A.SQLSelect, A.SQLUnion, A.SQLSetOp, A.SQLWith,
+        A.SQLDerivedTable, A.SQLScalarSubquery, A.SQLInSubquery, A.SQLExists,
+    )
+
+    def _ast_transform(self, node, fn):
+        """Bottom-free structural rewrite: fn(node) may replace a node
+        wholesale; otherwise children rebuild recursively. Nested SELECT
+        scopes are left untouched."""
+        import dataclasses
+
+        new = fn(node)
+        if new is not node:
+            return new
+        if isinstance(node, self._SCOPE_NODES) or not dataclasses.is_dataclass(node):
+            return node
+
+        def walk_val(v):
+            if isinstance(v, A.AstNode):
+                return self._ast_transform(v, fn)
+            if isinstance(v, tuple):
+                return tuple(walk_val(x) for x in v)
+            return v
+
+        kwargs = {
+            f.name: walk_val(getattr(node, f.name))
+            for f in dataclasses.fields(node)
+        }
+        return type(node)(**kwargs)
+
+    def _iter_ast(self, node):
+        """All nodes in the current SELECT scope (window internals
+        included; nested scopes excluded)."""
+        import dataclasses
+
+        yield node
+        if isinstance(node, self._SCOPE_NODES):
+            return
+
+        def walk_val(v):
+            if isinstance(v, A.AstNode):
+                yield from self._iter_ast(v)
+            elif isinstance(v, tuple):
+                for x in v:
+                    yield from walk_val(x)
+
+        if dataclasses.is_dataclass(node):
+            for f in dataclasses.fields(node):
+                yield from walk_val(getattr(node, f.name))
+
+    def _rewrite_grouped_windows(self, sel: A.SQLSelect) -> Optional[A.SQLSelect]:
+        """Window functions combined with GROUP BY / aggregates (beyond
+        the reference): desugar into
+
+            SELECT <items, aggregates→__aj, group exprs→__gi>
+            FROM (SELECT g AS __gi, agg AS __aj FROM ... WHERE ...
+                  GROUP BY ... HAVING ...) __grp
+            [ORDER BY ... LIMIT ...]
+
+        so windows evaluate over the aggregate output rows (ANSI order:
+        WHERE → GROUP BY → HAVING → window → ORDER BY). Returns the
+        rewritten outer SELECT, or None when the query has no windows or
+        no grouping (plain paths handle those)."""
+        roots = list(sel.projection) + [ob.expr for ob in sel.order_by]
+        has_window = False
+        aggs: list[A.SQLFunction] = []
+
+        def scan(n, inside_window: bool) -> None:
+            nonlocal has_window
+            if isinstance(n, A.SQLWindowExpr):
+                has_window = True
+                for a in n.func.args:
+                    scan_tree(a, True)
+                for e in n.partition_by:
+                    scan_tree(e, True)
+                for ob in n.order_by:
+                    scan_tree(ob.expr, True)
+                return
+            if (
+                isinstance(n, A.SQLFunction)
+                and n.name.lower() in self._AGG_FN_NAMES
+            ):
+                if n not in aggs:
+                    aggs.append(n)
+                return  # no nested aggregates
+
+        def scan_tree(root, inside_window: bool) -> None:
+            import dataclasses
+
+            stack = [root]
+            while stack:
+                n = stack.pop()
+                if isinstance(n, A.SQLWindowExpr) or (
+                    isinstance(n, A.SQLFunction)
+                    and n.name.lower() in self._AGG_FN_NAMES
+                ):
+                    scan(n, inside_window)
+                    continue
+                if isinstance(n, self._SCOPE_NODES):
+                    continue
+                if dataclasses.is_dataclass(n):
+                    for f in dataclasses.fields(n):
+                        v = getattr(n, f.name)
+                        vs = v if isinstance(v, tuple) else (v,)
+                        for x in vs:
+                            if isinstance(x, A.AstNode):
+                                stack.append(x)
+                            elif isinstance(x, tuple):
+                                stack.extend(
+                                    y for y in x if isinstance(y, A.AstNode)
+                                )
+
+        for r in roots:
+            scan_tree(r, False)
+        if not has_window or (not sel.group_by and not aggs):
+            return None
+
+        group_alias = {g: f"__g{i}" for i, g in enumerate(sel.group_by)}
+        agg_alias = {a: f"__a{j}" for j, a in enumerate(aggs)}
+        inner_items = tuple(
+            A.SQLAliasedExpr(g, nm) for g, nm in group_alias.items()
+        ) + tuple(A.SQLAliasedExpr(a, nm) for a, nm in agg_alias.items())
+        inner = A.SQLSelect(
+            projection=inner_items,
+            distinct=False,
+            relation=sel.relation,
+            selection=sel.selection,
+            # group by the __gi aliases so the aggregate output schema
+            # carries them (outer references resolve by those names)
+            group_by=tuple(A.SQLIdentifier(nm) for nm in group_alias.values()),
+            having=sel.having,
+            order_by=(),
+            limit=None,
+        )
+
+        def sub(n):
+            if isinstance(n, A.SQLFunction) and n in agg_alias:
+                return A.SQLIdentifier(agg_alias[n])
+            if n in group_alias:
+                return A.SQLIdentifier(group_alias[n])
+            return n
+
+        outer_proj = tuple(self._ast_transform(e, sub) for e in sel.projection)
+        outer_order = tuple(
+            A.SQLOrderByExpr(
+                self._ast_transform(ob.expr, sub), ob.asc, ob.nulls_first
+            )
+            for ob in sel.order_by
+        )
+        return A.SQLSelect(
+            projection=outer_proj,
+            distinct=sel.distinct,
+            relation=A.SQLDerivedTable(inner, "__grp"),
+            selection=None,
+            group_by=(),
+            having=None,
+            order_by=outer_order,
+            limit=sel.limit,
+            offset=sel.offset,
+        )
 
     def _attach_correlated_scalar(
         self,
@@ -901,7 +1127,7 @@ class SqlToRel:
                                     yield from iter_wins(w)
 
         nodes: list[A.SQLWindowExpr] = []
-        for r in sel.projection:
+        for r in list(sel.projection) + [ob.expr for ob in sel.order_by]:
             nodes.extend(iter_wins(r))
         self._window_cols = {}
         if not nodes:
@@ -1352,6 +1578,20 @@ class SqlToRel:
                 return Literal(ScalarValue.date32(parse_iso_date(node.value)))
             except ValueError as e:
                 raise PlanError(f"invalid DATE literal {node.value!r}: {e}")
+        if isinstance(node, A.SQLInterval):
+            raise PlanError(
+                "INTERVAL is only valid added to / subtracted from a DATE "
+                "or TIMESTAMP"
+            )
+        if (
+            isinstance(node, A.SQLBinaryExpr)
+            and node.op in ("Plus", "Minus")
+            and (
+                isinstance(node.right, A.SQLInterval)
+                or isinstance(node.left, A.SQLInterval)
+            )
+        ):
+            return self._plan_interval_arith(node, schema, qualifiers)
         if isinstance(node, A.SQLTimestamp):
             from datafusion_tpu.utils.dates import parse_iso_timestamp
 

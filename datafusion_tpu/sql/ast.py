@@ -107,6 +107,15 @@ class SQLTimestamp(AstNode):
 
 
 @dataclass(frozen=True)
+class SQLInterval(AstNode):
+    """INTERVAL 'n' UNIT literal — only valid as one side of +/- with a
+    DATE or TIMESTAMP (beyond the reference)."""
+
+    value: int
+    unit: str  # YEAR | MONTH | WEEK | DAY | HOUR | MINUTE | SECOND
+
+
+@dataclass(frozen=True)
 class SQLBinaryExpr(AstNode):
     left: AstNode
     op: str  # canonical operator name: Eq, NotEq, Gt, ..., And, Or, Like
@@ -277,6 +286,16 @@ class SQLDropTable(AstNode):
 
     name: str
     if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class SQLInsert(AstNode):
+    """INSERT INTO name [(cols)] VALUES ... | SELECT ... — appends rows
+    to a registered table (beyond the reference)."""
+
+    table: str
+    columns: "Optional[tuple[str, ...]]"
+    source: AstNode
 
 
 @dataclass(frozen=True)

@@ -185,6 +185,28 @@ class Parser:
             name = self.expect_ident()
             self.expect_keyword("AS")
             return SQLCreateTableAs(name, self._parse_select_set())
+        if self.consume_keywords("INSERT", "INTO"):
+            from datafusion_tpu.sql.ast import SQLInsert
+
+            name = self.expect_ident()
+            cols = None
+            if self.consume_op("("):
+                cols = [self.expect_ident()]
+                while self.consume_op(","):
+                    cols.append(self.expect_ident())
+                self.expect_op(")")
+            t = self.peek()
+            if t.kind is Tok.IDENT and t.upper == "VALUES":
+                source = self._parse_values()
+            elif t.kind is Tok.IDENT and t.upper in ("SELECT", "WITH"):
+                source = self._parse_select_set()
+            else:
+                raise ParserError(
+                    f"INSERT expects VALUES or SELECT, found {t.value!r}"
+                )
+            return SQLInsert(name, None if cols is None else tuple(cols), source)
+        if self.peek().kind is Tok.IDENT and self.peek().upper == "VALUES":
+            return self._parse_values()
         if self.consume_keywords("DROP", "TABLE"):
             from datafusion_tpu.sql.ast import SQLDropTable
 
@@ -236,6 +258,38 @@ class Parser:
             had_setop = True
         if had_setop:
             node = _hoist_trailing_order(node)
+        return node
+
+    def _parse_values(self) -> AstNode:
+        """VALUES (a, b), (c, d) — desugars to a UNION ALL chain of
+        FROM-less SELECTs (beyond the reference)."""
+        from datafusion_tpu.sql.ast import SQLUnion
+
+        self.expect_keyword("VALUES")
+        selects: list[AstNode] = []
+        while True:
+            self.expect_op("(")
+            exprs = [self.parse_expr()]
+            while self.consume_op(","):
+                exprs.append(self.parse_expr())
+            self.expect_op(")")
+            selects.append(
+                SQLSelect(
+                    projection=tuple(exprs),
+                    distinct=False,
+                    relation=None,
+                    selection=None,
+                    group_by=(),
+                    having=None,
+                    order_by=(),
+                    limit=None,
+                )
+            )
+            if not self.consume_op(","):
+                break
+        node: AstNode = selects[0]
+        for sel in selects[1:]:
+            node = SQLUnion(node, sel, True)
         return node
 
     def _parse_intersect(self) -> AstNode:
@@ -538,6 +592,33 @@ class Parser:
                 self.next()
                 return SQLDate(lt.value)
             # plain identifier named "date" otherwise
+        if up == "INTERVAL":
+            lt = self.peek()
+            if lt.kind is Tok.STRING:
+                from datafusion_tpu.sql.ast import SQLInterval
+
+                self.next()
+                parts = lt.value.strip().split()
+                try:
+                    n = int(parts[0])
+                except (ValueError, IndexError):
+                    raise ParserError(
+                        f"INTERVAL value must be an integer, got {lt.value!r}"
+                    )
+                unit = parts[1] if len(parts) > 1 else None
+                if unit is None:
+                    t = self.peek()
+                    if t.kind is not Tok.IDENT:
+                        raise ParserError("INTERVAL requires a unit")
+                    self.next()
+                    unit = t.value
+                unit = unit.upper().rstrip("S")  # DAYS → DAY
+                if unit not in (
+                    "YEAR", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND"
+                ):
+                    raise ParserError(f"unsupported INTERVAL unit {unit!r}")
+                return SQLInterval(n, unit)
+            # plain identifier named "interval" otherwise
         if up == "TIMESTAMP":
             lt = self.peek()
             if lt.kind is Tok.STRING:

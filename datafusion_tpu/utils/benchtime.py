@@ -1,27 +1,27 @@
 """Device-time measurement for compiled query pipelines.
 
-Two defenses against this machine's tunneled TPU backend:
+Defenses against this machine's tunneled TPU backend:
 
 1. Host readback fence — `block_until_ready` returns EARLY through the
    tunnel, so every timed region ends with a 1-element readback (the TPU
    stream is in-order; the readback cannot complete before every queued
    program has).
-2. Depth sweep — each dispatch costs ~0.5-0.9 ms of host+tunnel overhead,
-   and past a modest number of in-flight executions the tunnel
-   backpressures. For sub-millisecond pipelines a deep dispatch-per-
-   iteration slope measures the HOST, not the chip (observed: the c1
-   filter+project pipeline reads 40.6 Grows/s at depth 64 but 60 Grows/s
-   at depth 12, matching standalone XLA kernels of the same shape).
-   Dispatch overhead only ever ADDS to the slope, so the per-iteration
-   device time is estimated as the MINIMUM median slope over several
-   queue depths.
+2. Min-envelope two-depth slope — the tunnel has multi-second slow
+   stretches in BOTH directions: a slow baseline dispatch used to make
+   the old adjacent-pair slope collapse (observed: reported throughput
+   2x ABOVE the physical HBM roofline, i.e. the estimator, not the
+   chip). Tunnel noise is strictly additive, so min-over-trials of the
+   wall time of a d-dispatch batch is a tight lower envelope of its
+   true cost; the slope between the min envelopes at two depths
+   (interleaved trials, so conditions match) estimates the steady-state
+   per-iteration device time and cannot drop below it.
 
 Measuring INSIDE one dispatch via lax.fori_loop was tried and REJECTED:
 XLA hoists the loop-invariant pipeline body, and every dependence-chain
 workaround either pays a full input-buffer copy per iteration (a
 functional .at[].add on a loop-invariant operand) or gets dead-code-
 eliminated down to one element — observed misreads of 2-30x in both
-directions. Multi-dispatch slopes it is.
+directions. Multi-dispatch envelopes it is.
 """
 
 from __future__ import annotations
@@ -42,17 +42,19 @@ def _fence(out) -> None:
     raise ValueError("pipeline returned no arrays")
 
 
-def time_pipeline(fn, env, depths=(6, 12, 24), repeats: int = 1) -> float:
-    """Median per-iteration device time of `fn(env)` in seconds: slope of
-    (1+k)-vs-1 dispatch batches, minimized over queue depths, fenced by a
-    1-element readback.
+def time_pipeline(
+    fn, env, depths=(6, 24), repeats: int = 1, trials: int = 4
+) -> float:
+    """Per-iteration device time of `fn(env)` in seconds.
 
-    `repeats` re-runs the whole sweep and takes the MEDIAN of the
-    per-sweep estimates — the tunnel to this machine's chip has
-    multi-second slow stretches (which inflate a sweep) but timing noise
-    on the 1-dispatch baseline can also DEFLATE a slope below the true
-    device time, so min-of-sweeps over-reads; the median is robust to
-    one bad sweep in either direction."""
+    Times batches of d1 and d2 fenced dispatches, interleaved for
+    `trials` rounds; the estimate is (min T(d2) - min T(d1)) / (d2 - d1).
+    Both fixed costs (dispatch setup, the fence's tunnel round-trip) and
+    additive tunnel noise cancel in the difference of the min envelopes.
+    `repeats` repeats the whole estimate and takes the median."""
+    if len(depths) > 2:  # legacy callers passed 3 depths
+        depths = (depths[0], depths[-1])
+    d1, d2 = depths
 
     def run(k: int) -> None:
         out = None
@@ -61,26 +63,28 @@ def time_pipeline(fn, env, depths=(6, 12, 24), repeats: int = 1) -> float:
         _fence(out)
 
     run(2)  # compile + warm
-    # scale depths down for slow pipelines so one estimate stays < ~4 s
     t0 = time.perf_counter()
     run(1)
     per = max(time.perf_counter() - t0, 1e-5)
-    sweeps = []
+    # scale depths down for slow pipelines so one batch stays < ~4 s
+    scale = min(1.0, 4.0 / (per * d2))
+    d1 = max(1, int(d1 * scale))
+    d2 = max(d1 + 1, int(d2 * scale))
+
+    estimates = []
     for _ in range(max(1, repeats)):
-        best = None
-        for depth in depths:
-            d = max(2, min(depth, int(4.0 / per) or 2))
-            slopes = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                run(1)
-                t1 = time.perf_counter()
-                run(1 + d)
-                t2 = time.perf_counter()
-                slopes.append(((t2 - t1) - (t1 - t0)) / d)
-            s = statistics.median(slopes)
-            best = s if best is None else min(best, s)
-            if d < depth:  # depths collapsed for a slow pipeline: one sweep
-                break
-        sweeps.append(best)
-    return max(statistics.median(sweeps), 1e-9)
+        lo = [float("inf"), float("inf")]
+        for _ in range(max(2, trials)):
+            t0 = time.perf_counter()
+            run(d1)
+            lo[0] = min(lo[0], time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            run(d2)
+            lo[1] = min(lo[1], time.perf_counter() - t0)
+        slope = (lo[1] - lo[0]) / (d2 - d1)
+        # a negative/degenerate slope means a slow stretch poisoned every
+        # d2 trial relative to d1; fall back to the amortized deep batch
+        if slope <= 0:
+            slope = lo[1] / d2
+        estimates.append(slope)
+    return max(statistics.median(estimates), 1e-9)

@@ -159,3 +159,46 @@ def to_seconds_array(values) -> np.ndarray:
         else:
             out[i] = parse_iso_timestamp(str(v))
     return out
+
+
+# ---------------------------------------------------------------------------
+# INTERVAL arithmetic (beyond the reference).
+# ---------------------------------------------------------------------------
+
+def _days_from_civil_dev(y, m, d):
+    """Vectorized civil date → days since epoch (device arrays)."""
+    y = y - (m <= 2)
+    era = jnp.where(y >= 0, y, y - 399) // 400
+    yoe = y - era * 400
+    doy = (153 * (m + jnp.where(m > 2, -3, 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return (era * 146097 + doe - 719468).astype(jnp.int32)
+
+
+def _days_in_month_dev(y, m):
+    lengths = jnp.asarray([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+                          dtype=jnp.int32)
+    base = lengths[m - 1]
+    leap = jnp.logical_or(
+        jnp.logical_and(y % 4 == 0, y % 100 != 0), y % 400 == 0
+    )
+    return jnp.where(jnp.logical_and(m == 2, leap), 29, base)
+
+
+def add_months_days(days, n: int):
+    """days-since-epoch + n calendar months, day-of-month clamped to the
+    target month's length (SQL convention: Jan 31 + 1 MONTH = Feb 28/29)."""
+    y, m, d = _civil_from_days_dev(days)
+    total = y * 12 + (m - 1) + jnp.int32(n)
+    y2 = jnp.floor_divide(total, 12)
+    m2 = total - y2 * 12 + 1
+    d2 = jnp.minimum(d, _days_in_month_dev(y2, m2))
+    return _days_from_civil_dev(y2, m2, d2)
+
+
+def add_months_seconds(secs, n: int):
+    """seconds-since-epoch + n calendar months (time of day preserved)."""
+    days = _days_of_seconds_dev(secs)
+    sod = _second_of_day_dev(secs)
+    d2 = add_months_days(days, n)
+    return d2.astype(secs.dtype) * 86400 + sod.astype(secs.dtype)

@@ -125,3 +125,66 @@ def test_join_on_float_keys():
     )
     out = ctx.sql("SELECT i, j FROM a JOIN b ON a.x = b.y ORDER BY i").result_str()
     assert out == "1\t30\n2\t10\n3\t20\n"
+
+
+def test_insert_values_and_select():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "t", Table.from_pydict({"g": ["x", "y"], "v": np.array([1.0, 2.0])})
+    )
+    ctx.sql("INSERT INTO t VALUES ('z', 3.5), ('w', 4)")
+    assert (
+        ctx.sql("SELECT g, v FROM t ORDER BY v").result_str()
+        == '"x"\t1.0\n"y"\t2.0\n"z"\t3.5\n"w"\t4.0\n'
+    )
+    # reordered column list
+    ctx.sql("INSERT INTO t (v, g) VALUES (9, 'q')")
+    assert '"q"\t9.0\n' in ctx.sql("SELECT g, v FROM t ORDER BY v").result_str()
+    # INSERT ... SELECT (self-referential reads the pre-insert snapshot)
+    ctx.sql("INSERT INTO t SELECT g, v * 10 FROM t WHERE v < 2")
+    assert (
+        ctx.sql("SELECT COUNT(v) FROM t").result_str() == "6\n"
+    )
+
+
+def test_insert_preserves_nulls_and_temporals():
+    import datetime
+
+    from datafusion_tpu.schema import Field, Schema
+    from datafusion_tpu.types import DataType
+
+    ctx = ExecutionContext()
+    t = Table.from_arrays(
+        Schema([Field("x", DataType.Float64, True), Field("d", DataType.Date32)]),
+        [np.array([1.0, 0.0]), np.array(["2021-01-01", "2021-06-15"], "datetime64[D]")],
+        validity=[np.array([True, False]), None],
+    )
+    ctx.register_table("t", t)
+    ctx.sql("INSERT INTO t VALUES (7.5, DATE '2022-02-02')")
+    assert (
+        ctx.sql("SELECT x, d FROM t ORDER BY d").result_str()
+        == "1.0\t2021-01-01\nNULL\t2021-06-15\n7.5\t2022-02-02\n"
+    )
+
+
+def test_insert_errors():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "t", Table.from_pydict({"g": ["x"], "v": np.array([1.0])})
+    )
+    with pytest.raises(PlanError):
+        ctx.sql("INSERT INTO t VALUES ('only-one')")
+    with pytest.raises(PlanError):
+        ctx.sql("INSERT INTO t (g) VALUES ('partial')")  # must cover all cols
+    with pytest.raises(PlanError):
+        ctx.sql("INSERT INTO missing VALUES (1, 2)")
+
+
+def test_values_statement_and_string_literal_projection():
+    ctx = ExecutionContext()
+    assert ctx.sql("VALUES (1, 'a'), (2, 'b')").result_str() == '1\t"a"\n2\t"b"\n'
+    ctx.register_table("t", Table.from_pydict({"v": np.array([1.0, 2.0])}))
+    assert (
+        ctx.sql("SELECT 'tag', v FROM t ORDER BY v").result_str()
+        == '"tag"\t1.0\n"tag"\t2.0\n'
+    )

@@ -26,7 +26,8 @@ BAD = [
     "SELECT a FROM t JOIN u",
     "SELECT a FROM t JOIN u ON",
     "SELECT ~a FROM t",
-    "INSERT INTO t VALUES (1)",
+    "INSERT INTO t SET a = 1",  # INSERT now parses; SET form does not
+    "INSERT INTO VALUES (1)",
     "SELECT a FROM t;;; SELECT",
     "SELECT a AS FROM t",
     "SELECT CAST(a AS) FROM t",

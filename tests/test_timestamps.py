@@ -181,3 +181,87 @@ def test_distributed_timestamp_parity():
         "SELECT YEAR(ts), COUNT(k) FROM e GROUP BY YEAR(ts) ORDER BY 1",
     ):
         assert single.sql(sql).result_str() == dist.sql(sql).result_str(), sql
+
+
+# ------------------------------------------------------------ INTERVAL
+def interval_ctx():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "e",
+        Table.from_pydict(
+            {
+                "k": np.array([1, 2, 3], np.int32),
+                "d": np.array(
+                    ["2021-01-31", "2020-02-29", "2021-12-15"], "datetime64[D]"
+                ),
+                "ts": np.array(
+                    [
+                        "2021-03-15T08:30:05",
+                        "2022-07-01T23:59:59",
+                        "2021-03-15T10:00:00",
+                    ],
+                    "datetime64[s]",
+                ),
+            }
+        ),
+    )
+    return ctx
+
+
+def test_interval_months_clamp():
+    ctx = interval_ctx()
+    # Jan 31 + 1 MONTH clamps to Feb 28; leap Feb 29 + 1 YEAR clamps too
+    assert (
+        ctx.sql("SELECT k, d + INTERVAL '1' MONTH FROM e ORDER BY k").result_str()
+        == "1\t2021-02-28\n2\t2020-03-29\n3\t2022-01-15\n"
+    )
+    assert (
+        ctx.sql("SELECT k, d + INTERVAL '1' YEAR FROM e ORDER BY k").result_str()
+        == "1\t2022-01-31\n2\t2021-02-28\n3\t2022-12-15\n"
+    )
+
+
+def test_interval_fixed_units():
+    ctx = interval_ctx()
+    assert (
+        ctx.sql("SELECT k, d - INTERVAL '2 weeks' FROM e ORDER BY k").result_str()
+        == "1\t2021-01-17\n2\t2020-02-15\n3\t2021-12-01\n"
+    )
+    assert (
+        ctx.sql("SELECT k, ts + INTERVAL '90' MINUTE FROM e ORDER BY k").result_str()
+        == "1\t2021-03-15 10:00:05\n2\t2022-07-02 01:29:59\n3\t2021-03-15 11:30:00\n"
+    )
+    # interval on the left of + commutes
+    assert (
+        ctx.sql("SELECT k, INTERVAL '3' DAY + d FROM e ORDER BY k").result_str()
+        == "1\t2021-02-03\n2\t2020-03-03\n3\t2021-12-18\n"
+    )
+
+
+def test_interval_promotes_date_to_timestamp():
+    ctx = interval_ctx()
+    assert (
+        ctx.sql("SELECT k, d + INTERVAL '36' HOUR FROM e ORDER BY k").result_str()
+        == "1\t2021-02-01 12:00:00\n2\t2020-03-01 12:00:00\n3\t2021-12-16 12:00:00\n"
+    )
+
+
+def test_interval_in_where_on_literal():
+    ctx = interval_ctx()
+    assert (
+        ctx.sql(
+            "SELECT k FROM e WHERE ts > TIMESTAMP '2021-03-15 08:00:00' "
+            "+ INTERVAL '1' HOUR ORDER BY k"
+        ).result_str()
+        == "2\n3\n"
+    )
+
+
+def test_interval_errors():
+    ctx = interval_ctx()
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT k + INTERVAL '1' DAY FROM e")  # not a temporal type
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT INTERVAL '1' DAY - d FROM e")  # interval - expr
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT INTERVAL '1' DAY FROM e")  # bare interval

@@ -121,11 +121,16 @@ def test_window_distributed_parity():
 
 def test_window_errors():
     ctx = make_ctx()
-    with pytest.raises(PlanError, match="GROUP BY"):
-        ctx.sql("SELECT g, ROW_NUMBER() OVER (ORDER BY g) FROM t GROUP BY g")
+    # windows + GROUP BY are now supported (aggregate-subquery desugar)
+    assert (
+        ctx.sql(
+            "SELECT g, ROW_NUMBER() OVER (ORDER BY g) FROM t GROUP BY g"
+        ).result_str()
+        == '"a"\t1\n"b"\t2\n"c"\t3\n'
+    )
     with pytest.raises(PlanError, match="not a window function"):
         ctx.sql("SELECT SQRT(v) OVER (ORDER BY k) FROM t")
-    with pytest.raises(PlanError, match="SELECT items only"):
+    with pytest.raises(PlanError, match="SELECT items"):
         ctx.sql("SELECT k FROM t WHERE ROW_NUMBER() OVER (ORDER BY k) < 3")
 
 
@@ -192,3 +197,84 @@ def test_window_distributed_repartition_larger():
         assert "hash-repartition by PARTITION BY" in c2.sql(
             "EXPLAIN VERBOSE " + sql
         ).result_str()
+
+
+def test_window_over_group_by():
+    # windows over aggregate output (ANSI: GROUP BY → HAVING → window)
+    import numpy as np
+
+    from datafusion_tpu import ExecutionContext, Table
+
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {
+                "g": ["a", "a", "b", "b", "c", "c"],
+                "r": ["e", "e", "e", "w", "w", "w"],
+                "v": np.array([10.0, 20.0, 30.0, 40.0, 50.0, 65.0]),
+            }
+        ),
+    )
+    assert (
+        ctx.sql(
+            "SELECT g, SUM(v) AS s, RANK() OVER (ORDER BY SUM(v) DESC) "
+            "FROM t GROUP BY g ORDER BY g"
+        ).result_str()
+        == '"a"\t30.0\t3\n"b"\t70.0\t2\n"c"\t115.0\t1\n'
+    )
+    assert (
+        ctx.sql(
+            "SELECT r, g, SUM(v), ROW_NUMBER() OVER "
+            "(PARTITION BY r ORDER BY SUM(v) DESC) FROM t "
+            "GROUP BY r, g ORDER BY 1, 2"
+        ).result_str()
+        == '"e"\t"a"\t30.0\t1\n"e"\t"b"\t30.0\t2\n"w"\t"b"\t40.0\t2\n"w"\t"c"\t115.0\t1\n'
+    )
+    # window of an aggregate inside an expression
+    assert (
+        ctx.sql(
+            "SELECT g, SUM(v) - AVG(SUM(v)) OVER () AS diff FROM t "
+            "GROUP BY g ORDER BY g"
+        ).result_str()
+        == '"a"\t-41.66666666666667\n"b"\t-1.6666666666666714\n"c"\t43.33333333333333\n'
+    )
+    # HAVING filters before the window ranks
+    assert (
+        ctx.sql(
+            "SELECT g, SUM(v) AS s, RANK() OVER (ORDER BY SUM(v) DESC) AS rk "
+            "FROM t GROUP BY g HAVING SUM(v) > 40 ORDER BY rk"
+        ).result_str()
+        == '"c"\t115.0\t1\n"b"\t70.0\t2\n'
+    )
+
+
+def test_window_in_order_by():
+    import numpy as np
+
+    from datafusion_tpu import ExecutionContext, Table
+
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {
+                "g": ["a", "a", "b", "b"],
+                "v": np.array([10.0, 20.0, 30.0, 40.0]),
+            }
+        ),
+    )
+    assert (
+        ctx.sql(
+            "SELECT g, v FROM t ORDER BY "
+            "ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC), g"
+        ).result_str()
+        == '"a"\t20.0\n"b"\t40.0\n"a"\t10.0\n"b"\t30.0\n'
+    )
+    assert (
+        ctx.sql(
+            "SELECT g, SUM(v) AS s FROM t GROUP BY g "
+            "ORDER BY RANK() OVER (ORDER BY SUM(v))"
+        ).result_str()
+        == '"a"\t30.0\n"b"\t70.0\n'
+    )

@@ -618,7 +618,265 @@ class PlanCompiler:
             sources=child.sources,
         )
 
+    # DistCompiler disables the fused pallas stage (its stage fns run
+    # inside shard_map; validated single-chip first)
+    fuse_stage = True
+
+    @staticmethod
+    def _elementwise_safe(e: L.Expr) -> bool:
+        """Is this expression a pure per-row map (safe to trace inside a
+        pallas block)? Dictionary transforms (LIKE LUTs, string fns) and
+        UDFs (unknown closures) are excluded."""
+        if isinstance(e, L.Alias):
+            return PlanCompiler._elementwise_safe(e.expr)
+        if isinstance(e, L.Column):
+            return True
+        if isinstance(e, L.Literal):
+            return e.value.dtype is not DataType.Utf8
+        if isinstance(e, L.BinaryExpr):
+            if e.op in (L.Operator.Like, L.Operator.NotLike):
+                return False  # compiled as a dictionary LUT gather
+            cmp_ops = (
+                L.Operator.Eq, L.Operator.NotEq,
+                L.Operator.Lt, L.Operator.LtEq,
+                L.Operator.Gt, L.Operator.GtEq,
+            )
+
+            def side_ok(x: L.Expr) -> bool:
+                # a Utf8 literal inside a comparison compiles to an
+                # elementwise code compare against the column dictionary
+                if isinstance(x, L.Literal) and x.value.dtype is DataType.Utf8:
+                    return e.op in cmp_ops
+                return PlanCompiler._elementwise_safe(x)
+
+            return side_ok(e.left) and side_ok(e.right)
+        if isinstance(e, L.Cast):
+            return PlanCompiler._elementwise_safe(e.expr)
+        if isinstance(e, (L.IsNull, L.IsNotNull)):
+            return PlanCompiler._elementwise_safe(e.expr)
+        if isinstance(e, L.Case):
+            ok = all(
+                PlanCompiler._elementwise_safe(c) and PlanCompiler._elementwise_safe(r)
+                for c, r in e.branches
+            )
+            if e.else_expr is not None:
+                ok = ok and PlanCompiler._elementwise_safe(e.else_expr)
+            return ok
+        if isinstance(e, L.ScalarFunction):
+            from datafusion_tpu.ops.expr_eval import SCALAR_FUNCTIONS
+
+            low = e.name.lower()
+            elementwise_builtins = set(SCALAR_FUNCTIONS) | {
+                "year", "month", "day", "hour", "minute", "second",
+                "date_add_days", "ts_add_seconds",
+                "add_months_days", "add_months_seconds",
+            }
+            if low not in elementwise_builtins:
+                return False
+            return all(PlanCompiler._elementwise_safe(a) for a in e.args)
+        return False
+
+    def _try_fused_stage(self, plan: L.Projection) -> Optional[Lowered]:
+        """Projection[+Selection] directly over a TableScan with only
+        elementwise expressions → ONE pallas pass over the referenced
+        input columns (ops/pallas/fused_stage.py). Returns None when the
+        pattern or the whitelist doesn't hold (plain XLA path)."""
+        from datafusion_tpu.ops.aggregate import _pallas_enabled
+        from datafusion_tpu.ops.pallas import fused_stage as fs
+
+        if not (self.fuse_stage and _pallas_enabled()):
+            return None
+        inner = plan.input
+        pred_expr: Optional[L.Expr] = None
+        if isinstance(inner, L.Selection) and isinstance(inner.input, L.TableScan):
+            scan, pred_expr = inner.input, inner.expr
+        elif isinstance(inner, L.TableScan):
+            scan = inner
+        else:
+            return None
+        exprs = list(plan.exprs)
+        computed = [
+            (j, e)
+            for j, e in enumerate(exprs)
+            if not isinstance(e, L.Column)
+        ]
+        if pred_expr is None and not computed:
+            return None  # pure pass-through: nothing to fuse
+        checks = [e for _, e in computed]
+        if pred_expr is not None:
+            checks.append(pred_expr)
+        if not all(self._elementwise_safe(e) for e in checks):
+            return None
+        # computed Utf8 outputs would need dictionary plumbing — skip
+        child = None
+        table = self.tables.get(scan.table_name)
+        if table is None:
+            return None
+        child = self._lower_scan(scan)
+        schema, dicts = child.schema, child.dicts
+        for _, e in computed:
+            if e.get_type(schema) is DataType.Utf8:
+                return None
+        pred_c = (
+            compile_expr(pred_expr, schema, dicts, self.fn_registry)
+            if pred_expr is not None
+            else None
+        )
+        comp_c = [
+            (j, compile_expr(e, schema, dicts, self.fn_registry))
+            for j, e in computed
+        ]
+
+        # referenced input columns (data + validity layout)
+        refd: list[int] = []
+
+        def cols_of(e: L.Expr) -> None:
+            if isinstance(e, L.Column):
+                if e.index not in refd:
+                    refd.append(e.index)
+            for c in _expr_children(e):
+                cols_of(c)
+
+        for e in checks:
+            cols_of(e)
+        table_cols = [table.columns[i] for i in (
+            list(range(len(table.schema))) if scan.projection is None else scan.projection
+        )]
+        layout: list[tuple[int, int, Optional[int]]] = []  # (col, data_slot, valid_slot)
+        n_inputs = 0
+        for i in refd:
+            di = n_inputs
+            n_inputs += 1
+            vi = None
+            if table_cols[i].validity is not None:
+                vi = n_inputs
+                n_inputs += 1
+            layout.append((i, di, vi))
+        n_rows = table.num_rows
+        ncols = len(schema)
+        # VMEM budget: bytes per row-of-one across inputs + outputs
+        bpr = 0
+        for i, di, vi in layout:
+            bpr += table_cols[i].data.dtype.itemsize + (1 if vi is not None else 0)
+        bpr += 1  # sel (int8 in-kernel)
+        for _, e in computed:
+            from datafusion_tpu.types import physical_np as _phys
+
+            bpr += _phys(e.get_type(schema)).itemsize + 1
+        brows = fs.pick_block_rows(table.capacity, bpr)
+        if not brows:
+            return None
+        bshape = (brows, fs.LANES)
+
+        def block_eval(blocks, base):
+            cols: list = [None] * ncols
+            for i, di, vi in layout:
+                cols[i] = (blocks[di], None if vi is None else blocks[vi])
+            r = lax.broadcasted_iota(jnp.int32, bshape, 0)
+            c2 = lax.broadcasted_iota(jnp.int32, bshape, 1)
+            iota = base + r * fs.LANES + c2
+            sel = iota < n_rows
+            if pred_c is not None:
+                pd, pv = pred_c.fn(cols)
+                pd = jnp.broadcast_to(pd, bshape)
+                sel = jnp.logical_and(sel, pd)
+                if pv is not None:
+                    sel = jnp.logical_and(sel, pv)  # NULL predicate → drop
+            outs = [sel]
+            for _, c in comp_c:
+                d, v = c.fn(cols)
+                outs.append(d)
+                if v is not None:
+                    outs.append(v)
+            return outs
+
+        # learn output dtypes/validity presence without executing
+        in_structs = []
+        for i, di, vi in layout:
+            in_structs.append(
+                jax.ShapeDtypeStruct(bshape, table_cols[i].data.dtype)
+            )
+            if vi is not None:
+                in_structs.append(jax.ShapeDtypeStruct(bshape, jnp.bool_))
+        out_structs = jax.eval_shape(
+            lambda bs: block_eval(list(bs), jnp.int32(0)), tuple(in_structs)
+        )
+        out_dtypes = [o.dtype for o in out_structs]
+        # whether each computed expression carries a validity output
+        # (statically determined: compiled fns return v=None or an array)
+        dummy_cols: list = [None] * ncols
+        for i, di, vi in layout:
+            dummy_cols[i] = (
+                jax.ShapeDtypeStruct(bshape, table_cols[i].data.dtype),
+                None if vi is None else jax.ShapeDtypeStruct(bshape, jnp.bool_),
+            )
+        has_valid: list[bool] = []
+        for _, c in comp_c:
+            probe: dict = {}
+
+            def probe_fn(cols_in, c=c, probe=probe):
+                d, v = c.fn(list(cols_in))
+                probe["has_v"] = v is not None
+                return d if v is None else (d, v)
+
+            jax.eval_shape(probe_fn, tuple(dummy_cols))
+            has_valid.append(probe["has_v"])
+
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        self.notes.append(
+            f"scan+filter+project: fused pallas stage "
+            f"({len(comp_c)} computed expr(s)"
+            + (", predicate" if pred_c is not None else "")
+            + f", {len(layout)} input col(s) read once, "
+            f"block={brows}x{fs.LANES})"
+        )
+
+        def fn(env) -> Batch:
+            b = child.fn(env)
+            in_arrays: list = []
+            for i, di, vi in layout:
+                d, v = b.cols[i]
+                in_arrays.append(d)
+                if vi is not None:
+                    in_arrays.append(v)
+            outs = fs.run_fused(
+                block_eval, in_arrays, out_dtypes, child.capacity, brows,
+                interpret=interpret,
+            )
+            sel = outs[0]
+            new_cols: list = []
+            k = 1
+            ci = 0
+            for j, e in enumerate(exprs):
+                if isinstance(e, L.Column):
+                    new_cols.append(b.cols[e.index])
+                    continue
+                d = outs[k]
+                k += 1
+                v = None
+                if has_valid[ci]:
+                    v = outs[k]
+                    k += 1
+                ci += 1
+                new_cols.append((d, v))
+            return Batch(new_cols, sel)
+
+        child_src = child.src()
+        sources = [
+            child_src[e.index] if isinstance(e, L.Column) else None
+            for e in exprs
+        ]
+        out_dicts = [
+            dicts[e.index] if isinstance(e, L.Column) else None for e in exprs
+        ]
+        return Lowered(
+            plan.schema, out_dicts, fn, child.capacity, child.layout, sources
+        )
+
     def _lower_projection(self, plan: L.Projection) -> Lowered:
+        fused = self._speculative(lambda: self._try_fused_stage(plan))
+        if fused is not None:
+            return fused
         child = self.lower(plan.input)
         compiled = [
             compile_expr(e, child.schema, child.dicts, self.fn_registry)

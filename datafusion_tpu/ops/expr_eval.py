@@ -154,7 +154,10 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
             vocab = (str(sv.value),)
             zero = jnp.zeros((), jnp.int32)
             return CompiledExpr(lambda cols, z=zero: (z, None), dt, vocab)
-        const = jnp.asarray(sv.value, dtype=physical_np(dt))
+        # numpy scalar, not a device array: it inlines as a jaxpr literal
+        # at trace time, so closures over it can run inside pallas
+        # kernels (which reject captured device arrays)
+        const = np.asarray(sv.value, dtype=physical_np(dt))[()]
         return CompiledExpr(lambda cols, c=const: (c, None), dt)
 
     if isinstance(expr, BinaryExpr):

@@ -61,6 +61,10 @@ class DistCompiler(PlanCompiler):
     """Lowers plans to per-chip stage functions meant to run inside
     shard_map over a 1-D mesh."""
 
+    # fused pallas scan/filter/project stage: single-chip only for now
+    # (per-shard capacities and pallas-inside-shard_map not yet validated)
+    fuse_stage = False
+
     def __init__(self, tables, mesh: Mesh, fn_registry=None, caps=None):
         super().__init__(tables, fn_registry, caps)
         self.mesh = mesh

@@ -44,14 +44,41 @@ def main() -> int:
         "SELECT k, lat FROM t WHERE lat > 50 ORDER BY lat LIMIT 1000",
         "SELECT t.k, dim.w FROM t JOIN dim ON t.k = dim.pk WHERE t.lat > 60",
         "SELECT COUNT(*), SUM(lat), MIN(lng) FROM t",
+        # fused pallas scan+filter+project stage: multiple computed
+        # expressions, CASE, casts, and a nullable input column
+        "SELECT k, lat + lng, CASE WHEN lat > 50 THEN lat ELSE lng END, "
+        "CAST(lat AS INT) FROM t WHERE lng < 0 AND lat > 40",
+        "SELECT k, nv * 2 FROM t WHERE nv IS NOT NULL AND lat > 55",
+        "SELECT k, nv + lat FROM t WHERE lat > 65",
     ]
+
+    from datafusion_tpu.schema import Field, Schema
+    from datafusion_tpu.types import DataType
+
+    t_schema = Schema(
+        [
+            Field("k", DataType.Int32),
+            Field("lat", DataType.Float32),
+            Field("lng", DataType.Float32),
+            Field("nv", DataType.Float32, True),
+        ]
+    )
+    nv = rng.random(n, dtype=np.float32) * 10
+    nv_valid = rng.random(n) > 0.2
 
     def run(knobs: dict) -> list:
         for k, v in knobs.items():
             os.environ[k] = v
         try:
             ctx = df.ExecutionContext()
-            ctx.register_table("t", df.Table.from_pydict(dict(data)))
+            ctx.register_table(
+                "t",
+                df.Table.from_arrays(
+                    t_schema,
+                    [data["k"], data["lat"], data["lng"], nv],
+                    validity=[None, None, None, nv_valid],
+                ),
+            )
             ctx.register_table("dim", df.Table.from_pydict(dict(dim)))
             return [ctx.sql(q).to_pylist() for q in queries]
         finally:
@@ -69,8 +96,12 @@ def main() -> int:
             continue
         cols = list(a[0].keys()) if a else []
         for c in cols:
-            x = np.asarray([row[c] for row in a], dtype=np.float64)
-            y = np.asarray([row[c] for row in b], dtype=np.float64)
+            x = np.asarray(
+                [np.nan if row[c] is None else row[c] for row in a], dtype=np.float64
+            )
+            y = np.asarray(
+                [np.nan if row[c] is None else row[c] for row in b], dtype=np.float64
+            )
             ok = np.allclose(x, y, rtol=1e-5, atol=1e-4, equal_nan=True)
             if not ok:
                 print(

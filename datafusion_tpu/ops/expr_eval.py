@@ -74,23 +74,78 @@ _STRING_PYFNS: dict[str, Callable[..., str]] = {
         else s[max(int(start) - 1, 0): max(int(start) - 1, 0) + max(int(ln), 0)]
     ),
     "replace": lambda s, old, new: s.replace(str(old), str(new)),
+    "lpad": lambda s, n, fill=" ": (
+        s[: int(n)] if len(s) >= int(n)
+        else (str(fill) * int(n))[: int(n) - len(s)] + s
+    ),
+    "rpad": lambda s, n, fill=" ": (
+        s[: int(n)] if len(s) >= int(n)
+        else s + (str(fill) * int(n))[: int(n) - len(s)]
+    ),
+    "left": lambda s, n: s[: max(int(n), 0)],
+    "right": lambda s, n: s[len(s) - max(int(n), 0):] if int(n) > 0 else "",
+    "initcap": lambda s: s.title(),
+    "repeat": lambda s, n: s * max(int(n), 0),
+    "split_part": lambda s, delim, n: (
+        (s.split(str(delim)) + [""] * int(n))[int(n) - 1] if int(n) >= 1 else ""
+    ),
+}
+
+# string → integer functions (one LUT gather on the codes)
+_STRING_INT_PYFNS: dict[str, Callable[..., int]] = {
+    "length": lambda s: len(s),
+    "char_length": lambda s: len(s),
+    "character_length": lambda s: len(s),
+    # SQL STRPOS: 1-based position of the first occurrence, 0 if absent
+    "strpos": lambda s, sub: s.find(str(sub)) + 1,
+    "ascii": lambda s: ord(s[0]) if s else 0,
 }
 _STRING_FN_NAMES = (
     set(_STRING_PYFNS)
-    | {"substring", "concat", "length", "char_length", "character_length"}
+    | set(_STRING_INT_PYFNS)
+    | {"substring", "concat"}
 )
 
-# built-in scalar functions; ExecutionContext can register more
+def _sql_round(x, nd=0.0):
+    """SQL ROUND: half away from zero (numpy/jnp round is half-even)."""
+    m = 10.0 ** nd
+    y = x * m
+    return jnp.sign(y) * jnp.floor(jnp.abs(y) + 0.5) / m
+
+
+def _sql_trunc(x, nd=0.0):
+    m = 10.0 ** nd
+    return jnp.trunc(x * m) / m
+
+
+# built-in scalar functions; ExecutionContext can register more.
+# All run on f64 arguments (f32 physically when x64 is off).
 SCALAR_FUNCTIONS: dict[str, Callable] = {
     "sqrt": jnp.sqrt,
     "abs": jnp.abs,
     "exp": jnp.exp,
-    "log": jnp.log,
+    "log": jnp.log,  # natural log (ln alias; Postgres LOG is base 10 — use log10)
+    "ln": jnp.log,
+    "log10": jnp.log10,
+    "log2": jnp.log2,
     "sin": jnp.sin,
     "cos": jnp.cos,
     "tan": jnp.tan,
+    "asin": jnp.arcsin,
+    "acos": jnp.arccos,
+    "atan": jnp.arctan,
     "floor": jnp.floor,
     "ceil": jnp.ceil,
+    "sign": jnp.sign,
+    "degrees": lambda x: x * (180.0 / np.pi),
+    "radians": lambda x: x * (np.pi / 180.0),
+    # multi-argument (planner handles their arity; _plan_function)
+    "power": jnp.power,
+    "pow": jnp.power,
+    "mod": jnp.fmod,  # truncated remainder, sign follows the dividend
+    "atan2": jnp.arctan2,
+    "round": _sql_round,
+    "trunc": _sql_trunc,
 }
 
 
@@ -399,69 +454,81 @@ def _compile_like(expr: BinaryExpr, schema, dicts, registry) -> CompiledExpr:
 def _compile_string_fn(expr: ScalarFunction, schema, dicts, registry) -> CompiledExpr:
     """String functions as dictionary transforms (see _STRING_PYFNS note).
 
-    Exactly one argument must be a dictionary-carrying string expression
-    (a column or a nested string function); the rest must be literals —
-    CONCAT of two string COLUMNS would need the dictionaries' cross
+    The WHOLE string-expression tree (nested functions, CONCAT/|| chains,
+    literals) evaluates on the host per vocabulary entry of one base
+    dictionary expression; the column's codes then pass through a single
+    remap LUT (Utf8 results) or value LUT (integer results). Every
+    non-literal leaf must be the SAME base expression — combining two
+    different string columns would need their dictionaries' cross
     product and is rejected with a clear error."""
-    low = expr.name.lower()
-    if low == "substring":
-        low = "substr"
-    if low in ("char_length", "character_length"):
-        low = "length"
 
-    inner: Optional[CompiledExpr] = None
-    parts: list = []  # literals as python values, None marks the dict expr
-    for a in expr.args:
-        raw = _strip_cast(a)
+    def canon(name: str) -> str:
+        low = name.lower()
+        if low == "substring":
+            return "substr"
+        return low
+
+    base: dict = {}
+
+    def build(e) -> Callable[[str], object]:
+        raw = _strip_cast(e)
         if isinstance(raw, Literal):
-            parts.append(raw.value.value)
-            continue
+            v = raw.value.value
+            return lambda s, v=v: v
+        if isinstance(raw, ScalarFunction) and canon(raw.name) in (
+            set(_STRING_PYFNS) | set(_STRING_INT_PYFNS) | {"concat"}
+        ):
+            low = canon(raw.name)
+            argfns = [build(a) for a in raw.args]
+            if low == "concat":
+                return lambda s, fs=argfns: "".join(str(f(s)) for f in fs)
+            pyfn = _STRING_PYFNS.get(low) or _STRING_INT_PYFNS[low]
+            return lambda s, fs=argfns, fn=pyfn: fn(*[f(s) for f in fs])
+        # a dictionary-carrying leaf: the base column/expression
         c = _compile(raw, schema, dicts, registry)
         if c.dictionary is None:
             raise NotImplementedError_(
                 f"{expr.name} argument must be a dictionary-encoded string "
-                f"column or a string literal"
+                f"expression or a literal"
             )
-        if inner is not None:
-            raise NotImplementedError_(
-                f"{expr.name} supports one string column argument; CONCAT "
-                "of two string columns is not supported"
-            )
-        inner = c
-        parts.append(None)
-    if inner is None:
+        if "expr" in base:
+            if base["expr"] != raw:
+                raise NotImplementedError_(
+                    f"{expr.name} combines two DIFFERENT string columns — "
+                    "only one base string expression per call is supported "
+                    "(the dictionaries' cross product would be required)"
+                )
+        else:
+            base["expr"] = raw
+            base["compiled"] = c
+        return lambda s: s
+
+    tree = build(expr)
+    if "compiled" not in base:
         raise NotImplementedError_(
             f"{expr.name} needs at least one string column argument"
         )
+    inner: CompiledExpr = base["compiled"]
     # empty-table columns have an empty vocabulary; keep one dummy entry
     # so the LUT gathers stay well-formed (padding rows never decode)
     vocab = inner.dictionary if inner.dictionary else ("",)
+    try:
+        transformed = [tree(v) for v in vocab]
+    except TypeError:
+        raise ExecutionError(
+            f"wrong number of arguments for {expr.name}"
+        ) from None
 
-    if low == "length":
-        if len(expr.args) != 1:
-            raise ExecutionError("LENGTH expects one argument")
-        lut = jnp.asarray(np.array([len(v) for v in vocab], np.int32))
+    if canon(expr.name) in _STRING_INT_PYFNS:
+        lut = jnp.asarray(np.array(transformed, np.int32))
 
-        def len_fn(cols, inner=inner, lut=lut):
+        def int_fn(cols, inner=inner, lut=lut):
             d, v = inner.fn(cols)
             return jnp.take(lut, d), v
 
-        return CompiledExpr(len_fn, DataType.Int32)
+        return CompiledExpr(int_fn, DataType.Int32)
 
-    if low == "concat":
-        transformed = [
-            "".join(v if p is None else str(p) for p in parts) for v in vocab
-        ]
-    else:
-        lits = [p for p in parts if p is not None]
-        pyfn = _STRING_PYFNS[low]
-        try:
-            transformed = [pyfn(v, *lits) for v in vocab]
-        except TypeError:
-            raise ExecutionError(
-                f"wrong number of arguments for {expr.name}"
-            ) from None
-
+    transformed = [str(t) for t in transformed]
     canonical = tuple(sorted(set(transformed)))
     remap = jnp.asarray(
         np.searchsorted(

@@ -88,9 +88,18 @@ _STRING_FN_TYPES = {
     "substring": DataType.Utf8,
     "replace": DataType.Utf8,
     "concat": DataType.Utf8,
+    "lpad": DataType.Utf8,
+    "rpad": DataType.Utf8,
+    "left": DataType.Utf8,
+    "right": DataType.Utf8,
+    "initcap": DataType.Utf8,
+    "repeat": DataType.Utf8,
+    "split_part": DataType.Utf8,
     "length": DataType.Int32,
     "char_length": DataType.Int32,
     "character_length": DataType.Int32,
+    "strpos": DataType.Int32,
+    "ascii": DataType.Int32,
 }
 _STRING_FN_ARITY = {
     "upper": (1, 1), "lower": (1, 1), "trim": (1, 1), "ltrim": (1, 1),
@@ -98,6 +107,16 @@ _STRING_FN_ARITY = {
     "char_length": (1, 1), "character_length": (1, 1),
     "substr": (2, 3), "substring": (2, 3), "replace": (3, 3),
     "concat": (1, 99),
+    "lpad": (2, 3), "rpad": (2, 3), "left": (2, 2), "right": (2, 2),
+    "initcap": (1, 1), "repeat": (2, 2), "split_part": (3, 3),
+    "strpos": (2, 2), "ascii": (1, 1),
+}
+
+# multi-argument math built-ins (the generic registry path assumes one
+# Float64 argument; these coerce every argument to Float64)
+_MATH_FN_ARITY = {
+    "power": (2, 2), "pow": (2, 2), "mod": (2, 2), "atan2": (2, 2),
+    "round": (1, 2), "trunc": (1, 2),
 }
 
 
@@ -1852,6 +1871,19 @@ class SqlToRel:
                 else var
             )
             return Case(((guard, out),), None)
+        if low in _MATH_FN_ARITY:
+            lo_n, hi_n = _MATH_FN_ARITY[low]
+            raw = [self.sql_to_rex(a, schema, qualifiers) for a in node.args]
+            if not (lo_n <= len(raw) <= hi_n):
+                raise PlanError(
+                    f"function '{name}' expects "
+                    + (f"{lo_n}" if lo_n == hi_n else f"{lo_n}-{hi_n}")
+                    + f" argument(s), got {len(raw)}"
+                )
+            args = tuple(a.cast_to(DataType.Float64, schema) for a in raw)
+            return ScalarFunction(
+                "power" if low == "pow" else low, args, DataType.Float64
+            )
         if low in _AGG_NAMES:
             args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
             if len(args) != 1:

@@ -53,6 +53,7 @@ _PREC = {
     "IN": 20,
     "BETWEEN": 20,
     "NOT": 20,  # as start of NOT LIKE / NOT IN / NOT BETWEEN
+    "||": 30,
     "+": 30,
     "-": 30,
     "*": 40,
@@ -661,9 +662,17 @@ class Parser:
         if up == "FALSE":
             return SQLIdentifier("FALSE")
         if up in _RESERVED_STOP:
-            raise ParserError(
-                f"unexpected keyword {t.value!r} at offset {t.pos}, expected an expression"
-            )
+            # LEFT/RIGHT are JOIN keywords, but LEFT(s, n)/RIGHT(s, n)
+            # with an immediate '(' are the string functions
+            if not (
+                up in ("LEFT", "RIGHT")
+                and self.peek().kind is Tok.OP
+                and self.peek().value == "("
+            ):
+                raise ParserError(
+                    f"unexpected keyword {t.value!r} at offset {t.pos}, "
+                    "expected an expression"
+                )
         # function call?
         if self.peek().kind is Tok.OP and self.peek().value == "(":
             self.next()
@@ -750,6 +759,11 @@ class Parser:
 
     def _parse_infix(self, left: AstNode, precedence: int) -> AstNode:
         t = self.next()
+        if t.kind is Tok.OP and t.value == "||":
+            # string concatenation operator desugars to CONCAT
+            return SQLFunction(
+                "concat", (left, self.parse_expr(precedence)), False
+            )
         if t.kind is Tok.OP and t.value in _BINOP_NAME:
             return SQLBinaryExpr(left, _BINOP_NAME[t.value], self.parse_expr(precedence))
         if t.kind is Tok.IDENT:

@@ -33,7 +33,7 @@ class Token:
         return self.value.upper()
 
 
-_TWO_CHAR_OPS = {"<>", "!=", ">=", "<="}
+_TWO_CHAR_OPS = {"<>", "!=", ">=", "<=", "||"}
 _ONE_CHAR_OPS = set("+-*/%(),.;=<>")
 
 

@@ -90,5 +90,60 @@ def test_string_function_errors():
         ctx.sql("SELECT UPPER(name, name) FROM t")
     with pytest.raises(PlanError, match="string argument"):
         ctx.sql("SELECT UPPER(k) FROM t")
-    with pytest.raises(NotImplementedError_, match="two string columns"):
-        ctx.sql("SELECT CONCAT(name, name) FROM t").result_str()
+    # CONCAT of the SAME column is now a single-vocab transform...
+    out = ctx.sql("SELECT CONCAT(name, name) FROM t WHERE k = 1").result_str()
+    assert out.count('"') == 2 and out == out  # one row, quoted
+    # ...but two DIFFERENT string columns still need a cross product
+    ctx.register_table(
+        "two",
+        Table.from_pydict({"a": ["x", "y"], "b": ["p", "q"]}),
+    )
+    with pytest.raises(NotImplementedError_, match="DIFFERENT string columns"):
+        ctx.sql("SELECT CONCAT(a, b) FROM two").result_str()
+
+
+def test_extended_string_functions():
+    import numpy as np
+
+    from datafusion_tpu import ExecutionContext, Table
+
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {"s": ["hello world", "Foo", "a,b,c"], "x": np.array([1.0, 2.0, 3.0])}
+        ),
+    )
+    q = lambda sql: ctx.sql(sql).result_str()
+    assert q("SELECT INITCAP(s) FROM t ORDER BY 1") == '"A,B,C"\n"Foo"\n"Hello World"\n'
+    assert q("SELECT LEFT(s, 3), RIGHT(s, 2) FROM t WHERE s = 'hello world'") == '"hel"\t"ld"\n'
+    assert q("SELECT LPAD(s, 5, '*'), RPAD(s, 5, '.') FROM t WHERE s = 'Foo'") == '"**Foo"\t"Foo.."\n'
+    assert q("SELECT REPEAT(s, 2) FROM t WHERE s = 'Foo'") == '"FooFoo"\n'
+    assert q("SELECT SPLIT_PART(s, ',', 2) FROM t WHERE s = 'a,b,c'") == '"b"\n'
+    assert q("SELECT STRPOS(s, 'world'), ASCII(s) FROM t WHERE s = 'hello world'") == "7\t104\n"
+    assert q("SELECT s FROM t WHERE STRPOS(s, ',') > 0") == '"a,b,c"\n'
+    # || concatenation operator desugars to CONCAT
+    assert q("SELECT s || '-x' FROM t WHERE s = 'Foo'") == '"Foo-x"\n'
+    # LEFT( disambiguates from LEFT JOIN
+    assert (
+        q("SELECT LEFT(t.s, 1) FROM t LEFT JOIN t AS u ON t.s = u.s WHERE t.s = 'Foo'")
+        == '"F"\n'
+    )
+
+
+def test_extended_math_functions():
+    import numpy as np
+
+    from datafusion_tpu import ExecutionContext, Table
+
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "t", Table.from_pydict({"x": np.array([2.5, -2.5, 100.0])})
+    )
+    q = lambda sql: ctx.sql(sql).result_str()
+    # SQL ROUND: half away from zero (not banker's rounding)
+    assert q("SELECT ROUND(x) FROM t") == "3.0\n-3.0\n100.0\n"
+    assert q("SELECT ROUND(x, 1), TRUNC(x) FROM t WHERE x < 0") == "-2.5\t-2.0\n"
+    assert q("SELECT POWER(x, 2), MOD(x, 2) FROM t WHERE x = 2.5") == "6.25\t0.5\n"
+    assert q("SELECT LOG10(x), SIGN(x) FROM t WHERE x = 100") == "2.0\t1.0\n"
+    assert float(q("SELECT DEGREES(RADIANS(x)) FROM t WHERE x = 100")) == pytest.approx(100.0)

@@ -651,6 +651,10 @@ class PlanCompiler:
 
             return side_ok(e.left) and side_ok(e.right)
         if isinstance(e, L.Cast):
+            if isinstance(e.expr, L.Column):
+                # Utf8-source casts compile to a dictionary LUT gather —
+                # checked at the call site against the scan schema
+                pass
             return PlanCompiler._elementwise_safe(e.expr)
         if isinstance(e, (L.IsNull, L.IsNotNull)):
             return PlanCompiler._elementwise_safe(e.expr)
@@ -707,6 +711,11 @@ class PlanCompiler:
             checks.append(pred_expr)
         if not all(self._elementwise_safe(e) for e in checks):
             return None
+
+        def has_utf8_cast(e: L.Expr, schema: Schema) -> bool:
+            if isinstance(e, L.Cast) and e.expr.get_type(schema) is DataType.Utf8:
+                return True
+            return any(has_utf8_cast(c, schema) for c in _expr_children(e))
         # computed Utf8 outputs would need dictionary plumbing — skip
         child = None
         table = self.tables.get(scan.table_name)
@@ -717,6 +726,8 @@ class PlanCompiler:
         for _, e in computed:
             if e.get_type(schema) is DataType.Utf8:
                 return None
+        if any(has_utf8_cast(e, schema) for e in checks):
+            return None  # LUT gathers stay on the XLA path
         pred_c = (
             compile_expr(pred_expr, schema, dicts, self.fn_registry)
             if pred_expr is not None

@@ -224,7 +224,12 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
         if inner.dtype is DataType.Utf8 or target is DataType.Utf8:
             if inner.dtype == target:
                 return inner
-            raise NotImplementedError_("CAST to/from Utf8 is not supported on device")
+            if inner.dtype is DataType.Utf8 and inner.dictionary is not None:
+                return _compile_utf8_cast(inner, target)
+            raise NotImplementedError_(
+                "CAST to Utf8 / from a non-dictionary string is not "
+                "supported on device"
+            )
         if inner.dtype is DataType.Date32 and target is DataType.Timestamp:
             np_ts = physical_np(DataType.Timestamp)
 
@@ -404,8 +409,10 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
 
 def _strip_cast(e: Expr) -> Expr:
     # planner inserts identity Utf8 casts only when types already match;
-    # string rewrites want the underlying column/literal
-    while isinstance(e, Cast):
+    # string rewrites want the underlying column/literal. A cast to a
+    # NON-string type is a real conversion (CAST(s AS DOUBLE)) and must
+    # NOT unwrap — the comparison then runs on the converted values.
+    while isinstance(e, Cast) and e.data_type is DataType.Utf8:
         e = e.expr
     return e
 
@@ -542,6 +549,60 @@ def _compile_string_fn(expr: ScalarFunction, schema, dicts, registry) -> Compile
         return jnp.take(remap, d), v
 
     return CompiledExpr(str_fn, DataType.Utf8, canonical)
+
+
+_TRUE_STRINGS = {"true", "t", "yes", "y", "on", "1"}
+_FALSE_STRINGS = {"false", "f", "no", "n", "off", "0"}
+
+
+def _compile_utf8_cast(inner: CompiledExpr, target: DataType) -> CompiledExpr:
+    """CAST(string AS numeric/boolean/date/timestamp): the (small)
+    vocabulary parses on host into a value LUT + parse-ok LUT; the codes
+    gather through both. Documented deviation: unparseable strings yield
+    NULL (TRY_CAST semantics) instead of erroring — device kernels
+    cannot raise per-row."""
+    from datafusion_tpu.utils.dates import parse_iso_date, parse_iso_timestamp
+
+    vocab = inner.dictionary if inner.dictionary else ("",)
+    np_dt = physical_np(target)
+    vals = np.zeros(len(vocab), np_dt)
+    ok = np.ones(len(vocab), np.bool_)
+    for i, t in enumerate(vocab):
+        t = t.strip()
+        try:
+            if target is DataType.Date32:
+                vals[i] = parse_iso_date(t)
+            elif target is DataType.Timestamp:
+                vals[i] = parse_iso_timestamp(t)
+            elif target is DataType.Boolean:
+                low = t.lower()
+                if low in _TRUE_STRINGS:
+                    vals[i] = True
+                elif low in _FALSE_STRINGS:
+                    vals[i] = False
+                else:
+                    raise ValueError(t)
+            elif np.issubdtype(np_dt, np.integer):
+                f = float(t)
+                # SQL CAST rounds half away from zero to integer types
+                vals[i] = int(np.sign(f) * np.floor(abs(f) + 0.5))
+            else:
+                vals[i] = float(t)
+        except (ValueError, OverflowError):
+            ok[i] = False
+    lutv = jnp.asarray(vals)
+    all_ok = bool(ok.all())
+    luto = None if all_ok else jnp.asarray(ok)
+
+    def cast_fn(cols, inner=inner, lutv=lutv, luto=luto):
+        d, v = inner.fn(cols)
+        data = jnp.take(lutv, d)
+        if luto is None:
+            return data, v
+        okv = jnp.take(luto, d)
+        return data, okv if v is None else jnp.logical_and(okv, v)
+
+    return CompiledExpr(cast_fn, target)
 
 
 def _compile_binary(expr: BinaryExpr, schema, dicts, registry) -> CompiledExpr:

@@ -781,12 +781,45 @@ class Parser:
             if up == "NOT" and self.consume_keyword("BETWEEN"):
                 return self._parse_between(left, negated=True)
             if up == "IS":
+                if self.consume_keywords("NOT", "DISTINCT", "FROM"):
+                    return _is_distinct_from(
+                        left, self.parse_expr(precedence), negated=True
+                    )
+                if self.consume_keywords("DISTINCT", "FROM"):
+                    return _is_distinct_from(
+                        left, self.parse_expr(precedence), negated=False
+                    )
                 if self.consume_keywords("NOT", "NULL"):
                     return SQLIsNotNull(left)
                 if self.consume_keyword("NULL"):
                     return SQLIsNull(left)
-                raise ParserError("expected NULL or NOT NULL after IS")
+                raise ParserError(
+                    "expected NULL, NOT NULL, or [NOT] DISTINCT FROM after IS"
+                )
         raise ParserError(f"unexpected infix token {t.value!r} at offset {t.pos}")
+
+
+def _is_distinct_from(left: AstNode, right: AstNode, negated: bool) -> AstNode:
+    """x IS [NOT] DISTINCT FROM y — null-safe comparison (beyond the
+    reference), desugared onto CASE: two NULLs compare equal, one NULL
+    compares unequal, else ordinary =/<>. Never returns NULL."""
+    from datafusion_tpu.sql.ast import SQLCase
+
+    both_null = SQLBinaryExpr(SQLIsNull(left), "And", SQLIsNull(right))
+    either_null = SQLBinaryExpr(SQLIsNull(left), "Or", SQLIsNull(right))
+    t: AstNode = SQLIdentifier("TRUE")
+    f: AstNode = SQLIdentifier("FALSE")
+    if negated:  # IS NOT DISTINCT FROM = null-safe equality
+        return SQLCase(
+            None,
+            ((both_null, t), (either_null, f)),
+            SQLBinaryExpr(left, "Eq", right),
+        )
+    return SQLCase(
+        None,
+        ((both_null, f), (either_null, t)),
+        SQLBinaryExpr(left, "NotEq", right),
+    )
 
 
 def _hoist_trailing_order(node: AstNode) -> AstNode:

@@ -44,3 +44,67 @@ def test_scalar_repr():
     assert repr(ScalarValue.utf8("CO")) == 'Utf8("CO")'
     assert repr(ScalarValue.float64(1.5)) == "Float64(1.5)"
     assert repr(ScalarValue.boolean(True)) == "Boolean(true)"
+
+
+def test_is_distinct_from():
+    import numpy as np
+
+    from datafusion_tpu import ExecutionContext, Table
+    from datafusion_tpu.schema import Field, Schema
+    from datafusion_tpu.types import DataType
+
+    schema = Schema([Field("k", DataType.Int32), Field("v", DataType.Float64, True)])
+    t = Table.from_arrays(
+        schema,
+        [np.array([1, 2, 3, 4], np.int32), np.array([1.0, 0.0, 3.0, 3.0])],
+        validity=[None, np.array([True, False, True, True])],
+    )
+    ctx = ExecutionContext()
+    ctx.register_table("t", t)
+    # NULL IS DISTINCT FROM 3.0 → TRUE (null-safe, never NULL)
+    assert (
+        ctx.sql("SELECT k FROM t WHERE v IS DISTINCT FROM 3.0 ORDER BY k").result_str()
+        == "1\n2\n"
+    )
+    assert (
+        ctx.sql(
+            "SELECT k FROM t WHERE v IS NOT DISTINCT FROM 3.0 ORDER BY k"
+        ).result_str()
+        == "3\n4\n"
+    )
+    # NULL vs NULL compares equal under IS NOT DISTINCT FROM
+    ctx.register_table("u", t)
+    out = ctx.sql(
+        "SELECT t.k FROM t JOIN u ON t.k = u.k "
+        "WHERE t.v IS NOT DISTINCT FROM u.v ORDER BY 1"
+    ).result_str()
+    assert out == "1\n2\n3\n4\n"
+
+
+def test_cast_utf8_to_values():
+    import numpy as np
+
+    from datafusion_tpu import ExecutionContext, Table
+
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {
+                "k": np.array([1, 2, 3, 4, 5], np.int32),
+                "s": ["12", "3.5", "oops", "2021-01-05", "true"],
+            }
+        ),
+    )
+    q = lambda sql: ctx.sql(sql).result_str()
+    # TRY_CAST semantics (documented): bad strings yield NULL
+    assert q("SELECT CAST(s AS DOUBLE) FROM t ORDER BY k") == (
+        "12.0\n3.5\nNULL\nNULL\nNULL\n"
+    )
+    # integer casts round half away from zero
+    assert q("SELECT CAST(s AS INT) FROM t WHERE k = 2") == "4\n"
+    assert q("SELECT CAST(s AS DATE) FROM t WHERE k = 4") == "2021-01-05\n"
+    assert q("SELECT CAST(s AS BOOLEAN) FROM t WHERE k = 5") == "true\n"
+    assert (
+        q("SELECT k FROM t WHERE CAST(s AS DOUBLE) > 4 ORDER BY k") == "1\n"
+    )

@@ -322,6 +322,8 @@ def _broadcast_col(cv: ColVal, capacity: int) -> ColVal:
     d, v = cv
     if jnp.ndim(d) == 0:
         d = jnp.broadcast_to(d, (capacity,))
+    if v is not None and jnp.ndim(v) == 0:
+        v = jnp.broadcast_to(v, (capacity,))
     return d, v
 
 
@@ -1323,6 +1325,8 @@ def compile_plan(
                 valids.append(None)
                 continue
             d = jnp.broadcast_to(d, (top.capacity,)) if jnp.ndim(d) == 0 else d
+            if v is not None and jnp.ndim(v) == 0:
+                v = jnp.broadcast_to(v, (top.capacity,))
             datas.append(d)
             valids.append(v)
         return datas, valids, b.sel, list(pc.totals)

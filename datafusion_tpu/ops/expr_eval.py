@@ -202,6 +202,12 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
     if isinstance(expr, Literal):
         sv = expr.value
         dt = sv.dtype
+        if sv.value is None:
+            # typed or untyped NULL: zero data + a false validity scalar
+            # (broadcast by consumers/pipeline like any literal)
+            zero = np.zeros((), physical_np(dt))[()]
+            invalid = jnp.zeros((), jnp.bool_)
+            return CompiledExpr(lambda cols, z=zero, iv=invalid: (z, iv), dt)
         if dt is DataType.Utf8:
             # a bare string literal projects as a one-entry dictionary
             # column of code 0 (string comparisons never reach here —
@@ -221,6 +227,13 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
     if isinstance(expr, Cast):
         inner = _compile(expr.expr, schema, dicts, registry)
         target = expr.data_type
+        if inner.dtype is DataType.Null and target is DataType.Utf8:
+            # NULL cast to string: one-entry dictionary, never valid
+            def null_str_fn(cols, inner=inner):
+                d, v = inner.fn(cols)
+                return jnp.zeros((), jnp.int32), v
+
+            return CompiledExpr(null_str_fn, target, ("",))
         if inner.dtype is DataType.Utf8 or target is DataType.Utf8:
             if inner.dtype == target:
                 return inner
@@ -351,9 +364,67 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
     if isinstance(expr, Case):
         out_dt = expr.get_type(schema)
         if out_dt is DataType.Utf8:
-            raise NotImplementedError_(
-                "CASE producing Utf8 is not supported on device"
+            # string-valued CASE: merge the arms' dictionaries into one
+            # vocabulary, remap each arm's codes into it, and select on
+            # the int codes like any other CASE
+            branches = [
+                (
+                    _compile(c, schema, dicts, registry),
+                    _compile(r, schema, dicts, registry),
+                )
+                for c, r in expr.branches
+            ]
+            else_c = (
+                _compile(expr.else_expr, schema, dicts, registry)
+                if expr.else_expr is not None
+                else None
             )
+            arms = [r for _, r in branches] + ([else_c] if else_c else [])
+            for arm in arms:
+                if arm.dictionary is None:
+                    raise NotImplementedError_(
+                        "every string CASE arm must be a dictionary "
+                        "expression (column, string function, or literal)"
+                    )
+            merged = tuple(
+                sorted(set().union(*[set(a.dictionary) for a in arms]))
+            ) or ("",)
+            merged_np = np.asarray(merged, dtype=object).astype(str)
+            remap_of = {
+                id(a): jnp.asarray(
+                    np.searchsorted(
+                        merged_np,
+                        np.asarray(a.dictionary or ("",), object).astype(str),
+                    ).astype(np.int32)
+                )
+                for a in arms
+            }
+
+            def _sel_valid_s(take, v_true, v_false):
+                if v_true is None and v_false is None:
+                    return None
+                vt = jnp.ones((), jnp.bool_) if v_true is None else v_true
+                vf = jnp.ones((), jnp.bool_) if v_false is None else v_false
+                return jnp.where(take, vt, vf)
+
+            def case_str_fn(
+                cols, branches=branches, else_c=else_c, remap_of=remap_of
+            ):
+                if else_c is not None:
+                    acc_d, acc_v = else_c.fn(cols)
+                    acc_d = jnp.take(remap_of[id(else_c)], acc_d)
+                else:
+                    acc_d = jnp.zeros((), jnp.int32)
+                    acc_v = jnp.zeros((), jnp.bool_)
+                for cond_c, res_c in reversed(branches):
+                    cd, cv = cond_c.fn(cols)
+                    take = cd if cv is None else jnp.logical_and(cd, cv)
+                    rd, rv = res_c.fn(cols)
+                    acc_d = jnp.where(take, jnp.take(remap_of[id(res_c)], rd), acc_d)
+                    acc_v = _sel_valid_s(take, rv, acc_v)
+                return acc_d, acc_v
+
+            return CompiledExpr(case_str_fn, out_dt, merged)
         branches = [
             (_compile(c, schema, dicts, registry), _compile(r, schema, dicts, registry))
             for c, r in expr.branches

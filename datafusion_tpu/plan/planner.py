@@ -466,6 +466,9 @@ class SqlToRel:
     )
 
     def _plan_select_impl(self, sel: A.SQLSelect) -> LogicalPlan:
+        gs = self._rewrite_grouping_sets(sel)
+        if gs is not None:
+            return self.sql_to_rel(gs)
         rewritten = self._rewrite_grouped_windows(sel)
         if rewritten is not None:
             return self._plan_select(rewritten)
@@ -745,6 +748,153 @@ class SqlToRel:
         if dataclasses.is_dataclass(node):
             for f in dataclasses.fields(node):
                 yield from walk_val(getattr(node, f.name))
+
+    def _rewrite_grouping_sets(self, sel: A.SQLSelect) -> Optional[A.AstNode]:
+        """GROUP BY GROUPING SETS / ROLLUP / CUBE (beyond the reference):
+        desugar into a UNION ALL of one aggregate leaf per grouping set,
+
+            SELECT <items: in-set group→__gi, out-of-set group→NULL,
+                    GROUPING(g)→0/1, agg→__aj>
+            FROM (SELECT g AS __gi..., agg AS __aj... FROM ... WHERE ...
+                  GROUP BY __gi... HAVING ...) __gs
+
+        wrapped with the original ORDER BY/LIMIT/DISTINCT when present.
+        NULL columns unify through the union's supertype (Null, X) = X."""
+        if sel.group_sets is None:
+            return None
+        roots = list(sel.projection) + [ob.expr for ob in sel.order_by]
+        for r in roots:
+            for n in self._iter_ast(r):
+                if isinstance(n, A.SQLWindowExpr):
+                    raise PlanError(
+                        "window functions cannot be combined with GROUPING "
+                        "SETS/ROLLUP/CUBE; aggregate in a derived table first"
+                    )
+        aggs: list[A.SQLFunction] = []
+
+        def collect(n) -> None:
+            if (
+                isinstance(n, A.SQLFunction)
+                and n.name.lower() in self._AGG_FN_NAMES
+            ):
+                if n not in aggs:
+                    aggs.append(n)
+                return
+            if isinstance(n, self._SCOPE_NODES):
+                return
+            import dataclasses
+
+            if dataclasses.is_dataclass(n):
+                for f in dataclasses.fields(n):
+                    v = getattr(n, f.name)
+                    vs = v if isinstance(v, tuple) else (v,)
+                    for x in vs:
+                        if isinstance(x, A.AstNode):
+                            collect(x)
+                        elif isinstance(x, tuple):
+                            for y in x:
+                                if isinstance(y, A.AstNode):
+                                    collect(y)
+
+        for r in roots:
+            collect(r)
+        group_alias = {g: f"__g{i}" for i, g in enumerate(sel.group_by)}
+        agg_alias = {a: f"__a{j}" for j, a in enumerate(aggs)}
+
+        leaves: list[A.AstNode] = []
+        for subset in sel.group_sets:
+            inner = A.SQLSelect(
+                projection=tuple(
+                    A.SQLAliasedExpr(g, group_alias[g]) for g in subset
+                )
+                + tuple(A.SQLAliasedExpr(a, nm) for a, nm in agg_alias.items()),
+                distinct=False,
+                relation=sel.relation,
+                selection=sel.selection,
+                group_by=tuple(
+                    A.SQLIdentifier(group_alias[g]) for g in subset
+                ),
+                having=sel.having,
+                order_by=(),
+                limit=None,
+            )
+            in_set = set(group_alias[g] for g in subset)
+
+            def sub(n, in_set=in_set):
+                if isinstance(n, A.SQLFunction):
+                    if n in agg_alias:
+                        return A.SQLIdentifier(agg_alias[n])
+                    if n.name.lower() == "grouping" and len(n.args) == 1:
+                        g = n.args[0]
+                        if g not in group_alias:
+                            raise PlanError(
+                                "GROUPING() argument must be a GROUP BY "
+                                "expression"
+                            )
+                        return A.SQLLong(
+                            0 if group_alias[g] in in_set else 1
+                        )
+                if n in group_alias:
+                    nm = group_alias[n]
+                    return (
+                        A.SQLIdentifier(nm)
+                        if nm in in_set
+                        else A.SQLIdentifier("NULL")
+                    )
+                return n
+
+            def outer_item(e):
+                t = self._ast_transform(e, sub)
+                if isinstance(e, (A.SQLIdentifier, A.SQLCompoundIdentifier)):
+                    return A.SQLAliasedExpr(t, e.name)
+                return t
+
+            leaves.append(
+                A.SQLSelect(
+                    projection=tuple(outer_item(e) for e in sel.projection),
+                    distinct=False,
+                    relation=A.SQLDerivedTable(inner, "__gs"),
+                    selection=None,
+                    group_by=(),
+                    having=None,
+                    order_by=(),
+                    limit=None,
+                )
+            )
+        node: A.AstNode = leaves[0]
+        for leaf in leaves[1:]:
+            node = A.SQLUnion(node, leaf, True)
+        if sel.order_by or sel.limit is not None or sel.offset is not None or sel.distinct:
+            # ORDER BY keys that match a SELECT item (structurally or by
+            # alias) become position ordinals — robust against the
+            # per-leaf renaming; other keys resolve by output name
+            def order_key(e: A.AstNode) -> A.AstNode:
+                for pos, item in enumerate(sel.projection):
+                    bare = item.expr if isinstance(item, A.SQLAliasedExpr) else item
+                    if e == bare or (
+                        isinstance(item, A.SQLAliasedExpr)
+                        and isinstance(e, A.SQLIdentifier)
+                        and e.name == item.alias
+                    ):
+                        return A.SQLLong(pos + 1)
+                return e
+
+            outer_order = tuple(
+                A.SQLOrderByExpr(order_key(ob.expr), ob.asc, ob.nulls_first)
+                for ob in sel.order_by
+            )
+            node = A.SQLSelect(
+                projection=(A.SQLWildcard(),),
+                distinct=sel.distinct,
+                relation=A.SQLDerivedTable(node, "__sets"),
+                selection=None,
+                group_by=(),
+                having=None,
+                order_by=outer_order,
+                limit=sel.limit,
+                offset=sel.offset,
+            )
+        return node
 
     def _rewrite_grouped_windows(self, sel: A.SQLSelect) -> Optional[A.SQLSelect]:
         """Window functions combined with GROUP BY / aggregates (beyond
@@ -1626,6 +1776,8 @@ class SqlToRel:
                 return Literal(ScalarValue.boolean(True))
             if node.name.upper() == "FALSE":
                 return Literal(ScalarValue.boolean(False))
+            if node.name.upper() == "NULL":
+                return Literal(ScalarValue.null())
             return Column(schema.index_of(node.name))
 
         if isinstance(node, A.SQLCompoundIdentifier):

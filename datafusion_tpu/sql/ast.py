@@ -247,6 +247,9 @@ class SQLSelect(AstNode):
     order_by: tuple[SQLOrderByExpr, ...]
     limit: Optional[AstNode]
     offset: Optional[AstNode] = None
+    # GROUP BY GROUPING SETS / ROLLUP / CUBE: the grouping sets, each a
+    # subset of group_by (None = plain GROUP BY)
+    group_sets: "Optional[tuple[tuple[AstNode, ...], ...]]" = None
 
 
 class FileType(enum.Enum):

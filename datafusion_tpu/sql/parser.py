@@ -390,10 +390,9 @@ class Parser:
         selection = self.parse_expr() if self.consume_keyword("WHERE") else None
 
         group_by: list[AstNode] = []
+        group_sets = None
         if self.consume_keywords("GROUP", "BY"):
-            group_by.append(self.parse_expr())
-            while self.consume_op(","):
-                group_by.append(self.parse_expr())
+            group_by, group_sets = self._parse_group_by()
 
         having = self.parse_expr() if self.consume_keyword("HAVING") else None
 
@@ -424,7 +423,58 @@ class Parser:
             order_by=tuple(order_by),
             limit=limit,
             offset=offset,
+            group_sets=group_sets,
         )
+
+    def _parse_group_by(self):
+        """GROUP BY items | ROLLUP(items) | CUBE(items) |
+        GROUPING SETS ((a, b), (a), ()) — beyond the reference. Returns
+        (group_exprs, group_sets|None)."""
+        if self.consume_keyword("ROLLUP"):
+            items = self._parse_paren_exprs()
+            sets = tuple(tuple(items[:k]) for k in range(len(items), -1, -1))
+            return list(items), sets
+        if self.consume_keyword("CUBE"):
+            items = self._parse_paren_exprs()
+            if len(items) > 5:
+                raise ParserError("CUBE supports at most 5 expressions (2^n sets)")
+            n = len(items)
+            sets = tuple(
+                tuple(items[i] for i in range(n) if mask & (1 << i))
+                for mask in range(2 ** n - 1, -1, -1)
+            )
+            return list(items), sets
+        if self.consume_keywords("GROUPING", "SETS"):
+            self.expect_op("(")
+            sets: list[tuple[AstNode, ...]] = []
+            union: list[AstNode] = []
+            while True:
+                if self.peek().kind is Tok.OP and self.peek().value == "(":
+                    exprs = self._parse_paren_exprs(allow_empty=True)
+                else:
+                    exprs = (self.parse_expr(),)
+                sets.append(tuple(exprs))
+                for e in exprs:
+                    if e not in union:
+                        union.append(e)
+                if not self.consume_op(","):
+                    break
+            self.expect_op(")")
+            return union, tuple(sets)
+        group_by = [self.parse_expr()]
+        while self.consume_op(","):
+            group_by.append(self.parse_expr())
+        return group_by, None
+
+    def _parse_paren_exprs(self, allow_empty: bool = False) -> tuple[AstNode, ...]:
+        self.expect_op("(")
+        if allow_empty and self.consume_op(")"):
+            return ()
+        exprs = [self.parse_expr()]
+        while self.consume_op(","):
+            exprs.append(self.parse_expr())
+        self.expect_op(")")
+        return tuple(exprs)
 
     def _parse_nulls_order(self):
         """[NULLS FIRST|LAST] after a sort key (beyond the reference)."""

@@ -35,6 +35,9 @@ class DataType(enum.Enum):
     # Date32: days since 1970-01-01, int32 on device — comparisons,
     # sorts, groups, joins, MIN/MAX all run on the integer image
     # (utils/dates.py; beyond the reference, whose type set had no dates)
+    # untyped NULL literal; unifies with every type (supertype(X, Null)
+    # = X), physically an int32 zero with an all-false validity
+    Null = "Null"
     Date32 = "Date32"
     # Timestamp: SECONDS since the Unix epoch, int64 on device (int32 on
     # no-x64 TPU → representable range 1901..2038 there, full range on
@@ -61,6 +64,7 @@ class DataType(enum.Enum):
             DataType.Struct,
             DataType.Date32,
             DataType.Timestamp,
+            DataType.Null,
         )
 
     @property
@@ -116,6 +120,7 @@ _NP_DTYPES = {
     DataType.Float64: np.dtype(np.float64),
     DataType.Utf8: np.dtype(np.int32),  # dictionary codes
     DataType.Struct: np.dtype(object),  # host-only
+    DataType.Null: np.dtype(np.int32),  # placeholder zeros, never valid
     DataType.Date32: np.dtype(np.int32),  # days since epoch
     DataType.Timestamp: np.dtype(np.int64),  # seconds since epoch
 }
@@ -223,6 +228,13 @@ _st(_D.Timestamp, _D.Timestamp, _D.Timestamp)
 _st(_D.Date32, _D.Timestamp, _D.Timestamp)
 _st(_D.Timestamp, _D.Date32, _D.Timestamp)
 
+# NULL unifies with everything (reference ScalarValue::Null exists but
+# its lattice has no Null rows — beyond the reference)
+for _t in _D:
+    _st(_D.Null, _t, _t)
+    _st(_t, _D.Null, _t)
+_st(_D.Null, _D.Null, _D.Null)
+
 
 def get_supertype(l: DataType, r: DataType) -> Optional[DataType]:
     """Common supertype for binary expressions, or None
@@ -283,6 +295,12 @@ _COERCE_FROM: dict[DataType, frozenset[DataType]] = {
 
 _COERCE_FROM[_D.Date32] = frozenset({_D.Date32})
 _COERCE_FROM[_D.Timestamp] = frozenset({_D.Timestamp, _D.Date32})
+_COERCE_FROM[_D.Boolean] = frozenset({_D.Boolean})
+_COERCE_FROM[_D.Utf8] = frozenset({_D.Utf8})
+# NULL casts losslessly to anything
+for _t in list(_COERCE_FROM):
+    _COERCE_FROM[_t] = _COERCE_FROM[_t] | {_D.Null}
+_COERCE_FROM[_D.Null] = frozenset({_D.Null})
 
 
 def can_coerce_from(target: DataType, source: DataType) -> bool:
@@ -336,3 +354,7 @@ class ScalarValue:
     @staticmethod
     def timestamp(seconds: int) -> "ScalarValue":
         return ScalarValue(DataType.Timestamp, int(seconds))
+
+    @staticmethod
+    def null() -> "ScalarValue":
+        return ScalarValue(DataType.Null, None)

@@ -77,6 +77,8 @@ def rust_debug_scalar(sv) -> str:
     from datafusion_tpu.types import DataType
 
     dt, v = sv.dtype, sv.value
+    if v is None:
+        return "Null"  # reference: ScalarValue::Null derive(Debug)
     if dt is DataType.Utf8:
         return f"Utf8({rust_str_debug(v)})"
     if dt is DataType.Float64:

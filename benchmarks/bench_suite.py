@@ -38,6 +38,28 @@ def slope_time(fn, env):
     return time_pipeline(fn, env)
 
 
+def sort_floor_time(n, dtypes, num_keys):
+    """Measured in-run floor: one lax.sort of the given operand dtypes at
+    the same row count — the irreducible primitive under the sort-based
+    aggregate/sort/join operators (scatter-free TPU design, see
+    docs/architecture.md §Operator design)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(1)
+    ops = []
+    for dt in dtypes:
+        if np.issubdtype(np.dtype(dt), np.floating):
+            ops.append(jax.device_put(rng.random(n, dtype=np.float32)))
+        else:
+            ops.append(jax.device_put(rng.integers(0, 1 << 30, n).astype(dt)))
+
+    def fn(env):
+        return lax.sort(list(env), num_keys=num_keys)
+
+    return slope_time(jax.jit(fn), ops)
+
+
 def compile_query(sql, tables):
     import datafusion_tpu as df
     from datafusion_tpu.exec.compiler import compile_plan
@@ -80,18 +102,27 @@ def main():
     results = []
     configs = set(args.configs.split(","))
 
-    def report(name, dt, bytes_per_row, note=""):
+    def report(name, dt, bytes_per_row, note="", floor_s=None):
+        """vs_roofline: single-pass HBM speed-of-light for the operator's
+        true bytes — honest for c1 (one elementwise pass) but a fantasy
+        for the sort-bound operators (a multi-pass lax.sort can never
+        reach it on any hardware). For those, vs_floor compares against
+        an IN-RUN measured primitive floor: the minimal lax.sort of the
+        same operand multiset (+ one elementwise pass where applicable) —
+        the fraction of the achievable the implementation reaches."""
         rows_s = n / dt
         roof = bw * 1e9 / bytes_per_row
-        results.append(
-            {
-                "config": name,
-                "rows_per_s": round(rows_s, 1),
-                "ms": round(dt * 1e3, 2),
-                "vs_roofline": round(rows_s / roof, 4),
-                "note": note,
-            }
-        )
+        entry = {
+            "config": name,
+            "rows_per_s": round(rows_s, 1),
+            "ms": round(dt * 1e3, 2),
+            "vs_roofline": round(rows_s / roof, 4),
+            "note": note,
+        }
+        if floor_s is not None:
+            entry["floor_ms"] = round(floor_s * 1e3, 2)
+            entry["vs_floor"] = round(floor_s / dt, 4)
+        results.append(entry)
         print(json.dumps(results[-1]), flush=True)
 
     if "c1" in configs:
@@ -106,11 +137,25 @@ def main():
             "SELECT k, MIN(lat), MAX(lat), SUM(lng), COUNT(lat) FROM big GROUP BY k",
             {"big": big},
         )
-        report("c2_hash_aggregate", slope_time(fn, env), 12 + 5, "co-sort + pallas segreduce")
+        # floor: the 5-operand co-sort this formulation cannot avoid
+        # (notsel, key, min/max-arg image, iota, sum payload)
+        floor = sort_floor_time(
+            n, (np.int8, np.int32, np.int32, np.int32, np.float32), 4
+        )
+        report(
+            "c2_hash_aggregate", slope_time(fn, env), 12 + 5,
+            "co-sort + pallas segreduce", floor_s=floor,
+        )
 
     if "c3" in configs:
         fn, env = compile_query("SELECT k, lat FROM big ORDER BY lat", {"big": big})
-        report("c3_sort", slope_time(fn, env), 2 * 12, "lax.sort 4-operand")
+        floor = sort_floor_time(
+            n, (np.int8, np.float32, np.int32, np.int32), 3
+        )
+        report(
+            "c3_sort", slope_time(fn, env), 2 * 12, "lax.sort 4-operand",
+            floor_s=floor,
+        )
 
     if "c4" in configs:
         fn, env = compile_query(

@@ -441,26 +441,7 @@ def join_columns(
     bkey_m = jnp.where(build_sel, bkey, b_sentinel)
     pkey_m = jnp.where(probe_sel, pkey, p_sentinel)
 
-    # ---- build-side sort carries the build columns as payloads ----------
-    b_ops = [bkey_m]
-    b_plan: list[tuple[int, Optional[int]]] = []
-    seen: dict[int, int] = {}
-    for data, valid in build_cols:
-        data = jnp.broadcast_to(data, (b_cap,)) if jnp.ndim(data) == 0 else data
-        if id(data) not in seen:
-            seen[id(data)] = len(b_ops)
-            b_ops.append(data)
-        di = seen[id(data)]
-        vi = None
-        if valid is not None:
-            if id(valid) not in seen:
-                seen[id(valid)] = len(b_ops)
-                b_ops.append(valid.astype(jnp.int8))
-            vi = seen[id(valid)]
-        b_plan.append((di, vi))
-    b_sorted = lax.sort(b_ops, num_keys=1)
-
-    # ---- combined sort carries the probe columns as payloads ------------
+    # ---- combined sort carries the probe AND build columns as payloads --
     allk = jnp.concatenate([bkey_m, pkey_m])
     isprobe = jnp.concatenate([jnp.zeros(b_cap, jnp.int8), jnp.ones(p_cap, jnp.int8)])
     src = lax.broadcasted_iota(jnp.int32, (comb,), 0)
@@ -483,6 +464,32 @@ def join_columns(
                 )
             vi = seen[id(valid)]
         c_plan.append((di, vi))
+    # build columns ride too (padded on the probe side): their values
+    # then COPY-FORWARD to the probe rows in sorted order — a log-shift
+    # propagation at ~0.6 ns/elem instead of a 7-9 ns/elem random gather
+    # from a separately sorted build table (measured 289 → 21 ms at
+    # 33.5M rows on v5e)
+    b_plan: list[tuple[int, Optional[int]]] = []
+    bseen: dict[int, int] = {}
+    for data, valid in build_cols:
+        data = jnp.broadcast_to(data, (b_cap,)) if jnp.ndim(data) == 0 else data
+        if id(data) not in bseen:
+            bseen[id(data)] = len(c_ops)
+            c_ops.append(
+                jnp.concatenate([data, jnp.zeros((p_cap,), data.dtype)])
+            )
+        di = bseen[id(data)]
+        vi = None
+        if valid is not None:
+            if id(valid) not in bseen:
+                bseen[id(valid)] = len(c_ops)
+                c_ops.append(
+                    jnp.concatenate(
+                        [valid.astype(jnp.int8), jnp.zeros((p_cap,), jnp.int8)]
+                    )
+                )
+            vi = bseen[id(valid)]
+        b_plan.append((di, vi))
     c_sorted = lax.sort(c_ops, num_keys=2)  # builds first on key ties
     ks, flags = c_sorted[0], c_sorted[1]
 
@@ -506,12 +513,46 @@ def join_columns(
     keep = jnp.logical_and(is_psel, matched) if not keep_unmatched_probe else is_psel
     total = jnp.sum(keep.astype(jnp.int32))
 
-    # ---- fetch each kept probe's single build row ------------------------
-    bpos = jnp.clip(start_run, 0, b_cap - 1)
+    # ---- propagate each kept probe's single build row --------------------
+    # copy-forward: builds sort BEFORE probes on key ties, and the
+    # compact strategy guarantees at most one selected build per key run
+    # (dup fallback otherwise), so the latest build value at-or-before a
+    # matched probe IS its match. Unmatched probes receive a stale value
+    # from an earlier run — masked by `matched` (dropped or NULL-extended).
+    def _copy_forward(values: list) -> list:
+        vs = list(values)
+        h = bsel_sorted
+        shift = 1
+        while shift < comb:
+            pvs = [
+                jnp.concatenate(
+                    [jnp.zeros((shift,), v.dtype), lax.slice(v, (0,), (comb - shift,))]
+                )
+                for v in vs
+            ]
+            ph = jnp.concatenate(
+                [
+                    jnp.zeros((shift,), jnp.bool_),
+                    lax.slice(h, (0,), (comb - shift,)),
+                ]
+            )
+            vs = [jnp.where(h, v, pv) for v, pv in zip(vs, pvs)]
+            h = jnp.logical_or(h, ph)
+            shift *= 2
+        return vs
+
+    uniq_slots: list[int] = []
+    for di, vi in b_plan:
+        for slot in (di, vi):
+            if slot is not None and slot not in uniq_slots:
+                uniq_slots.append(slot)
+    propagated = dict(
+        zip(uniq_slots, _copy_forward([c_sorted[sl] for sl in uniq_slots]))
+    )
     fetched: list[ColVal] = []
     for di, vi in b_plan:
-        d = jnp.take(b_sorted[di], bpos)
-        v = None if vi is None else jnp.take(b_sorted[vi], bpos).astype(jnp.bool_)
+        d = propagated[di]
+        v = None if vi is None else propagated[vi].astype(jnp.bool_)
         fetched.append((d, v))
 
     # ---- compaction sort: kept rows to the front, original probe order --

@@ -674,10 +674,11 @@ class PlanCompiler:
             low = e.name.lower()
             elementwise_builtins = set(SCALAR_FUNCTIONS) | {
                 "year", "month", "day", "hour", "minute", "second",
+                "dow", "doy", "quarter", "week", "epoch",
                 "date_add_days", "ts_add_seconds",
                 "add_months_days", "add_months_seconds",
             }
-            if low not in elementwise_builtins:
+            if low not in elementwise_builtins and not low.startswith("date_trunc_"):
                 return False
             return all(PlanCompiler._elementwise_safe(a) for a in e.args)
         return False

@@ -313,14 +313,30 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
 
         return CompiledExpr(iv_fn, expr.return_type)
 
-    if isinstance(expr, ScalarFunction) and expr.name.lower() in (
-        "year", "month", "day", "hour", "minute", "second"
+    if isinstance(expr, ScalarFunction) and (
+        expr.name.lower() in (
+            "year", "month", "day", "hour", "minute", "second",
+            "dow", "doy", "quarter", "week", "epoch",
+        )
+        or expr.name.lower().startswith("date_trunc_")
     ):
         from datafusion_tpu.utils import dates as _dates
 
         inner = _compile(expr.args[0], schema, dicts, registry)
         low = expr.name.lower()
-        if inner.dtype is DataType.Timestamp:
+        is_ts = inner.dtype is DataType.Timestamp
+        if low.startswith("date_trunc_"):
+            unit = low[len("date_trunc_"):]
+            if is_ts:
+                extract = lambda d, u=unit: _dates.date_trunc_seconds(d, u)
+            else:
+                extract = lambda d, u=unit: _dates.date_trunc_days(d, u)
+        elif low == "epoch":
+            if is_ts:
+                extract = lambda d: d.astype(physical_np(DataType.Int64))
+            else:
+                extract = lambda d: d.astype(physical_np(DataType.Int64)) * 86400
+        elif is_ts:
             extract = getattr(_dates, f"ts_extract_{low}")
         else:
             extract = getattr(_dates, f"extract_{low}")
@@ -329,7 +345,7 @@ def _compile(expr, schema, dicts, registry) -> CompiledExpr:
             d, v = inner.fn(cols)
             return extract(d), v
 
-        return CompiledExpr(date_fn, DataType.Int32)
+        return CompiledExpr(date_fn, expr.return_type)
 
     if isinstance(expr, ScalarFunction) and expr.name.lower() in _STRING_FN_NAMES:
         return _compile_string_fn(expr, schema, dicts, registry)

@@ -1778,6 +1778,15 @@ class SqlToRel:
                 return Literal(ScalarValue.boolean(False))
             if node.name.upper() == "NULL":
                 return Literal(ScalarValue.null())
+            if node.name.upper() in ("CURRENT_DATE", "CURRENT_TIMESTAMP"):
+                # evaluated ONCE at planning time (documented: a cached
+                # compiled plan re-executes with its planning-time value)
+                import time as _time
+
+                now = int(_time.time())
+                if node.name.upper() == "CURRENT_DATE":
+                    return Literal(ScalarValue.date32(now // 86400))
+                return Literal(ScalarValue.timestamp(now))
             return Column(schema.index_of(node.name))
 
         if isinstance(node, A.SQLCompoundIdentifier):
@@ -1957,17 +1966,47 @@ class SqlToRel:
             return Case(
                 ((IsNull(a), a), (IsNull(b), a), (neq, a)), None
             )
-        if low in ("year", "month", "day", "hour", "minute", "second"):
+        if low in (
+            "year", "month", "day", "hour", "minute", "second",
+            "dow", "doy", "quarter", "week", "epoch",
+        ):
             args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
             ok_types = (
-                (DataType.Date32, DataType.Timestamp)
-                if low in ("year", "month", "day")
-                else (DataType.Timestamp,)
+                (DataType.Timestamp,)
+                if low in ("hour", "minute", "second")
+                else (DataType.Date32, DataType.Timestamp)
             )
             if len(args) != 1 or args[0].get_type(schema) not in ok_types:
                 want = " or ".join(t.value for t in ok_types)
                 raise PlanError(f"{name} expects one {want} argument")
-            return ScalarFunction(low, args, DataType.Int32)
+            ret = DataType.Int64 if low == "epoch" else DataType.Int32
+            return ScalarFunction(low, args, ret)
+        if low == "now" and not node.args:
+            import time as _time
+
+            return Literal(ScalarValue.timestamp(int(_time.time())))
+        if low == "date_trunc":
+            # DATE_TRUNC('unit', expr) — unit resolves at plan time
+            if len(node.args) != 2 or not isinstance(node.args[0], A.SQLString):
+                raise PlanError(
+                    "DATE_TRUNC expects (unit string literal, DATE/TIMESTAMP)"
+                )
+            unit = node.args[0].value.lower()
+            arg = self.sql_to_rex(node.args[1], schema, qualifiers)
+            at = arg.get_type(schema)
+            day_units = ("year", "quarter", "month", "week", "day")
+            ts_units = day_units + ("hour", "minute", "second")
+            if at is DataType.Date32:
+                if unit not in day_units:
+                    raise PlanError(
+                        f"DATE_TRUNC unit {unit!r} needs a TIMESTAMP argument"
+                    )
+            elif at is DataType.Timestamp:
+                if unit not in ts_units:
+                    raise PlanError(f"unsupported DATE_TRUNC unit {unit!r}")
+            else:
+                raise PlanError("DATE_TRUNC expects a DATE or TIMESTAMP argument")
+            return ScalarFunction(f"date_trunc_{unit}", (arg,), at)
         if low in _STRING_FN_TYPES:
             args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
             lo_n, hi_n = _STRING_FN_ARITY[low]

@@ -683,11 +683,12 @@ class Parser:
             self.next()
             unit = self.expect_ident()
             if unit.upper() not in (
-                "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND"
+                "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND",
+                "DOW", "DOY", "QUARTER", "WEEK", "EPOCH",
             ):
                 raise ParserError(
-                    f"EXTRACT supports YEAR/MONTH/DAY/HOUR/MINUTE/SECOND, "
-                    f"got {unit!r}"
+                    f"EXTRACT supports YEAR/MONTH/DAY/HOUR/MINUTE/SECOND/"
+                    f"DOW/DOY/QUARTER/WEEK/EPOCH, got {unit!r}"
                 )
             self.expect_keyword("FROM")
             inner = self.parse_expr()

@@ -202,3 +202,99 @@ def add_months_seconds(secs, n: int):
     sod = _second_of_day_dev(secs)
     d2 = add_months_days(days, n)
     return d2.astype(secs.dtype) * 86400 + sod.astype(secs.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Extra EXTRACT fields and DATE_TRUNC (beyond the reference).
+# ---------------------------------------------------------------------------
+
+def extract_dow(days):
+    """Day of week, Sunday = 0 (Postgres DOW). 1970-01-01 was a Thursday."""
+    return jnp.remainder(days.astype(jnp.int32) + 4, 7)
+
+
+def _isoweekday_dev(days):
+    """ISO weekday, Monday = 1 .. Sunday = 7."""
+    return jnp.remainder(days.astype(jnp.int32) + 3, 7) + 1
+
+
+def extract_doy(days):
+    y, _, _ = _civil_from_days_dev(days)
+    jan1 = _days_from_civil_dev(y, jnp.ones_like(y), jnp.ones_like(y))
+    return days.astype(jnp.int32) - jan1 + 1
+
+
+def extract_quarter(days):
+    m = extract_month(days)
+    return (m - 1) // 3 + 1
+
+
+def extract_week(days):
+    """ISO 8601 week number (1..53)."""
+    y, _, _ = _civil_from_days_dev(days)
+    doy = extract_doy(days)
+    wd = _isoweekday_dev(days)
+    w = (doy - wd + 10) // 7
+
+    def weeks_in(yy):
+        jan1 = _days_from_civil_dev(yy, jnp.ones_like(yy), jnp.ones_like(yy))
+        jan1_wd = _isoweekday_dev(jan1)
+        leap = jnp.logical_or(
+            jnp.logical_and(yy % 4 == 0, yy % 100 != 0), yy % 400 == 0
+        )
+        return 52 + jnp.where(
+            jnp.logical_or(jan1_wd == 4, jnp.logical_and(leap, jan1_wd == 3)),
+            1,
+            0,
+        )
+
+    # order matters: the year-boundary adjustments use the RAW w
+    w_adj = jnp.where(w > weeks_in(y), 1, w)  # week 53 of a 52-week year
+    return jnp.where(w < 1, weeks_in(y - 1), w_adj).astype(jnp.int32)
+
+
+def date_trunc_days(days, unit: str):
+    """Truncate days-since-epoch to the unit boundary (returns days)."""
+    d32 = days.astype(jnp.int32)
+    if unit == "day":
+        return d32
+    if unit == "week":  # ISO week starts Monday
+        return d32 - (_isoweekday_dev(d32) - 1)
+    y, m, _ = _civil_from_days_dev(d32)
+    one = jnp.ones_like(y)
+    if unit == "month":
+        return _days_from_civil_dev(y, m, one)
+    if unit == "quarter":
+        qm = ((m - 1) // 3) * 3 + 1
+        return _days_from_civil_dev(y, qm, one)
+    if unit == "year":
+        return _days_from_civil_dev(y, one, one)
+    raise ValueError(f"unsupported DATE_TRUNC unit {unit!r}")
+
+
+def date_trunc_seconds(secs, unit: str):
+    """Truncate seconds-since-epoch to the unit boundary (returns seconds)."""
+    if unit == "second":
+        return secs
+    if unit == "minute":
+        return secs - jnp.remainder(secs, 60)
+    if unit == "hour":
+        return secs - jnp.remainder(secs, 3600)
+    days = _days_of_seconds_dev(secs)
+    return date_trunc_days(days, unit).astype(secs.dtype) * 86400
+
+
+def ts_extract_dow(secs):
+    return extract_dow(_days_of_seconds_dev(secs))
+
+
+def ts_extract_doy(secs):
+    return extract_doy(_days_of_seconds_dev(secs))
+
+
+def ts_extract_quarter(secs):
+    return extract_quarter(_days_of_seconds_dev(secs))
+
+
+def ts_extract_week(secs):
+    return extract_week(_days_of_seconds_dev(secs))

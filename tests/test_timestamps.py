@@ -265,3 +265,68 @@ def test_interval_errors():
         ctx.sql("SELECT INTERVAL '1' DAY - d FROM e")  # interval - expr
     with pytest.raises(PlanError):
         ctx.sql("SELECT INTERVAL '1' DAY FROM e")  # bare interval
+
+
+# --------------------------------------- extended EXTRACT + DATE_TRUNC
+def test_extract_extended_fields():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "x",
+        Table.from_pydict(
+            {
+                "d": np.array(
+                    ["2021-01-01", "2021-03-15", "2024-12-30", "2023-01-01"],
+                    "datetime64[D]",
+                )
+            }
+        ),
+    )
+    out = ctx.sql(
+        "SELECT EXTRACT(DOW FROM d), EXTRACT(DOY FROM d), "
+        "EXTRACT(QUARTER FROM d), EXTRACT(WEEK FROM d) FROM x"
+    ).result_str()
+    # verified against datetime.isocalendar(): ISO weeks 53/11/1/52,
+    # DOW Sunday=0 (Postgres), DOY ordinal
+    assert out == "5\t1\t1\t53\n1\t74\t1\t11\n1\t365\t4\t1\n0\t1\t1\t52\n"
+
+
+def test_date_trunc():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "x",
+        Table.from_pydict(
+            {
+                "d": np.array(["2021-03-15", "2024-12-30"], "datetime64[D]"),
+                "ts": np.array(
+                    ["2021-03-15T08:30:05", "2020-02-29T12:00:00"], "datetime64[s]"
+                ),
+            }
+        ),
+    )
+    q = lambda sql: ctx.sql(sql).result_str()
+    assert q(
+        "SELECT DATE_TRUNC('month', d), DATE_TRUNC('year', d), "
+        "DATE_TRUNC('week', d) FROM x"
+    ) == ("2021-03-01\t2021-01-01\t2021-03-15\n" "2024-12-01\t2024-01-01\t2024-12-30\n")
+    assert q("SELECT DATE_TRUNC('hour', ts), DATE_TRUNC('quarter', ts) FROM x") == (
+        "2021-03-15 08:00:00\t2021-01-01 00:00:00\n"
+        "2020-02-29 12:00:00\t2020-01-01 00:00:00\n"
+    )
+    assert q("SELECT EXTRACT(EPOCH FROM ts) FROM x WHERE EXTRACT(YEAR FROM ts) = 2021") == (
+        "1615797005\n"
+    )
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT DATE_TRUNC('hour', d) FROM x")  # hour needs TIMESTAMP
+
+
+def test_current_date_and_now():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "x", Table.from_pydict({"d": np.array(["2021-01-01"], "datetime64[D]")})
+    )
+    # planning-time literals: every historical row precedes now
+    assert ctx.sql("SELECT COUNT(d) FROM x WHERE d <= CURRENT_DATE").result_str() == "1\n"
+    assert (
+        ctx.sql("SELECT COUNT(d) FROM x WHERE CAST(d AS TIMESTAMP) < NOW()").result_str()
+        == "1\n"
+    )

@@ -1,0 +1,234 @@
+"""TPC-H-like workload: synthetic lineitem/orders/customer tables and
+Q1/Q3/Q5-shaped/Q6 queries end-to-end through the SQL engine.
+
+NOT official TPC-H (no dbgen, uniform synthetic data) — a workload with
+the same operator shapes: multi-way joins, date filters, grouped
+aggregates over expressions, ORDER BY + LIMIT.
+
+Usage: python benchmarks/tpch.py [--scale 0.1] [--verify]
+  --scale 1.0 ≈ 6M lineitem rows (like SF1); default 0.25
+  --verify    cross-check every query against pandas (slow at scale)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("DFTPU_X64", "0")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def gen_tables(scale: float, seed: int = 0):
+    """Synthetic TPC-H-shaped tables as numpy column dicts."""
+    rng = np.random.default_rng(seed)
+    n_li = int(6_000_000 * scale)
+    n_ord = max(int(1_500_000 * scale), 1)
+    n_cust = max(int(150_000 * scale), 1)
+    day0 = int(np.datetime64("1992-01-01", "D").astype(np.int64))
+    day1 = int(np.datetime64("1998-12-01", "D").astype(np.int64))
+
+    orders = {
+        "o_orderkey": np.arange(n_ord, dtype=np.int32),
+        "o_custkey": rng.integers(0, n_cust, n_ord).astype(np.int32),
+        "o_orderdate": rng.integers(day0, day1, n_ord).astype("datetime64[D]"),
+        "o_shippriority": rng.integers(0, 2, n_ord).astype(np.int32),
+    }
+    lineitem = {
+        "l_orderkey": rng.integers(0, n_ord, n_li).astype(np.int32),
+        "l_quantity": rng.integers(1, 51, n_li).astype(np.float32),
+        "l_extendedprice": (rng.random(n_li, dtype=np.float32) * 100000).round(2),
+        # float64: decimal literals like 0.05 then compare exactly on the
+        # CPU (x64) path and consistently f32-vs-f32 on TPU; an f32
+        # column against an f64 literal is the classic 0.07f32 > 0.07
+        # boundary trap (engine coerces to the supertype, f64)
+        "l_discount": rng.integers(0, 11, n_li) / 100,
+        "l_tax": rng.integers(0, 9, n_li) / 100,
+        "l_returnflag": rng.choice(np.array(["A", "N", "R"]), n_li),
+        "l_linestatus": rng.choice(np.array(["F", "O"]), n_li),
+        "l_shipdate": rng.integers(day0, day1 + 90, n_li).astype("datetime64[D]"),
+    }
+    segments = np.array(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    )
+    nations = np.array([f"NATION_{i:02d}" for i in range(25)])
+    customer = {
+        "c_custkey": np.arange(n_cust, dtype=np.int32),
+        "c_mktsegment": rng.choice(segments, n_cust),
+        "c_nation": rng.choice(nations, n_cust),
+    }
+    return lineitem, orders, customer
+
+
+Q1 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity), SUM(l_extendedprice),
+       SUM(l_extendedprice * (1 - l_discount)),
+       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
+       AVG(l_quantity), AVG(l_extendedprice), AVG(l_discount),
+       COUNT(l_quantity)
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+Q3 = """
+SELECT o_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+Q5ish = """
+SELECT c_nation, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+GROUP BY c_nation
+ORDER BY revenue DESC
+"""
+
+Q6 = """
+SELECT SUM(l_extendedprice * l_discount)
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+QUERIES = {"q1": Q1, "q3": Q3, "q5ish": Q5ish, "q6": Q6}
+
+
+def pandas_reference(name, lineitem, orders, customer):
+    import pandas as pd
+
+    li = pd.DataFrame(lineitem)
+    od = pd.DataFrame(orders)
+    cu = pd.DataFrame(customer)
+    if name == "q1":
+        f = li[li.l_shipdate <= np.datetime64("1998-09-02")].copy()
+        f["disc"] = f.l_extendedprice * (1 - f.l_discount)
+        f["charge"] = f.disc * (1 + f.l_tax)
+        g = f.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sq=("l_quantity", "sum"), sp=("l_extendedprice", "sum"),
+            sd=("disc", "sum"), sc=("charge", "sum"),
+            aq=("l_quantity", "mean"), ap=("l_extendedprice", "mean"),
+            ad=("l_discount", "mean"), n=("l_quantity", "count"),
+        )
+        return g.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    if name == "q3":
+        m = cu[cu.c_mktsegment == "BUILDING"].merge(
+            od[od.o_orderdate < np.datetime64("1995-03-15")],
+            left_on="c_custkey", right_on="o_custkey",
+        ).merge(
+            li[li.l_shipdate > np.datetime64("1995-03-15")],
+            left_on="o_orderkey", right_on="l_orderkey",
+        )
+        m["rev"] = m.l_extendedprice * (1 - m.l_discount)
+        g = m.groupby("o_orderkey", as_index=False).rev.sum()
+        return g.sort_values(["rev", "o_orderkey"], ascending=[False, True]).head(10).reset_index(drop=True)
+    if name == "q5ish":
+        m = cu.merge(
+            od[
+                (od.o_orderdate >= np.datetime64("1994-01-01"))
+                & (od.o_orderdate < np.datetime64("1995-01-01"))
+            ],
+            left_on="c_custkey", right_on="o_custkey",
+        ).merge(li, left_on="o_orderkey", right_on="l_orderkey")
+        m["rev"] = m.l_extendedprice * (1 - m.l_discount)
+        g = m.groupby("c_nation", as_index=False).rev.sum()
+        return g.sort_values("rev", ascending=False).reset_index(drop=True)
+    if name == "q6":
+        f = li[
+            (li.l_shipdate >= np.datetime64("1994-01-01"))
+            & (li.l_shipdate < np.datetime64("1995-01-01"))
+            & (li.l_discount >= 0.05)
+            & (li.l_discount <= 0.07)
+            & (li.l_quantity < 24)
+        ]
+        return float((f.l_extendedprice * f.l_discount).sum())
+    raise ValueError(name)
+
+
+def verify(name, res, lineitem, orders, customer, rel=2e-3):
+    """Tolerance compare against pandas (f32 reductions vs f64).
+    Positional columns — duplicate auto-derived column names make the
+    to_pylist dicts lossy for Q1's repeated SUM(expr) items."""
+    ref = pandas_reference(name, lineitem, orders, customer)
+    if name == "q6":
+        got = res.column_values(0)[0]
+        assert got is not None and abs(got - ref) <= rel * max(1.0, abs(ref)), (
+            name, got, ref)
+        return
+    assert res.num_rows == len(ref), (name, res.num_rows, len(ref))
+    cols = [res.column_values(j) for j in range(res.num_columns)]
+    for i in range(res.num_rows):
+        for j in range(res.num_columns):
+            g, r = cols[j][i], ref.iloc[i, j]
+            if isinstance(g, str):
+                assert g == r, (name, i, j, g, r)
+            elif hasattr(g, "year") or g is None:
+                continue
+            else:
+                assert abs(float(g) - float(r)) <= rel * max(1.0, abs(float(r))), (
+                    name, i, j, g, r)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=0.25)
+    ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--queries", default="q1,q3,q5ish,q6")
+    args = ap.parse_args()
+
+    import datafusion_tpu as df
+
+    lineitem, orders, customer = gen_tables(args.scale)
+    ctx = df.ExecutionContext()
+    t0 = time.time()
+    ctx.register_table("lineitem", df.Table.from_pydict(lineitem))
+    ctx.register_table("orders", df.Table.from_pydict(orders))
+    ctx.register_table("customer", df.Table.from_pydict(customer))
+    print(
+        f"[tpch] scale={args.scale} lineitem={len(lineitem['l_orderkey']):,} "
+        f"rows, load {time.time()-t0:.1f}s", file=sys.stderr,
+    )
+
+    out = []
+    for name in args.queries.split(","):
+        sql = QUERIES[name]
+        t0 = time.time()
+        res = ctx.sql(sql)
+        cold = time.time() - t0
+        t0 = time.time()
+        res = ctx.sql(sql)
+        warm = time.time() - t0
+        entry = {
+            "query": name,
+            "rows": res.num_rows,
+            "warm_s": round(warm, 4),
+            "cold_s": round(cold, 2),
+        }
+        if args.verify:
+            verify(name, res, lineitem, orders, customer)
+            entry["verified"] = True
+        out.append(entry)
+        print(json.dumps(entry), flush=True)
+    print(json.dumps({"tpch": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -419,8 +419,28 @@ class SqlToRel:
         left, right, schema = self._coerce_setop_sides(node.left, node.right, node.op)
         n = len(schema)
         allcols = tuple(Column(i) for i in range(n))
-        left = Aggregate(left, allcols, (), schema)
-        right = Aggregate(right, allcols, (), schema)
+        if node.all:
+            # bag semantics: number each side's duplicates 1..count via
+            # ROW_NUMBER() OVER (PARTITION BY every column), then run the
+            # SET operation on (columns..., __rn): INTERSECT ALL keeps
+            # min(count_l, count_r) copies, EXCEPT ALL keeps
+            # max(count_l - count_r, 0)
+            rn = WindowFunction(
+                "row_number", (), allcols, (), DataType.Int64
+            )
+            ext = Schema(
+                list(schema.fields) + [Field("__rn", DataType.Int64, False)]
+            )
+            left = Window(left, (rn,), ext)
+            right = Window(right, (rn,), ext)
+            schema = ext
+            n = n + 1
+            allcols = tuple(Column(i) for i in range(n))
+        else:
+            left = Aggregate(left, allcols, (), schema)
+            right = Aggregate(right, allcols, (), schema)
+        vis = len(node_vis_schema := Schema(schema.fields[: n - 1]) if node.all else schema)
+        vis_cols = tuple(Column(i) for i in range(vis))
         if node.op == "INTERSECT":
             plan: LogicalPlan = Join(
                 left,
@@ -429,7 +449,7 @@ class SqlToRel:
                 JoinType.Inner,
                 schema.join(schema),
             )
-            return Projection(allcols, plan, schema)
+            return Projection(vis_cols, plan, node_vis_schema)
         # EXCEPT: mark matched rows via a non-null constant on the right
         mark = Field("__setop_mark", DataType.Int64, True)
         rschema = Schema(list(schema.fields) + [mark])
@@ -444,7 +464,7 @@ class SqlToRel:
             schema.join(rschema),
         )
         plan = Selection(IsNull(Column(2 * n)), plan)
-        return Projection(allcols, plan, schema)
+        return Projection(vis_cols, plan, node_vis_schema)
 
     # ------------------------------------------------------------------
     def _plan_select(self, sel: A.SQLSelect) -> LogicalPlan:

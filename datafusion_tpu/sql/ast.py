@@ -175,12 +175,14 @@ class SQLUnion(AstNode):
 
 @dataclass(frozen=True)
 class SQLSetOp(AstNode):
-    """left INTERSECT|EXCEPT right (beyond the reference). Planned as
-    distinct + semi/anti join over all columns."""
+    """left INTERSECT|EXCEPT [ALL] right (beyond the reference). Planned
+    as distinct + semi/anti join over all columns; ALL keeps bag
+    multiplicities via per-duplicate row numbers."""
 
     op: str  # "INTERSECT" | "EXCEPT"
     left: AstNode
     right: AstNode
+    all: bool = False
 
 
 @dataclass(frozen=True)

@@ -253,7 +253,8 @@ class Parser:
                 all_ = self.consume_keyword("ALL")
                 node = SQLUnion(node, self._parse_intersect(), all_)
             elif self.consume_keyword("EXCEPT"):
-                node = SQLSetOp("EXCEPT", node, self._parse_intersect())
+                all_ = self.consume_keyword("ALL")
+                node = SQLSetOp("EXCEPT", node, self._parse_intersect(), all_)
             else:
                 break
             had_setop = True
@@ -298,7 +299,8 @@ class Parser:
 
         node: AstNode = self._parse_select()
         while self.consume_keyword("INTERSECT"):
-            node = SQLSetOp("INTERSECT", node, self._parse_select())
+            all_ = self.consume_keyword("ALL")
+            node = SQLSetOp("INTERSECT", node, self._parse_select(), all_)
         return node
 
     def _parse_create_external_table(self) -> SQLCreateExternalTable:

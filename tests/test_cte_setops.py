@@ -211,3 +211,41 @@ def test_limit_offset_plan_json_roundtrip():
     ctx = make_ctx()
     plan = ctx.plan("SELECT k FROM t ORDER BY k LIMIT 2 OFFSET 3")
     assert repr(plan_from_json(plan_to_json(plan))) == repr(plan)
+
+
+def test_intersect_except_all():
+    ctx = ExecutionContext()
+    ctx.register_table("a", Table.from_pydict({"x": np.array([1, 1, 1, 2, 3], np.int32)}))
+    ctx.register_table("b", Table.from_pydict({"x": np.array([1, 2, 2], np.int32)}))
+    q = lambda sql: sorted(ctx.sql(sql).result_str().splitlines())
+    # bag semantics: min / clamped difference of multiplicities
+    assert q("SELECT x FROM a INTERSECT ALL SELECT x FROM b") == ["1", "2"]
+    assert q("SELECT x FROM a EXCEPT ALL SELECT x FROM b") == ["1", "1", "3"]
+    assert q("SELECT x FROM b EXCEPT ALL SELECT x FROM a") == ["2"]
+    # set forms unchanged
+    assert q("SELECT x FROM a INTERSECT SELECT x FROM b") == ["1", "2"]
+    assert q("SELECT x FROM a EXCEPT SELECT x FROM b") == ["3"]
+
+
+def test_setop_all_multi_column_and_distributed():
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    def mk(mesh=None):
+        ctx = ExecutionContext(mesh=mesh)
+        ctx.register_table(
+            "a",
+            Table.from_pydict(
+                {"g": ["x", "x", "y", "y"], "v": np.array([1, 1, 2, 3], np.int32)}
+            ),
+        )
+        ctx.register_table(
+            "b",
+            Table.from_pydict({"g": ["x", "y"], "v": np.array([1, 2], np.int32)}),
+        )
+        return ctx
+
+    sql = "SELECT g, v FROM a EXCEPT ALL SELECT g, v FROM b"
+    single = sorted(mk().sql(sql).result_str().splitlines())
+    assert single == ['"x"\t1', '"y"\t3']
+    dist = sorted(mk(make_mesh()).sql(sql).result_str().splitlines())
+    assert dist == single

@@ -58,6 +58,17 @@ QUERIES = [
     "SELECT k, v - (SELECT AVG(v) FROM fact) AS d FROM fact WHERE {p} ORDER BY k, d LIMIT 40",
     "SELECT k, (SELECT MAX(w) FROM dim WHERE dim.pk = fact.k) AS mw FROM fact WHERE {p} ORDER BY k, mw LIMIT 40",
     "SELECT g, k, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, k) AS rn FROM fact WHERE {p} ORDER BY g, k, rn LIMIT 60",
+    # newest surface: CTEs, set ops (incl. ALL), grouping sets, frames,
+    # stddev, INTERVAL/date-free paths, string CASE, IS DISTINCT FROM
+    "WITH hot AS (SELECT k, v FROM fact WHERE {p}) SELECT k, COUNT(v) FROM hot GROUP BY k",
+    "SELECT k FROM fact WHERE {p} INTERSECT SELECT pk FROM dim",
+    "SELECT k FROM fact WHERE {p} EXCEPT ALL SELECT pk FROM dim WHERE pk < 20",
+    "SELECT g, s, SUM(v) FROM fact WHERE {p} GROUP BY ROLLUP(g, s)",
+    "SELECT g, k, SUM(v) OVER (PARTITION BY g ORDER BY k, v ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS w FROM fact WHERE {p} ORDER BY g, k, w LIMIT 60",
+    "SELECT g, STDDEV_POP(v), VAR_POP(v) FROM fact WHERE {p} GROUP BY g",
+    "SELECT CASE WHEN v > 0 THEN 'pos' WHEN v < -50 THEN s ELSE 'neg' END AS b, COUNT(v) FROM fact WHERE {p} GROUP BY b",
+    "SELECT k FROM fact WHERE v IS DISTINCT FROM 0 AND ({p}) ORDER BY k LIMIT 30 OFFSET 5",
+    "SELECT s, g, RANK() OVER (ORDER BY SUM(v) DESC) FROM fact WHERE {p} GROUP BY s, g",
     "SELECT g, SUM(v) OVER (PARTITION BY g) AS sv, COUNT(*) OVER (PARTITION BY g) AS c FROM fact WHERE {p} ORDER BY g, sv LIMIT 60",
     "SELECT UPPER(s) AS u, COUNT(v) FROM fact WHERE {p} GROUP BY u",
     "SELECT s, LENGTH(s) FROM fact WHERE ({p}) AND SUBSTR(s, 1, 1) = 'c' ORDER BY s, 2 LIMIT 30",

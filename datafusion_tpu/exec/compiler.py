@@ -105,6 +105,10 @@ class CompiledQuery:
     # host-stage projection: (final_schema, per-output-column entry where
     # each entry is ("dev", inner_col) or ("host", HostCall, DataType))
     _host_post: Optional[tuple] = None
+    # after an overflow retry: the grown CompiledQuery that actually ran
+    # (the session cache replaces this entry with it, so the next
+    # execution skips the small pipeline + recompile entirely)
+    _final: Optional["CompiledQuery"] = None
 
     def run(self):
         """Execute; on capacity overflow (join matches or group count
@@ -127,7 +131,10 @@ class CompiledQuery:
                 overflow = True
                 bigger[i] = grows[i](tot) if i in grows else round_up(tot)
         if overflow:
-            return self._recompile(bigger).run()
+            grown = self._recompile(bigger)
+            out = grown.run()
+            self._final = grown._final or grown
+            return out
         sel_np = to_host(sel)
         idx = np.nonzero(sel_np)[0]
         sources = self._sources or [None] * len(self.schema)
@@ -941,22 +948,38 @@ class PlanCompiler:
             # Integer keys qualify too when the scanned column's probed
             # min..max range is small (_int_key_range) — the compile-time
             # probe costs two tiny reductions on the table buffer.
-            kdict = group_c[0].dictionary if len(group_c) == 1 else None
+            doms: list[int] = []
+            offs: list[int] = []
+            notes: list[str] = []
+            for gi, gc in enumerate(group_c):
+                if gc.dictionary is not None:
+                    if len(gc.dictionary) < 1:
+                        break
+                    doms.append(len(gc.dictionary))
+                    offs.append(0)
+                    notes.append(f"dict={len(gc.dictionary)}")
+                    continue
+                rng = self._int_key_range(plan.group_exprs[gi], child)
+                if rng is None:
+                    break
+                kmin, kmax = rng
+                d = kmax - kmin + 1
+                if d < 1:
+                    break
+                doms.append(d)
+                offs.append(kmin)
+                notes.append(f"int[{kmin},{kmax}]")
             dom = 0
+            if len(doms) == len(group_c):
+                # conservative +1 radix per key (nullable keys carry a
+                # NULL slot; nullability resolves at trace time)
+                prod = 1
+                for d in doms:
+                    prod *= d + 1
+                if 1 <= prod <= agg_ops.DENSE_MAX_GROUPS:
+                    dom = prod
+                    dense_note = " x ".join(notes)
             key_offset = 0
-            dense_note = ""
-            if kdict is not None and 1 <= len(kdict) <= agg_ops.DENSE_MAX_GROUPS:
-                dom = len(kdict)
-                dense_note = f"dictionary domain={dom}"
-            elif kdict is None and len(group_c) == 1:
-                rng = self._int_key_range(plan.group_exprs[0], child)
-                if rng is not None:
-                    kmin, kmax = rng
-                    d = kmax - kmin + 1
-                    if 1 <= d <= agg_ops.DENSE_MAX_GROUPS:
-                        dom = d
-                        key_offset = kmin
-                        dense_note = f"int key range [{kmin}, {kmax}]"
             dense_ok = (
                 dom > 0
                 and child.capacity % 1024 == 0
@@ -991,11 +1014,12 @@ class PlanCompiler:
                         for (name, arg, rt) in agg_meta
                     ]
                     okeys, oaggs, osel, _ = agg_ops.grouped_aggregate_dense(
-                        keys, specs, b.sel, dom, key_offset
+                        keys, specs, b.sel, doms, offs
                     )
                     return Batch(list(okeys) + list(oaggs), osel)
 
-                # dom+1 slots: the extra slot carries the NULL-key group
+                # +1 radix per key covers NULL-key slots; +1 slot for
+                # unselected rows
                 return Lowered(plan.schema, out_dicts, fn_dense, dom + 1, child.layout)
 
             gcap = self._alloc_cap(min(child.capacity, self.DEFAULT_GROUP_CAPACITY))

@@ -288,7 +288,12 @@ class ExecutionContext:
             else:
                 compiled = compile_plan(plan, self._tables, fn_reg)
             self._compile_cache[key] = compiled
-        return compiled.run()
+        result = compiled.run()
+        if compiled._final is not None:
+            # an overflow retry grew the pipeline: cache the grown one so
+            # re-executions skip the undersized attempt and its recompile
+            self._compile_cache[key] = compiled._final
+        return result
 
     # ------------------------------------------------------------------
     def _execute_insert(self, node: A.SQLInsert) -> None:

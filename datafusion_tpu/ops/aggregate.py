@@ -169,31 +169,57 @@ def grouped_aggregate_dense(
     key_cols: Sequence[ColVal],
     specs: Sequence[AggSpec],
     sel: jax.Array,
-    domain_size: int,
-    key_offset: int = 0,
+    domain_size,
+    key_offset=0,
 ):
-    """Sort-free GROUP BY for a single dense int key domain of statically
-    known size (≤ DENSE_MAX_GROUPS): the key IS the group id — one pallas
-    pass over the unsorted rows, no lax.sort at all. Group order is key
-    order (same as the sorted path). `key_offset` shifts raw integer keys
-    in [offset, offset+domain) onto slots [0, domain) — the compiler
-    probes the scanned key column's min/max to pick it. Returns the
-    grouped_aggregate contract: (out_keys, out_aggs, out_sel, n_groups)."""
+    """Sort-free GROUP BY for dense int key domains of statically known
+    size: the (mixed-radix packed) key IS the group id — one pallas pass
+    over the unsorted rows, no lax.sort at all. Multiple keys pack
+    major-to-minor (group order = key order); a nullable key gets an
+    extra radix slot (NULL sorts after its values on this path).
+    `key_offset[i]` shifts raw integer keys in [offset, offset+domain)
+    onto [0, domain) — the compiler probes scanned key columns' min/max.
+    Returns the grouped_aggregate contract:
+    (out_keys, out_aggs, out_sel, n_groups)."""
     segred = segmented_reduce_sorted_import()
     capacity = int(sel.shape[0])
-    dom = int(domain_size)
-    (kd, kv) = key_cols[0]
-    code = kd if key_offset == 0 else kd - jnp.asarray(key_offset, kd.dtype)
-    code = code.astype(jnp.int32) if kd.dtype != jnp.int32 else code
-    # slot layout: [0, dom) = key codes; slot dom = NULL-key group (used
-    # only when the key column is nullable); slot dom+1 = unselected rows
-    gcap = dom + 1
-    if kv is None:
-        gid = jnp.where(sel, jnp.clip(code, 0, dom - 1), gcap)
-    else:
-        gid = jnp.where(
-            sel, jnp.where(kv, jnp.clip(code, 0, dom - 1), dom), gcap
-        )
+    doms = (
+        [int(domain_size)]
+        if isinstance(domain_size, int)
+        else [int(d) for d in domain_size]
+    )
+    offs = (
+        [int(key_offset)]
+        if isinstance(key_offset, int)
+        else [int(o) for o in key_offset]
+    )
+    # radix per key (decided at trace time: nullable keys carry a NULL
+    # slot after their value codes)
+    radices = [
+        d + (1 if kv is not None else 0)
+        for (kd, kv), d in zip(key_cols, doms)
+    ]
+    nslots = 1
+    for r in radices:
+        nslots *= r
+    strides = []
+    acc = nslots
+    for r in radices:
+        acc //= r
+        strides.append(acc)
+    gid = jnp.zeros((capacity,), jnp.int32)
+    for (kd, kv), d, off, r in zip(key_cols, doms, offs, radices):
+        code = kd if off == 0 else kd - jnp.asarray(off, kd.dtype)
+        code = code.astype(jnp.int32) if code.dtype != jnp.int32 else code
+        code = jnp.clip(code, 0, d - 1)
+        if kv is not None:
+            code = jnp.where(kv, code, d)
+        gid = gid * r + code
+    # slot layout: [0, nslots) = packed key codes (incl. per-key NULL
+    # slots); slot nslots = unselected rows
+    gcap = nslots + 1
+    gid = jnp.where(sel, gid, gcap)
+    kd = key_cols[0][0]  # for the exists-count value row below
     base_mask = sel
 
     k_ops = ["count"]  # group-existence counts (also validity/avg)
@@ -247,9 +273,14 @@ def grouped_aggregate_dense(
 
     giota = lax.broadcasted_iota(jnp.int32, (gcap,), 0)
     out_sel = exists_cnt > 0
-    # slot dom is the NULL-key group: key value invalid there
-    okd = (jnp.clip(giota, 0, dom - 1) + key_offset).astype(kd.dtype)
-    out_keys = [(okd, None if kv is None else giota < dom)]
+    # decode each key from the slot id; per-key code d is its NULL slot
+    out_keys = []
+    for (kd_i, kv_i), d, off, r, stride in zip(
+        key_cols, doms, offs, radices, strides
+    ):
+        code_i = (giota // stride) % r
+        okd = (jnp.clip(code_i, 0, d - 1) + off).astype(kd_i.dtype)
+        out_keys.append((okd, None if kv_i is None else code_i < d))
 
     out_aggs = []
     for si, spec in enumerate(specs):

@@ -129,7 +129,7 @@ ctx.register_table("t", df.Table.from_pydict({
     "v": np.arange(n).astype(np.float32),
 }))
 r = ctx.sql("EXPLAIN VERBOSE SELECT k, COUNT(v), MIN(v), SUM(v) FROM t GROUP BY k")
-assert "int key range [1000, 1036]" in r.result_str(), r.result_str()
+assert "int[1000,1036]" in r.result_str(), r.result_str()
 out = ctx.sql("SELECT k, COUNT(v), MIN(v) FROM t WHERE k < 1003 GROUP BY k ORDER BY k").result_str()
 import os
 os.environ["DFTPU_PALLAS"] = "0"
@@ -146,3 +146,37 @@ print("ok")
     )
     assert proc.returncode == 0, proc.stderr
     assert "ok" in proc.stdout
+
+
+def test_dense_multi_key(monkeypatch):
+    """Multiple small-domain keys pack into one mixed-radix dense id —
+    the TPC-H Q1 shape (GROUP BY returnflag, linestatus) runs sort-free."""
+    monkeypatch.setenv("DFTPU_PALLAS", "1")
+    import numpy as np
+
+    from datafusion_tpu import ExecutionContext, Table
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    data = {
+        "f": [["A", "N", "R"][i] for i in rng.integers(0, 3, n)],
+        "s": [["F", "O"][i] for i in rng.integers(0, 2, n)],
+        "k": (rng.integers(0, 5, n) + 10).astype(np.int32),
+        "v": rng.random(n).astype(np.float32),
+    }
+    ctx = ExecutionContext()
+    ctx.register_table("t", Table.from_pydict(data))
+    notes = ctx.sql(
+        "EXPLAIN VERBOSE SELECT f, s, k, SUM(v), COUNT(v) FROM t GROUP BY f, s, k"
+    ).result_str()
+    assert "dense sort-free group-by (dict=3 x dict=2 x int[10,14])" in notes, notes
+    out = ctx.sql(
+        "SELECT f, s, k, COUNT(v) FROM t GROUP BY f, s, k ORDER BY f, s, k"
+    ).result_str()
+    monkeypatch.setenv("DFTPU_PALLAS", "0")
+    ctx2 = ExecutionContext()
+    ctx2.register_table("t", Table.from_pydict(data))
+    ref = ctx2.sql(
+        "SELECT f, s, k, COUNT(v) FROM t GROUP BY f, s, k ORDER BY f, s, k"
+    ).result_str()
+    assert out == ref

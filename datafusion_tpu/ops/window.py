@@ -36,7 +36,7 @@ from datafusion_tpu.types import DataType, physical_np
 
 ColVal = tuple[jax.Array, Optional[jax.Array]]
 
-RANKING = {"row_number", "rank", "dense_rank"}
+RANKING = {"row_number", "rank", "dense_rank", "percent_rank", "cume_dist"}
 SHIFTS = {"lag", "lead"}
 AGGS = {"sum", "count", "avg", "min", "max"}
 
@@ -151,6 +151,36 @@ def window_spec(
             out_sorted.append(
                 ((_first_pos(ob, iota) - pstart + 1).astype(physical_np(DataType.Int64)), None)
             )
+            continue
+        if c.kind == "percent_rank":
+            # (rank - 1) / (partition rows - 1); single-row partition → 0
+            f64 = physical_np(DataType.Float64)
+            rank0 = (_first_pos(ob, iota) - pstart).astype(f64)
+            psize = jnp.maximum(jnp.minimum(pend, n_valid) - pstart, 1)
+            denom = jnp.maximum(psize - 1, 1).astype(f64)
+            out_sorted.append((rank0 / denom, None))
+            continue
+        if c.kind == "cume_dist":
+            # peers-end position / partition rows
+            f64 = physical_np(DataType.Float64)
+            peers_end = _next_pos(ob, iota, cap)
+            psize = jnp.maximum(jnp.minimum(pend, n_valid) - pstart, 1)
+            cd = (
+                jnp.minimum(peers_end, jnp.minimum(pend, n_valid)) - pstart
+            ).astype(f64) / psize.astype(f64)
+            out_sorted.append((cd, None))
+            continue
+        if c.kind == "nth_value":
+            # value at the partition's n-th row (whole-partition frame);
+            # NULL when the partition has fewer than n rows
+            pos = pstart + (c.offset - 1)
+            inside = pos < jnp.minimum(pend, n_valid)
+            posc = jnp.clip(pos, 0, cap - 1)
+            d = jnp.take(s[di], posc)
+            v = inside
+            if vi is not None:
+                v = jnp.logical_and(v, jnp.take(s[vi], posc) > 0)
+            out_sorted.append((d, v))
             continue
         if c.kind == "dense_rank":
             obc = jnp.cumsum(ob.astype(jnp.int32))

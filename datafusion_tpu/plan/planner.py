@@ -1280,11 +1280,14 @@ class SqlToRel:
         "rank": DataType.Int64,
         "dense_rank": DataType.Int64,
         "ntile": DataType.Int64,
+        "percent_rank": DataType.Float64,
+        "cume_dist": DataType.Float64,
         "count": DataType.UInt64,
         "avg": DataType.Float64,
     }
     _WINDOW_NAMES = {
         "row_number", "rank", "dense_rank", "ntile", "lag", "lead",
+        "percent_rank", "cume_dist", "nth_value",
         "sum", "count", "avg", "min", "max", "first_value", "last_value",
     }
 
@@ -1348,11 +1351,24 @@ class SqlToRel:
             raise PlanError(f"'{node.func.name}' is not a window function")
         raw_args = node.func.args
         offset = 1
-        if low in ("row_number", "rank", "dense_rank"):
+        if low in ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist"):
             if raw_args:
                 raise PlanError(f"{node.func.name}() takes no arguments")
             args: tuple[Expr, ...] = ()
             ret = self._WINDOW_RET[low]
+        elif low == "nth_value":
+            if (
+                len(raw_args) != 2
+                or not isinstance(raw_args[1], A.SQLLong)
+                or raw_args[1].value < 1
+            ):
+                raise PlanError(
+                    "NTH_VALUE expects (expr, positive integer literal)"
+                )
+            offset = int(raw_args[1].value)
+            arg = self.sql_to_rex(raw_args[0], schema, qualifiers)
+            args = (arg,)
+            ret = arg.get_type(schema)
         elif low == "ntile":
             if len(raw_args) != 1 or not isinstance(raw_args[0], A.SQLLong):
                 raise PlanError("NTILE expects one integer literal argument")
@@ -1400,7 +1416,10 @@ class SqlToRel:
         )
         frame = node.frame
         if frame is not None:
-            if low in ("row_number", "rank", "dense_rank", "ntile", "lag", "lead"):
+            if low in (
+                "row_number", "rank", "dense_rank", "ntile", "lag", "lead",
+                "percent_rank", "cume_dist", "nth_value",
+            ):
                 raise PlanError(f"{node.func.name} does not accept a ROWS frame")
             if not order:
                 raise PlanError("a ROWS frame requires ORDER BY in the window")

@@ -278,3 +278,46 @@ def test_window_in_order_by():
         ).result_str()
         == '"a"\t30.0\n"b"\t70.0\n'
     )
+
+
+def test_percent_rank_cume_dist_nth_value():
+    import numpy as np
+
+    from datafusion_tpu import ExecutionContext, Table
+
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "w",
+        Table.from_pydict(
+            {
+                "g": ["a", "a", "a", "a", "b", "b"],
+                "v": np.array([10.0, 20.0, 20.0, 40.0, 5.0, 7.0]),
+            }
+        ),
+    )
+    assert ctx.sql(
+        "SELECT g, v, PERCENT_RANK() OVER (PARTITION BY g ORDER BY v) FROM w "
+        "ORDER BY g, v"
+    ).result_str() == (
+        '"a"\t10.0\t0.0\n"a"\t20.0\t0.3333333333333333\n'
+        '"a"\t20.0\t0.3333333333333333\n"a"\t40.0\t1.0\n'
+        '"b"\t5.0\t0.0\n"b"\t7.0\t1.0\n'
+    )
+    assert ctx.sql(
+        "SELECT g, v, CUME_DIST() OVER (PARTITION BY g ORDER BY v) FROM w "
+        "ORDER BY g, v"
+    ).result_str() == (
+        '"a"\t10.0\t0.25\n"a"\t20.0\t0.75\n"a"\t20.0\t0.75\n"a"\t40.0\t1.0\n'
+        '"b"\t5.0\t0.5\n"b"\t7.0\t1.0\n'
+    )
+    assert ctx.sql(
+        "SELECT g, NTH_VALUE(v, 2) OVER (PARTITION BY g ORDER BY v) FROM w "
+        "ORDER BY g, 2"
+    ).result_str() == (
+        '"a"\t20.0\n"a"\t20.0\n"a"\t20.0\n"a"\t20.0\n"b"\t7.0\n"b"\t7.0\n'
+    )
+    # NTH_VALUE past the partition size is NULL
+    out = ctx.sql(
+        "SELECT NTH_VALUE(v, 5) OVER (PARTITION BY g ORDER BY v) FROM w"
+    ).result_str()
+    assert out == "NULL\n" * 6

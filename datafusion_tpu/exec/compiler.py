@@ -934,11 +934,15 @@ class PlanCompiler:
                 raise ExecutionError("aggregate functions take exactly one argument")
             arg_c = compile_expr(e.args[0], child.schema, child.dicts, self.fn_registry)
             fname = "count_distinct" if (e.distinct and e.name.lower() == "count") else e.name.lower()
-            agg_meta.append((fname, arg_c, e.return_type))
+            q = 0.5
+            if fname.startswith("percentile_"):
+                q = float(fname[len("percentile_"):])
+                fname = "percentile"
+            agg_meta.append((fname, arg_c, e.return_type, q))
 
         out_dicts = [c.dictionary for c in group_c] + [
             (arg.dictionary if rt is DataType.Utf8 else None)
-            for (_, arg, rt) in agg_meta
+            for (_, arg, rt, _q) in agg_meta
         ]
 
         if group_c:
@@ -988,7 +992,7 @@ class PlanCompiler:
             if dense_ok:
                 from datafusion_tpu.types import physical_np as _phys
 
-                for (name, arg, rt) in agg_meta:
+                for (name, arg, rt, _q) in agg_meta:
                     p = _phys(arg.dtype)
                     if name in ("sum", "avg") and p != np.dtype(np.float32):
                         dense_ok = False
@@ -1009,9 +1013,9 @@ class PlanCompiler:
                     keys = [_broadcast_col(c.fn(b.cols), b.capacity) for c in group_c]
                     specs = [
                         agg_ops.AggSpec(
-                            name, _broadcast_col(arg.fn(b.cols), b.capacity), rt
+                            name, _broadcast_col(arg.fn(b.cols), b.capacity), rt, q
                         )
-                        for (name, arg, rt) in agg_meta
+                        for (name, arg, rt, q) in agg_meta
                     ]
                     okeys, oaggs, osel, _ = agg_ops.grouped_aggregate_dense(
                         keys, specs, b.sel, doms, offs
@@ -1031,8 +1035,10 @@ class PlanCompiler:
                 b = child.fn(env)
                 keys = [_broadcast_col(c.fn(b.cols), b.capacity) for c in group_c]
                 specs = [
-                    agg_ops.AggSpec(name, _broadcast_col(arg.fn(b.cols), b.capacity), rt)
-                    for (name, arg, rt) in agg_meta
+                    agg_ops.AggSpec(
+                        name, _broadcast_col(arg.fn(b.cols), b.capacity), rt, q
+                    )
+                    for (name, arg, rt, q) in agg_meta
                 ]
                 okeys, oaggs, osel, n_groups = agg_ops.grouped_aggregate(
                     keys, specs, b.sel, gcap
@@ -1047,8 +1053,10 @@ class PlanCompiler:
         def fn0(env) -> Batch:
             b = child.fn(env)
             specs = [
-                agg_ops.AggSpec(name, _broadcast_col(arg.fn(b.cols), b.capacity), rt)
-                for (name, arg, rt) in agg_meta
+                agg_ops.AggSpec(
+                    name, _broadcast_col(arg.fn(b.cols), b.capacity), rt, q
+                )
+                for (name, arg, rt, q) in agg_meta
             ]
             outs = agg_ops.ungrouped_aggregate(specs, b.sel)
             iota = lax.broadcasted_iota(jnp.int32, (out_cap,), 0)

@@ -67,9 +67,10 @@ def _pallas_enabled() -> bool:
 class AggSpec:
     """One aggregate to compute: function name + argument column value."""
 
-    func: str  # 'min' | 'max' | 'sum' | 'count' | 'avg'
+    func: str  # min | max | sum | count | avg | median | percentile
     arg: ColVal
     out_dtype: DataType
+    q: float = 0.5  # percentile fraction (median = 0.5)
 
 
 def _sentinel(dtype, minimum: bool):
@@ -117,6 +118,24 @@ def ungrouped_aggregate(specs: Sequence[AggSpec], sel: jax.Array):
         elif spec.func == "avg":
             s = jnp.sum(jnp.where(mask, data, jnp.zeros((), data.dtype)))
             r = s / n.astype(s.dtype)
+        elif spec.func in ("median", "percentile"):
+            # sort valid values to the front, linear-interpolate at the
+            # fractional rank (PERCENTILE_CONT semantics)
+            nm = jnp.logical_not(mask).astype(jnp.int8)
+            img = to_sortable_int(data)
+            vs = lax.sort([nm, img], num_keys=2)[1]
+            f64 = physical_np(DataType.Float64)
+            rank = (n - 1).astype(f64) * spec.q
+            lo = jnp.floor(rank).astype(jnp.int32)
+            hi = jnp.ceil(rank).astype(jnp.int32)
+            cap = int(sel.shape[0])
+            v_lo = from_sortable_int(
+                jnp.take(vs, jnp.clip(lo, 0, cap - 1)), data.dtype
+            ).astype(f64)
+            v_hi = from_sortable_int(
+                jnp.take(vs, jnp.clip(hi, 0, cap - 1)), data.dtype
+            ).astype(f64)
+            r = v_lo + (v_hi - v_lo) * (rank - lo.astype(f64))
         else:
             raise NotImplementedError_(f"aggregate function {spec.func}")
         outs.append((r.astype(physical_np(spec.out_dtype)), n > 0))
@@ -334,6 +353,15 @@ def grouped_aggregate(
         data, valid = spec.arg
         if spec.func in ("min", "max") and jnp.ndim(data) != 0:
             mm_votes[id(data)] = mm_votes.get(id(data), 0) + 1
+            mm_args[id(data)] = (data, valid)
+        elif spec.func in ("median", "percentile"):
+            if jnp.ndim(data) == 0:
+                raise NotImplementedError_(
+                    f"{spec.func} of a literal is not supported"
+                )
+            # medians REQUIRE the value-ordered ride (min/max have kernel
+            # fallbacks) — give them a dominating vote
+            mm_votes[id(data)] = mm_votes.get(id(data), 0) + 1000
             mm_args[id(data)] = (data, valid)
     chosen_vid: Optional[int] = (
         max(mm_votes, key=lambda i: mm_votes[i]) if mm_votes else None
@@ -565,6 +593,36 @@ def grouped_aggregate(
     out_aggs = []
     for si, (spec, pi, vpi) in enumerate(zip(specs, payload_plan, vpayload_plan)):
         d_sorted = sorted_ops[pi]
+        if spec.func in ("median", "percentile"):
+            if id(spec.arg[0]) != chosen_vid:
+                raise NotImplementedError_(
+                    "only one distinct MEDIAN/PERCENTILE argument per "
+                    "aggregate is supported (it must ride the value sort)"
+                )
+            vs = sorted_ops[vsort_idx]
+            if vpi is None:
+                cnt = extents()["sizes"]
+            elif si in pallas_counts:
+                cnt = pallas_counts[si]
+            else:
+                cnt = jax.ops.segment_sum(
+                    _spec_mask(vpi).astype(jnp.int32), gid, num_segments=gcap
+                )
+            f64 = physical_np(DataType.Float64)
+            rank = jnp.maximum(cnt - 1, 0).astype(f64) * spec.q
+            lo = jnp.floor(rank).astype(jnp.int32)
+            hi = jnp.ceil(rank).astype(jnp.int32)
+            starts = extents()["starts"]
+            src_dt = mm_args[chosen_vid][0].dtype
+            v_lo = from_sortable_int(
+                jnp.take(vs, jnp.clip(starts + lo, 0, capacity - 1)), src_dt
+            ).astype(f64)
+            v_hi = from_sortable_int(
+                jnp.take(vs, jnp.clip(starts + hi, 0, capacity - 1)), src_dt
+            ).astype(f64)
+            r = v_lo + (v_hi - v_lo) * (rank - lo.astype(f64))
+            out_aggs.append((r.astype(physical_np(spec.out_dtype)), cnt > 0))
+            continue
         if _handled(spec):
             # value-ordered main sort: the group MIN is the value at the
             # group's first row, the MAX at start + valid_count - 1

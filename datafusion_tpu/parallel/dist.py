@@ -929,9 +929,13 @@ class DistCompiler(PlanCompiler):
 
         child = self.lower(plan.input)
         strategy = os.environ.get("DFTPU_AGG_STRATEGY", "auto")
-        has_distinct = any(
-            getattr(e, "distinct", False) for e in plan.aggr_exprs
-        )
+        def _holistic(e) -> bool:
+            n = getattr(e, "name", "").lower()
+            return getattr(e, "distinct", False) or n == "median" or n.startswith(
+                "percentile_"
+            )
+
+        has_distinct = any(_holistic(e) for e in plan.aggr_exprs)
         if child.layout == "partitioned" and plan.group_exprs and (
             strategy == "repartition" or (strategy == "auto" and has_distinct)
         ):

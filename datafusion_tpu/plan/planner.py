@@ -482,7 +482,8 @@ class SqlToRel:
     _AGG_FN_NAMES = frozenset(
         {"min", "max", "sum", "avg", "count",
          "stddev", "stddev_samp", "stddev_pop",
-         "variance", "var_samp", "var_pop"}
+         "variance", "var_samp", "var_pop",
+         "median", "percentile", "percentile_cont"}
     )
 
     def _plan_select_impl(self, sel: A.SQLSelect) -> LogicalPlan:
@@ -2114,6 +2115,24 @@ class SqlToRel:
             return ScalarFunction(
                 "power" if low == "pow" else low, args, DataType.Float64
             )
+        if low in ("median", "percentile", "percentile_cont"):
+            q = 0.5
+            nargs = node.args
+            if low != "median":
+                if len(nargs) != 2 or not isinstance(nargs[1], (A.SQLDouble, A.SQLLong)):
+                    raise PlanError(
+                        f"{name} expects (expr, fraction literal)"
+                    )
+                q = float(nargs[1].value)
+                if not 0.0 <= q <= 1.0:
+                    raise PlanError("percentile fraction must be in [0, 1]")
+                nargs = nargs[:1]
+            arg = self.sql_to_rex(nargs[0], schema, qualifiers)
+            at = arg.get_type(schema)
+            if not at.is_numeric:
+                raise PlanError(f"{name} is not defined for {at!r} values")
+            fname = "median" if low == "median" and q == 0.5 else f"percentile_{q!r}"
+            return AggregateFunction(fname, (arg,), DataType.Float64)
         if low in _AGG_NAMES:
             args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)
             if len(args) != 1:

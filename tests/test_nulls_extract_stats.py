@@ -320,3 +320,73 @@ def test_order_by_hidden_column():
     assert (
         ctx.sql("SELECT k FROM h AS a ORDER BY a.v LIMIT 1").result_str() == "2\n"
     )
+
+
+# ------------------------------------------------ MEDIAN / PERCENTILE
+def test_median_percentile():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "m",
+        Table.from_pydict(
+            {
+                "g": ["a", "a", "a", "a", "b", "b", "b"],
+                "v": np.array([1.0, 3.0, 2.0, 10.0, 5.0, 7.0, 6.0]),
+            }
+        ),
+    )
+    q = lambda sql: ctx.sql(sql).result_str()
+    assert q("SELECT MEDIAN(v) FROM m") == "5.0\n"
+    assert q("SELECT g, MEDIAN(v) FROM m GROUP BY g ORDER BY g") == (
+        '"a"\t2.5\n"b"\t6.0\n'
+    )
+    # PERCENTILE_CONT linear interpolation (numpy-checked values)
+    assert q(
+        "SELECT g, PERCENTILE(v, 0.25), PERCENTILE(v, 1.0) FROM m "
+        "GROUP BY g ORDER BY g"
+    ) == '"a"\t1.75\t10.0\n"b"\t5.5\t7.0\n'
+    # mixes with other aggregates (median rides the value sort)
+    assert q(
+        "SELECT g, MEDIAN(v), MIN(v), MAX(v), COUNT(v) FROM m GROUP BY g ORDER BY g"
+    ) == '"a"\t2.5\t1.0\t10.0\t4\n"b"\t6.0\t5.0\t7.0\t3\n'
+
+
+def test_median_with_nulls_and_distributed():
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    schema = Schema([Field("g", DataType.Utf8), Field("v", DataType.Float64, True)])
+
+    def mk(mesh=None):
+        ctx = ExecutionContext(mesh=mesh)
+        t = Table.from_arrays(
+            schema,
+            [
+                ["a", "a", "a", "b", "b"],
+                np.array([4.0, 0.0, 2.0, 8.0, 6.0]),
+            ],
+            validity=[None, np.array([True, False, True, True, True])],
+        )
+        ctx.register_table("m", t)
+        return ctx
+
+    sql = "SELECT g, MEDIAN(v), COUNT(v) FROM m GROUP BY g ORDER BY g"
+    out = mk().sql(sql).result_str()
+    # NULL excluded: a has [2, 4] -> 3.0
+    assert out == '"a"\t3.0\t2\n"b"\t7.0\t2\n'
+    assert mk(make_mesh()).sql(sql).result_str() == out
+
+
+def test_median_limits():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "m",
+        Table.from_pydict(
+            {"v": np.array([1.0, 2.0]), "w": np.array([3.0, 4.0])}
+        ),
+    )
+    from datafusion_tpu.errors import NotImplementedError_, PlanError
+
+    with pytest.raises(NotImplementedError_):
+        # two DIFFERENT median arguments cannot share the one value ride
+        ctx.sql("SELECT MEDIAN(v), MEDIAN(w), COUNT(v) FROM m GROUP BY v")
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT PERCENTILE(v, 1.5) FROM m")

@@ -933,7 +933,9 @@ class PlanCompiler:
             if len(e.args) != 1:
                 raise ExecutionError("aggregate functions take exactly one argument")
             arg_c = compile_expr(e.args[0], child.schema, child.dicts, self.fn_registry)
-            fname = "count_distinct" if (e.distinct and e.name.lower() == "count") else e.name.lower()
+            fname = e.name.lower()
+            if e.distinct and fname in ("count", "sum", "avg"):
+                fname = f"{fname}_distinct"
             q = 0.5
             if fname.startswith("percentile_"):
                 q = float(fname[len("percentile_"):])

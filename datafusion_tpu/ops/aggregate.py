@@ -97,7 +97,7 @@ def ungrouped_aggregate(specs: Sequence[AggSpec], sel: jax.Array):
         if spec.func == "count":
             outs.append((n.astype(physical_np(spec.out_dtype)), None))
             continue
-        if spec.func == "count_distinct":
+        if spec.func in ("count_distinct", "sum_distinct", "avg_distinct"):
             # sort values (masked rows last); distinct = run starts
             nm = jnp.logical_not(mask).astype(jnp.int8)
             sres = lax.sort([nm, data], num_keys=2)
@@ -105,9 +105,18 @@ def ungrouped_aggregate(specs: Sequence[AggSpec], sel: jax.Array):
             cap = int(sel.shape[0])
             io = lax.broadcasted_iota(jnp.int32, (cap,), 0)
             msorted = io < n
-            changed = jnp.logical_or(io == 0, vs != jnp.roll(vs, 1))
-            cnt = jnp.sum(jnp.logical_and(msorted, changed))
-            outs.append((cnt.astype(physical_np(spec.out_dtype)), None))
+            first = jnp.logical_and(
+                msorted, jnp.logical_or(io == 0, vs != jnp.roll(vs, 1))
+            )
+            cnt = jnp.sum(first)
+            if spec.func == "count_distinct":
+                outs.append((cnt.astype(physical_np(spec.out_dtype)), None))
+                continue
+            f64 = physical_np(DataType.Float64)
+            sd = jnp.sum(jnp.where(first, vs, jnp.zeros((), vs.dtype)).astype(f64))
+            if spec.func == "avg_distinct":
+                sd = sd / jnp.maximum(cnt, 1).astype(f64)
+            outs.append((sd.astype(physical_np(spec.out_dtype)), cnt > 0))
             continue
         if spec.func == "min":
             r = jnp.min(jnp.where(mask, data, _sentinel(data.dtype, False)))
@@ -674,10 +683,10 @@ def grouped_aggregate(
             mask = sel_sorted if vpi is None else jnp.logical_and(
                 sel_sorted, sorted_ops[vpi].astype(jnp.bool_)
             )
-        if spec.func == "count_distinct":
+        if spec.func in ("count_distinct", "sum_distinct", "avg_distinct"):
             # value-co-sort per group (valid rows first within the group);
-            # distinct values are runs — count run starts via exact
-            # integer prefix differences over the group extents
+            # distinct values are runs — count/sum the run-START rows via
+            # exact prefix differences over the group extents
             operands_cd = [notsel, *skeys]
             if vpi is not None:
                 operands_cd.append(
@@ -691,15 +700,30 @@ def grouped_aggregate(
             )
             if vpi is not None:
                 flag = jnp.logical_and(flag, vres[-2] == 0)  # valid rows only
-            pref = jnp.cumsum(flag.astype(jnp.int32))
             ex = extents()
             starts, ends = ex["starts"], ex["ends"]
-            p_end = jnp.take(pref, jnp.clip(ends - 1, 0, capacity - 1))
-            p_before = jnp.where(
-                starts > 0, jnp.take(pref, jnp.clip(starts - 1, 0, capacity - 1)), 0
+
+            def seg_diff(pref, zero):
+                p_end = jnp.take(pref, jnp.clip(ends - 1, 0, capacity - 1))
+                p_before = jnp.where(
+                    starts > 0,
+                    jnp.take(pref, jnp.clip(starts - 1, 0, capacity - 1)),
+                    zero,
+                )
+                return jnp.where(giota < n_groups, p_end - p_before, zero)
+
+            cntd = seg_diff(jnp.cumsum(flag.astype(jnp.int32)), 0)
+            if spec.func == "count_distinct":
+                out_aggs.append((cntd.astype(physical_np(spec.out_dtype)), None))
+                continue
+            f64 = physical_np(DataType.Float64)
+            contrib = jnp.where(flag, vs, jnp.zeros((), vs.dtype)).astype(f64)
+            sumd = seg_diff(jnp.cumsum(contrib), jnp.zeros((), f64))
+            if spec.func == "avg_distinct":
+                sumd = sumd / jnp.maximum(cntd, 1).astype(f64)
+            out_aggs.append(
+                (sumd.astype(physical_np(spec.out_dtype)), cntd > 0)
             )
-            cntd = jnp.where(giota < n_groups, p_end - p_before, 0)
-            out_aggs.append((cntd.astype(physical_np(spec.out_dtype)), None))
             continue
         if spec.func in ("min", "max") and vpi is None:
             # value-co-sorted path: min at group start, max at group end

@@ -729,18 +729,20 @@ class DistCompiler(PlanCompiler):
         ]
         agg_meta = []
         for e in plan.aggr_exprs:
-            fname = (
-                "count_distinct"
-                if (getattr(e, "distinct", False) and e.name.lower() == "count")
-                else e.name.lower()
-            )
+            fname = e.name.lower()
+            if getattr(e, "distinct", False) and fname in ("count", "sum", "avg"):
+                fname = f"{fname}_distinct"
+            q = 0.5
+            if fname.startswith("percentile_"):
+                q = float(fname[len("percentile_"):])
+                fname = "percentile"
             arg_c = compile_expr(
                 e.args[0], child.schema, child.dicts, self.fn_registry
             )
-            agg_meta.append((fname, arg_c, e.return_type))
+            agg_meta.append((fname, arg_c, e.return_type, q))
         out_dicts = [c.dictionary for c in group_c] + [
             (arg.dictionary if rt is DataType.Utf8 else None)
-            for (_, arg, rt) in agg_meta
+            for (_, arg, rt, _q) in agg_meta
         ]
         ex_cap = n * s_cap
         gcap_local = self._alloc_cap(
@@ -759,8 +761,10 @@ class DistCompiler(PlanCompiler):
             self.totals.append(lax.pmax(smax, AXIS))
             keys2 = [_broadcast_col(c.fn(cols2), ex_cap) for c in group_c]
             specs2 = [
-                agg_ops.AggSpec(name, _broadcast_col(arg.fn(cols2), ex_cap), rt)
-                for (name, arg, rt) in agg_meta
+                agg_ops.AggSpec(
+                    name, _broadcast_col(arg.fn(cols2), ex_cap), rt, q
+                )
+                for (name, arg, rt, q) in agg_meta
             ]
             okeys, oaggs, osel, n_g = agg_ops.grouped_aggregate(
                 keys2, specs2, sel2, gcap_local

@@ -1974,8 +1974,11 @@ class SqlToRel:
     ) -> Expr:
         name = node.name
         low = name.lower()
-        if node.distinct and low != "count":
-            raise PlanError(f"DISTINCT is only supported with COUNT, not {name}")
+        if node.distinct and low not in ("count", "sum", "avg", "min", "max"):
+            raise PlanError(
+                f"DISTINCT is not supported with {name} "
+                "(COUNT/SUM/AVG/MIN/MAX only)"
+            )
         if low == "coalesce":
             # COALESCE(a, b, ...) desugars onto CASE: first non-NULL arg
             # (beyond the reference)
@@ -2142,7 +2145,9 @@ class SqlToRel:
                 kindname = "DATE" if at is DataType.Date32 else "TIMESTAMP"
                 raise PlanError(f"{name} is not defined for {kindname} values")
             # return type = argument type (reference: sqlplanner.rs:317)
-            return AggregateFunction(name, args, at)
+            # MIN/MAX(DISTINCT x) = MIN/MAX(x); SUM/AVG keep the flag
+            distinct = node.distinct and low in ("sum", "avg")
+            return AggregateFunction(name, args, at, distinct)
         if low == "count":
             args = tuple(
                 Column(0)

@@ -143,13 +143,16 @@ def test_count_distinct_distributed():
     assert single == dist
 
 
-def test_sum_distinct_errors():
+def test_sum_distinct_now_supported():
     import pytest
 
     from datafusion_tpu.errors import PlanError
 
+    # SUM(DISTINCT) is supported now; STDDEV(DISTINCT) is not
+    ctx = ctx_with_t()
+    assert ctx.sql("SELECT SUM(DISTINCT b) FROM t").num_rows == 1
     with pytest.raises(PlanError, match="DISTINCT"):
-        ctx_with_t().sql("SELECT SUM(DISTINCT b) FROM t")
+        ctx.sql("SELECT STDDEV(DISTINCT b) FROM t")
 
 
 def test_expressions_over_aggregates():

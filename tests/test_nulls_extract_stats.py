@@ -390,3 +390,32 @@ def test_median_limits():
         ctx.sql("SELECT MEDIAN(v), MEDIAN(w), COUNT(v) FROM m GROUP BY v")
     with pytest.raises(PlanError):
         ctx.sql("SELECT PERCENTILE(v, 1.5) FROM m")
+
+
+def test_sum_avg_distinct():
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    def mk(mesh=None):
+        ctx = ExecutionContext(mesh=mesh)
+        ctx.register_table(
+            "d",
+            Table.from_pydict(
+                {
+                    "g": ["a", "a", "a", "b", "b"],
+                    "v": np.array([1.0, 1.0, 3.0, 5.0, 5.0]),
+                }
+            ),
+        )
+        return ctx
+
+    q = lambda ctx, sql: ctx.sql(sql).result_str()
+    assert q(
+        mk(), "SELECT SUM(DISTINCT v), AVG(DISTINCT v), COUNT(DISTINCT v), SUM(v) FROM d"
+    ) == "9.0\t3.0\t3\t15.0\n"
+    sql = "SELECT g, SUM(DISTINCT v), AVG(DISTINCT v), MIN(DISTINCT v) FROM d GROUP BY g ORDER BY g"
+    out = q(mk(), sql)
+    assert out == '"a"\t4.0\t2.0\t1.0\n"b"\t5.0\t5.0\t5.0\n'
+    # distributed: holistic aggregates localize their groups first
+    assert q(mk(make_mesh()), sql) == out
+    with pytest.raises(PlanError):
+        mk().sql("SELECT STDDEV(DISTINCT v) FROM d")

@@ -739,6 +739,33 @@ class Parser:
                     self.expect_op(")")
                     break
             fn_node = SQLFunction(t.value, tuple(args), distinct)
+            if up in ("PERCENTILE_CONT", "PERCENTILE_DISC") and self.consume_keywords(
+                "WITHIN", "GROUP"
+            ):
+                # ordered-set sugar: PERCENTILE_CONT(q) WITHIN GROUP
+                # (ORDER BY x) = PERCENTILE(x, q); DESC flips q
+                self.expect_op("(")
+                self.expect_keyword("ORDER")
+                self.expect_keyword("BY")
+                target = self.parse_expr()
+                desc = False
+                if self.consume_keyword("DESC"):
+                    desc = True
+                else:
+                    self.consume_keyword("ASC")
+                self.expect_op(")")
+                if len(args) != 1:
+                    raise ParserError(
+                        f"{t.value} expects one fraction argument"
+                    )
+                qarg = args[0]
+                if desc:
+                    if not isinstance(qarg, (SQLDouble, SQLLong)):
+                        raise ParserError(
+                            f"{t.value} fraction must be a literal"
+                        )
+                    qarg = SQLDouble(1.0 - float(qarg.value))
+                return SQLFunction("percentile", (target, qarg), False)
             if self.consume_keyword("OVER"):
                 return self._parse_over(fn_node)
             return fn_node

@@ -419,3 +419,23 @@ def test_sum_avg_distinct():
     assert q(mk(make_mesh()), sql) == out
     with pytest.raises(PlanError):
         mk().sql("SELECT STDDEV(DISTINCT v) FROM d")
+
+
+def test_percentile_within_group_sugar():
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "wg", Table.from_pydict({"g": ["a"] * 4, "v": np.array([1.0, 2.0, 3.0, 10.0])})
+    )
+    assert (
+        ctx.sql(
+            "SELECT g, PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY v) FROM wg GROUP BY g"
+        ).result_str()
+        == '"a"\t2.5\n'
+    )
+    # DESC flips the fraction: 0.25 desc = 0.75 asc
+    assert (
+        ctx.sql(
+            "SELECT PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY v DESC) FROM wg"
+        ).result_str()
+        == "4.75\n"
+    )

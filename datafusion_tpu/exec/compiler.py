@@ -937,7 +937,10 @@ class PlanCompiler:
             if e.distinct and fname in ("count", "sum", "avg"):
                 fname = f"{fname}_distinct"
             q = 0.5
-            if fname.startswith("percentile_"):
+            if fname.startswith("percentile_disc_"):
+                q = float(fname[len("percentile_disc_"):])
+                fname = "percentile_disc"
+            elif fname.startswith("percentile_"):
                 q = float(fname[len("percentile_"):])
                 fname = "percentile"
             agg_meta.append((fname, arg_c, e.return_type, q))

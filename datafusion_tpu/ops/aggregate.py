@@ -127,24 +127,32 @@ def ungrouped_aggregate(specs: Sequence[AggSpec], sel: jax.Array):
         elif spec.func == "avg":
             s = jnp.sum(jnp.where(mask, data, jnp.zeros((), data.dtype)))
             r = s / n.astype(s.dtype)
-        elif spec.func in ("median", "percentile"):
-            # sort valid values to the front, linear-interpolate at the
-            # fractional rank (PERCENTILE_CONT semantics)
+        elif spec.func in ("median", "percentile", "percentile_disc"):
+            # sort valid values to the front; CONT linear-interpolates at
+            # the fractional rank, DISC picks the first value whose
+            # cumulative fraction reaches q (ceil(q*n) - 1)
             nm = jnp.logical_not(mask).astype(jnp.int8)
             img = to_sortable_int(data)
             vs = lax.sort([nm, img], num_keys=2)[1]
             f64 = physical_np(DataType.Float64)
-            rank = (n - 1).astype(f64) * spec.q
-            lo = jnp.floor(rank).astype(jnp.int32)
-            hi = jnp.ceil(rank).astype(jnp.int32)
             cap = int(sel.shape[0])
-            v_lo = from_sortable_int(
-                jnp.take(vs, jnp.clip(lo, 0, cap - 1)), data.dtype
-            ).astype(f64)
-            v_hi = from_sortable_int(
-                jnp.take(vs, jnp.clip(hi, 0, cap - 1)), data.dtype
-            ).astype(f64)
-            r = v_lo + (v_hi - v_lo) * (rank - lo.astype(f64))
+            if spec.func == "percentile_disc":
+                pos = jnp.ceil(n.astype(f64) * spec.q).astype(jnp.int32) - 1
+                pos = jnp.clip(pos, 0, jnp.maximum(n - 1, 0))
+                r = from_sortable_int(
+                    jnp.take(vs, jnp.clip(pos, 0, cap - 1)), data.dtype
+                ).astype(f64)
+            else:
+                rank = (n - 1).astype(f64) * spec.q
+                lo = jnp.floor(rank).astype(jnp.int32)
+                hi = jnp.ceil(rank).astype(jnp.int32)
+                v_lo = from_sortable_int(
+                    jnp.take(vs, jnp.clip(lo, 0, cap - 1)), data.dtype
+                ).astype(f64)
+                v_hi = from_sortable_int(
+                    jnp.take(vs, jnp.clip(hi, 0, cap - 1)), data.dtype
+                ).astype(f64)
+                r = v_lo + (v_hi - v_lo) * (rank - lo.astype(f64))
         else:
             raise NotImplementedError_(f"aggregate function {spec.func}")
         outs.append((r.astype(physical_np(spec.out_dtype)), n > 0))
@@ -363,7 +371,7 @@ def grouped_aggregate(
         if spec.func in ("min", "max") and jnp.ndim(data) != 0:
             mm_votes[id(data)] = mm_votes.get(id(data), 0) + 1
             mm_args[id(data)] = (data, valid)
-        elif spec.func in ("median", "percentile"):
+        elif spec.func in ("median", "percentile", "percentile_disc"):
             if jnp.ndim(data) == 0:
                 raise NotImplementedError_(
                     f"{spec.func} of a literal is not supported"
@@ -602,7 +610,7 @@ def grouped_aggregate(
     out_aggs = []
     for si, (spec, pi, vpi) in enumerate(zip(specs, payload_plan, vpayload_plan)):
         d_sorted = sorted_ops[pi]
-        if spec.func in ("median", "percentile"):
+        if spec.func in ("median", "percentile", "percentile_disc"):
             if id(spec.arg[0]) != chosen_vid:
                 raise NotImplementedError_(
                     "only one distinct MEDIAN/PERCENTILE argument per "
@@ -618,18 +626,26 @@ def grouped_aggregate(
                     _spec_mask(vpi).astype(jnp.int32), gid, num_segments=gcap
                 )
             f64 = physical_np(DataType.Float64)
-            rank = jnp.maximum(cnt - 1, 0).astype(f64) * spec.q
-            lo = jnp.floor(rank).astype(jnp.int32)
-            hi = jnp.ceil(rank).astype(jnp.int32)
             starts = extents()["starts"]
             src_dt = mm_args[chosen_vid][0].dtype
-            v_lo = from_sortable_int(
-                jnp.take(vs, jnp.clip(starts + lo, 0, capacity - 1)), src_dt
-            ).astype(f64)
-            v_hi = from_sortable_int(
-                jnp.take(vs, jnp.clip(starts + hi, 0, capacity - 1)), src_dt
-            ).astype(f64)
-            r = v_lo + (v_hi - v_lo) * (rank - lo.astype(f64))
+            if spec.func == "percentile_disc":
+                pos = jnp.ceil(cnt.astype(f64) * spec.q).astype(jnp.int32) - 1
+                pos = jnp.clip(pos, 0, jnp.maximum(cnt - 1, 0))
+                r = from_sortable_int(
+                    jnp.take(vs, jnp.clip(starts + pos, 0, capacity - 1)),
+                    src_dt,
+                ).astype(f64)
+            else:
+                rank = jnp.maximum(cnt - 1, 0).astype(f64) * spec.q
+                lo = jnp.floor(rank).astype(jnp.int32)
+                hi = jnp.ceil(rank).astype(jnp.int32)
+                v_lo = from_sortable_int(
+                    jnp.take(vs, jnp.clip(starts + lo, 0, capacity - 1)), src_dt
+                ).astype(f64)
+                v_hi = from_sortable_int(
+                    jnp.take(vs, jnp.clip(starts + hi, 0, capacity - 1)), src_dt
+                ).astype(f64)
+                r = v_lo + (v_hi - v_lo) * (rank - lo.astype(f64))
             out_aggs.append((r.astype(physical_np(spec.out_dtype)), cnt > 0))
             continue
         if _handled(spec):

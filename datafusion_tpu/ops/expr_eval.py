@@ -74,16 +74,23 @@ _STRING_PYFNS: dict[str, Callable[..., str]] = {
         else s[max(int(start) - 1, 0): max(int(start) - 1, 0) + max(int(ln), 0)]
     ),
     "replace": lambda s, old, new: s.replace(str(old), str(new)),
+    # LPAD/RPAD: negative lengths are empty; LEFT/RIGHT follow Postgres
+    # (negative n drops from the other end); overlong RIGHT returns the
+    # whole string (no negative-index wraparound)
     "lpad": lambda s, n, fill=" ": (
-        s[: int(n)] if len(s) >= int(n)
+        s[: max(int(n), 0)] if len(s) >= int(n)
         else (str(fill) * int(n))[: int(n) - len(s)] + s
     ),
     "rpad": lambda s, n, fill=" ": (
-        s[: int(n)] if len(s) >= int(n)
+        s[: max(int(n), 0)] if len(s) >= int(n)
         else s + (str(fill) * int(n))[: int(n) - len(s)]
     ),
-    "left": lambda s, n: s[: max(int(n), 0)],
-    "right": lambda s, n: s[len(s) - max(int(n), 0):] if int(n) > 0 else "",
+    "left": lambda s, n: (
+        s[: int(n)] if int(n) >= 0 else s[: max(len(s) + int(n), 0)]
+    ),
+    "right": lambda s, n: (
+        s[max(len(s) - int(n), 0):] if int(n) >= 0 else s[min(-int(n), len(s)):]
+    ),
     "initcap": lambda s: s.title(),
     "repeat": lambda s, n: s * max(int(n), 0),
     "split_part": lambda s, delim, n: (
@@ -564,11 +571,15 @@ def _compile_string_fn(expr: ScalarFunction, schema, dicts, registry) -> Compile
 
     base: dict = {}
 
+    has_null = {"v": False}
+
     def build(e) -> Callable[[str], object]:
         raw = _strip_cast(e)
         if isinstance(raw, Literal):
             v = raw.value.value
-            return lambda s, v=v: v
+            if v is None:
+                has_null["v"] = True
+            return lambda s, v=v: "" if v is None else v
         if isinstance(raw, ScalarFunction) and canon(raw.name) in (
             set(_STRING_PYFNS) | set(_STRING_INT_PYFNS) | {"concat"}
         ):
@@ -598,6 +609,16 @@ def _compile_string_fn(expr: ScalarFunction, schema, dicts, registry) -> Compile
         return lambda s: s
 
     tree = build(expr)
+    if has_null["v"]:
+        # ANSI: a NULL operand makes the whole string expression NULL
+        # (|| propagation; documented deviation from Postgres CONCAT's
+        # skip-NULLs behavior)
+        invalid = jnp.zeros((), jnp.bool_)
+        return CompiledExpr(
+            lambda cols, iv=invalid: (jnp.zeros((), jnp.int32), iv),
+            DataType.Utf8,
+            ("",),
+        )
     if "compiled" not in base:
         raise NotImplementedError_(
             f"{expr.name} needs at least one string column argument"

@@ -733,7 +733,10 @@ class DistCompiler(PlanCompiler):
             if getattr(e, "distinct", False) and fname in ("count", "sum", "avg"):
                 fname = f"{fname}_distinct"
             q = 0.5
-            if fname.startswith("percentile_"):
+            if fname.startswith("percentile_disc_"):
+                q = float(fname[len("percentile_disc_"):])
+                fname = "percentile_disc"
+            elif fname.startswith("percentile_"):
                 q = float(fname[len("percentile_"):])
                 fname = "percentile"
             arg_c = compile_expr(

@@ -483,7 +483,7 @@ class SqlToRel:
         {"min", "max", "sum", "avg", "count",
          "stddev", "stddev_samp", "stddev_pop",
          "variance", "var_samp", "var_pop",
-         "median", "percentile", "percentile_cont"}
+         "median", "percentile", "percentile_cont", "percentile_disc"}
     )
 
     def _plan_select_impl(self, sel: A.SQLSelect) -> LogicalPlan:
@@ -986,6 +986,14 @@ class SqlToRel:
 
         group_alias = {g: f"__g{i}" for i, g in enumerate(sel.group_by)}
         agg_alias = {a: f"__a{j}" for j, a in enumerate(aggs)}
+        # qualified and unqualified spellings of the same key match by
+        # terminal name (GROUP BY t.a vs SELECT a and vice versa)
+        group_by_name: dict[str, str] = {}
+        for g, nm in group_alias.items():
+            if isinstance(g, (A.SQLIdentifier,)):
+                group_by_name.setdefault(g.name, nm)
+            elif isinstance(g, A.SQLCompoundIdentifier):
+                group_by_name.setdefault(g.name, nm)
         inner_items = tuple(
             A.SQLAliasedExpr(g, nm) for g, nm in group_alias.items()
         ) + tuple(A.SQLAliasedExpr(a, nm) for a, nm in agg_alias.items())
@@ -1007,9 +1015,25 @@ class SqlToRel:
                 return A.SQLIdentifier(agg_alias[n])
             if n in group_alias:
                 return A.SQLIdentifier(group_alias[n])
+            if isinstance(n, (A.SQLIdentifier, A.SQLCompoundIdentifier)):
+                nm = group_by_name.get(n.name)
+                if nm is not None:
+                    return A.SQLIdentifier(nm)
             return n
 
-        outer_proj = tuple(self._ast_transform(e, sub) for e in sel.projection)
+        def outer_item(e):
+            t = self._ast_transform(e, sub)
+            if t is e or isinstance(e, A.SQLAliasedExpr):
+                return t
+            # keep the ORIGINAL output name when the substitution renamed
+            # an unaliased item (identifier → __g0, SUM(x) → __a0)
+            if isinstance(e, (A.SQLIdentifier, A.SQLCompoundIdentifier)):
+                return A.SQLAliasedExpr(t, e.name)
+            if isinstance(e, A.SQLFunction):
+                return A.SQLAliasedExpr(t, e.name)
+            return t
+
+        outer_proj = tuple(outer_item(e) for e in sel.projection)
         outer_order = tuple(
             A.SQLOrderByExpr(
                 self._ast_transform(ob.expr, sub), ob.asc, ob.nulls_first
@@ -2083,17 +2107,23 @@ class SqlToRel:
                 "sum", (BinaryExpr(xf, Operator.Multiply, xf),), f64
             )
             n = Cast(AggregateFunction("count", (x,), DataType.UInt64), f64)
-            num = BinaryExpr(
+            num_raw = BinaryExpr(
                 ssq,
                 Operator.Minus,
                 BinaryExpr(
                     BinaryExpr(s, Operator.Multiply, s), Operator.Divide, n
                 ),
             )
+            zero = Literal(ScalarValue.float64(0.0))
+            # clamp at 0: cancellation can push the numerator slightly
+            # negative (constant columns) and sqrt would return NaN
+            num = Case(
+                ((BinaryExpr(num_raw, Operator.Lt, zero), zero),), num_raw
+            )
             one = Literal(ScalarValue.float64(1.0))
             if low in ("stddev_pop", "var_pop"):
                 var = BinaryExpr(num, Operator.Divide, n)
-                guard = BinaryExpr(n, Operator.Gt, Literal(ScalarValue.float64(0.0)))
+                guard = BinaryExpr(n, Operator.Gt, zero)
             else:
                 var = BinaryExpr(
                     num, Operator.Divide, BinaryExpr(n, Operator.Minus, one)
@@ -2118,7 +2148,7 @@ class SqlToRel:
             return ScalarFunction(
                 "power" if low == "pow" else low, args, DataType.Float64
             )
-        if low in ("median", "percentile", "percentile_cont"):
+        if low in ("median", "percentile", "percentile_cont", "percentile_disc"):
             q = 0.5
             nargs = node.args
             if low != "median":
@@ -2134,7 +2164,12 @@ class SqlToRel:
             at = arg.get_type(schema)
             if not at.is_numeric:
                 raise PlanError(f"{name} is not defined for {at!r} values")
-            fname = "median" if low == "median" and q == 0.5 else f"percentile_{q!r}"
+            if low == "median":
+                fname = "median"
+            elif low == "percentile_disc":
+                fname = f"percentile_disc_{q!r}"
+            else:
+                fname = f"percentile_{q!r}"
             return AggregateFunction(fname, (arg,), DataType.Float64)
         if low in _AGG_NAMES:
             args = tuple(self.sql_to_rex(a, schema, qualifiers) for a in node.args)

@@ -247,7 +247,7 @@ class Parser:
                     break
             return SQLWith(tuple(ctes), self._parse_select_set())
         node: AstNode = self._parse_intersect()
-        had_setop = False
+        had_setop = isinstance(node, SQLSetOp)  # pure-INTERSECT compounds
         while True:
             if self.consume_keyword("UNION"):
                 all_ = self.consume_keyword("ALL")
@@ -765,7 +765,12 @@ class Parser:
                             f"{t.value} fraction must be a literal"
                         )
                     qarg = SQLDouble(1.0 - float(qarg.value))
-                return SQLFunction("percentile", (target, qarg), False)
+                fn = (
+                    "percentile_disc"
+                    if up == "PERCENTILE_DISC"
+                    else "percentile"
+                )
+                return SQLFunction(fn, (target, qarg), False)
             if self.consume_keyword("OVER"):
                 return self._parse_over(fn_node)
             return fn_node
@@ -922,7 +927,7 @@ def _hoist_trailing_order(node: AstNode) -> AstNode:
             return SQLUnion(n.left, right, n.all), moved
         if isinstance(n, SQLSetOp):
             right, moved = strip_last(n.right)
-            return SQLSetOp(n.op, n.left, right), moved
+            return SQLSetOp(n.op, n.left, right, n.all), moved
         assert isinstance(n, SQLSelect)
         if not (n.order_by or n.limit is not None or n.offset is not None):
             return n, None

@@ -937,7 +937,10 @@ class PlanCompiler:
             if e.distinct and fname in ("count", "sum", "avg"):
                 fname = f"{fname}_distinct"
             q = 0.5
-            if fname.startswith("percentile_disc_"):
+            if fname.startswith("percentile_disc_desc_"):
+                q = float(fname[len("percentile_disc_desc_"):])
+                fname = "percentile_disc_desc"
+            elif fname.startswith("percentile_disc_"):
                 q = float(fname[len("percentile_disc_"):])
                 fname = "percentile_disc"
             elif fname.startswith("percentile_"):

@@ -127,17 +127,44 @@ def ungrouped_aggregate(specs: Sequence[AggSpec], sel: jax.Array):
         elif spec.func == "avg":
             s = jnp.sum(jnp.where(mask, data, jnp.zeros((), data.dtype)))
             r = s / n.astype(s.dtype)
-        elif spec.func in ("median", "percentile", "percentile_disc"):
+        elif spec.func in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+            # two-pass: mean first, then squared deviations — stable
+            # where E[x²]−E[x]² cancels (stddev ≪ mean)
+            xm = jnp.where(mask, data, jnp.zeros((), data.dtype))
+            nn = jnp.maximum(n, 1).astype(data.dtype)
+            mean = jnp.sum(xm) / nn
+            dev = jnp.where(mask, data - mean, jnp.zeros((), data.dtype))
+            ss = jnp.sum(dev * dev)
+            if spec.func.endswith("_pop"):
+                r = ss / nn
+                ok = n > 0
+            else:
+                r = ss / jnp.maximum(n - 1, 1).astype(data.dtype)
+                ok = n > 1
+            if spec.func.startswith("stddev"):
+                r = jnp.sqrt(r)
+            outs.append((r.astype(physical_np(spec.out_dtype)), ok))
+            continue
+        elif spec.func in (
+            "median", "percentile", "percentile_disc", "percentile_disc_desc"
+        ):
             # sort valid values to the front; CONT linear-interpolates at
             # the fractional rank, DISC picks the first value whose
-            # cumulative fraction reaches q (ceil(q*n) - 1)
+            # cumulative fraction reaches q (ceil(q*n) - 1); DISC over a
+            # DESC ordering is the ascending position n - ceil(q*n)
+            # (NOT the q -> 1-q flip, which is off by one on boundaries)
             nm = jnp.logical_not(mask).astype(jnp.int8)
             img = to_sortable_int(data)
             vs = lax.sort([nm, img], num_keys=2)[1]
             f64 = physical_np(DataType.Float64)
             cap = int(sel.shape[0])
-            if spec.func == "percentile_disc":
-                pos = jnp.ceil(n.astype(f64) * spec.q).astype(jnp.int32) - 1
+            if spec.func in ("percentile_disc", "percentile_disc_desc"):
+                pos = jnp.ceil(n.astype(f64) * spec.q).astype(jnp.int32)
+                pos = jnp.clip(pos, 1, jnp.maximum(n, 1))
+                if spec.func == "percentile_disc_desc":
+                    pos = n - pos
+                else:
+                    pos = pos - 1
                 pos = jnp.clip(pos, 0, jnp.maximum(n - 1, 0))
                 r = from_sortable_int(
                     jnp.take(vs, jnp.clip(pos, 0, cap - 1)), data.dtype
@@ -371,7 +398,9 @@ def grouped_aggregate(
         if spec.func in ("min", "max") and jnp.ndim(data) != 0:
             mm_votes[id(data)] = mm_votes.get(id(data), 0) + 1
             mm_args[id(data)] = (data, valid)
-        elif spec.func in ("median", "percentile", "percentile_disc"):
+        elif spec.func in (
+            "median", "percentile", "percentile_disc", "percentile_disc_desc"
+        ):
             if jnp.ndim(data) == 0:
                 raise NotImplementedError_(
                     f"{spec.func} of a literal is not supported"
@@ -610,7 +639,9 @@ def grouped_aggregate(
     out_aggs = []
     for si, (spec, pi, vpi) in enumerate(zip(specs, payload_plan, vpayload_plan)):
         d_sorted = sorted_ops[pi]
-        if spec.func in ("median", "percentile", "percentile_disc"):
+        if spec.func in (
+            "median", "percentile", "percentile_disc", "percentile_disc_desc"
+        ):
             if id(spec.arg[0]) != chosen_vid:
                 raise NotImplementedError_(
                     "only one distinct MEDIAN/PERCENTILE argument per "
@@ -628,8 +659,13 @@ def grouped_aggregate(
             f64 = physical_np(DataType.Float64)
             starts = extents()["starts"]
             src_dt = mm_args[chosen_vid][0].dtype
-            if spec.func == "percentile_disc":
-                pos = jnp.ceil(cnt.astype(f64) * spec.q).astype(jnp.int32) - 1
+            if spec.func in ("percentile_disc", "percentile_disc_desc"):
+                pos = jnp.ceil(cnt.astype(f64) * spec.q).astype(jnp.int32)
+                pos = jnp.clip(pos, 1, jnp.maximum(cnt, 1))
+                if spec.func == "percentile_disc_desc":
+                    pos = cnt - pos
+                else:
+                    pos = pos - 1
                 pos = jnp.clip(pos, 0, jnp.maximum(cnt - 1, 0))
                 r = from_sortable_int(
                     jnp.take(vs, jnp.clip(starts + pos, 0, capacity - 1)),
@@ -688,6 +724,33 @@ def grouped_aggregate(
             )
         if spec.func == "count":
             out_aggs.append((valid_cnt.astype(physical_np(spec.out_dtype)), None))
+            continue
+        if spec.func in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+            # two-pass per group: segment mean, gather it back per row,
+            # then segment-sum the squared deviations — stable where the
+            # single-pass E[x²]−E[x]² form cancels (stddev ≪ mean)
+            if mask is None:
+                mask = sel_sorted if vpi is None else jnp.logical_and(
+                    sel_sorted, sorted_ops[vpi].astype(jnp.bool_)
+                )
+            xm = jnp.where(mask, d_sorted, jnp.zeros((), d_sorted.dtype))
+            gsum = jax.ops.segment_sum(xm, gid, num_segments=gcap)
+            nn = jnp.maximum(valid_cnt, 1).astype(d_sorted.dtype)
+            gmean = gsum / nn
+            mean_row = jnp.take(gmean, jnp.clip(gid, 0, gcap - 1))
+            dev = jnp.where(
+                mask, d_sorted - mean_row, jnp.zeros((), d_sorted.dtype)
+            )
+            ss = jax.ops.segment_sum(dev * dev, gid, num_segments=gcap)
+            if spec.func.endswith("_pop"):
+                r = ss / nn
+                ok = valid_cnt > 0
+            else:
+                r = ss / jnp.maximum(valid_cnt - 1, 1).astype(d_sorted.dtype)
+                ok = valid_cnt > 1
+            if spec.func.startswith("stddev"):
+                r = jnp.sqrt(r)
+            out_aggs.append((r.astype(physical_np(spec.out_dtype)), ok))
             continue
         if si in pallas_results:
             r = pallas_results[si]

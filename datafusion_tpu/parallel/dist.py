@@ -733,7 +733,10 @@ class DistCompiler(PlanCompiler):
             if getattr(e, "distinct", False) and fname in ("count", "sum", "avg"):
                 fname = f"{fname}_distinct"
             q = 0.5
-            if fname.startswith("percentile_disc_"):
+            if fname.startswith("percentile_disc_desc_"):
+                q = float(fname[len("percentile_disc_desc_"):])
+                fname = "percentile_disc_desc"
+            elif fname.startswith("percentile_disc_"):
                 q = float(fname[len("percentile_disc_"):])
                 fname = "percentile_disc"
             elif fname.startswith("percentile_"):
@@ -938,8 +941,12 @@ class DistCompiler(PlanCompiler):
         strategy = os.environ.get("DFTPU_AGG_STRATEGY", "auto")
         def _holistic(e) -> bool:
             n = getattr(e, "name", "").lower()
-            return getattr(e, "distinct", False) or n == "median" or n.startswith(
-                "percentile_"
+            return (
+                getattr(e, "distinct", False)
+                or n == "median"
+                or n.startswith("percentile_")
+                # two-pass variance needs every group row on one device
+                or n in ("var_pop", "var_samp", "stddev_pop", "stddev_samp")
             )
 
         has_distinct = any(_holistic(e) for e in plan.aggr_exprs)

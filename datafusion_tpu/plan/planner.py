@@ -483,7 +483,8 @@ class SqlToRel:
         {"min", "max", "sum", "avg", "count",
          "stddev", "stddev_samp", "stddev_pop",
          "variance", "var_samp", "var_pop",
-         "median", "percentile", "percentile_cont", "percentile_disc"}
+         "median", "percentile", "percentile_cont", "percentile_disc",
+         "percentile_disc_desc"}
     )
 
     def _plan_select_impl(self, sel: A.SQLSelect) -> LogicalPlan:
@@ -2087,11 +2088,12 @@ class SqlToRel:
                 raise PlanError(f"function '{name}' expects a string argument")
             return ScalarFunction(name, args, _STRING_FN_TYPES[low])
         if low in ("stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop"):
-            # Desugar onto SUM/SUM-of-squares/COUNT composite aggregates
-            # (beyond the reference). Textbook E[x²]−E[x]² form — the
-            # single-pass trade-off is documented: catastrophic
-            # cancellation when stddev ≪ mean. Sample variants yield
-            # NULL for n ≤ 1 (ANSI).
+            # First-class two-pass aggregates (beyond the reference): the
+            # kernel computes the per-group mean, then sums squared
+            # deviations — numerically stable where the single-pass
+            # E[x²]−E[x]² form catastrophically cancels when stddev ≪
+            # mean (critical on TPU where f64 physically runs as f32).
+            # Sample variants yield NULL for n ≤ 1 (ANSI).
             if len(node.args) != 1:
                 raise PlanError(f"{name} expects a single argument")
             x = self.sql_to_rex(node.args[0], schema, qualifiers)
@@ -2101,40 +2103,11 @@ class SqlToRel:
             ):
                 raise PlanError(f"{name} is not defined for {at!r} values")
             xf = x.cast_to(DataType.Float64, schema)
-            f64 = DataType.Float64
-            s = AggregateFunction("sum", (xf,), f64)
-            ssq = AggregateFunction(
-                "sum", (BinaryExpr(xf, Operator.Multiply, xf),), f64
-            )
-            n = Cast(AggregateFunction("count", (x,), DataType.UInt64), f64)
-            num_raw = BinaryExpr(
-                ssq,
-                Operator.Minus,
-                BinaryExpr(
-                    BinaryExpr(s, Operator.Multiply, s), Operator.Divide, n
-                ),
-            )
-            zero = Literal(ScalarValue.float64(0.0))
-            # clamp at 0: cancellation can push the numerator slightly
-            # negative (constant columns) and sqrt would return NaN
-            num = Case(
-                ((BinaryExpr(num_raw, Operator.Lt, zero), zero),), num_raw
-            )
-            one = Literal(ScalarValue.float64(1.0))
-            if low in ("stddev_pop", "var_pop"):
-                var = BinaryExpr(num, Operator.Divide, n)
-                guard = BinaryExpr(n, Operator.Gt, zero)
-            else:
-                var = BinaryExpr(
-                    num, Operator.Divide, BinaryExpr(n, Operator.Minus, one)
-                )
-                guard = BinaryExpr(n, Operator.Gt, one)
-            out: Expr = (
-                ScalarFunction("sqrt", (var,), f64)
-                if low.startswith("stddev")
-                else var
-            )
-            return Case(((guard, out),), None)
+            canonical = {
+                "stddev": "stddev_samp",
+                "variance": "var_samp",
+            }.get(low, low)
+            return AggregateFunction(canonical, (xf,), DataType.Float64)
         if low in _MATH_FN_ARITY:
             lo_n, hi_n = _MATH_FN_ARITY[low]
             raw = [self.sql_to_rex(a, schema, qualifiers) for a in node.args]
@@ -2148,7 +2121,10 @@ class SqlToRel:
             return ScalarFunction(
                 "power" if low == "pow" else low, args, DataType.Float64
             )
-        if low in ("median", "percentile", "percentile_cont", "percentile_disc"):
+        if low in (
+            "median", "percentile", "percentile_cont",
+            "percentile_disc", "percentile_disc_desc",
+        ):
             q = 0.5
             nargs = node.args
             if low != "median":
@@ -2166,6 +2142,8 @@ class SqlToRel:
                 raise PlanError(f"{name} is not defined for {at!r} values")
             if low == "median":
                 fname = "median"
+            elif low == "percentile_disc_desc":
+                fname = f"percentile_disc_desc_{q!r}"
             elif low == "percentile_disc":
                 fname = f"percentile_disc_{q!r}"
             else:

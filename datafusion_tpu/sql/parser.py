@@ -759,17 +759,22 @@ class Parser:
                         f"{t.value} expects one fraction argument"
                     )
                 qarg = args[0]
-                if desc:
+                if desc and up == "PERCENTILE_CONT":
+                    # CONT(q) over DESC order == CONT(1-q) over ASC order
+                    # exactly (linear interpolation is symmetric)
                     if not isinstance(qarg, (SQLDouble, SQLLong)):
                         raise ParserError(
                             f"{t.value} fraction must be a literal"
                         )
                     qarg = SQLDouble(1.0 - float(qarg.value))
-                fn = (
-                    "percentile_disc"
-                    if up == "PERCENTILE_DISC"
-                    else "percentile"
-                )
+                if up == "PERCENTILE_DISC":
+                    # DISC is NOT symmetric under q -> 1-q (off by one
+                    # whenever q*n lands on a cumulative-fraction
+                    # boundary): DESC keeps q and plans a desc variant
+                    # whose ascending-order position is n - ceil(q*n)
+                    fn = "percentile_disc_desc" if desc else "percentile_disc"
+                else:
+                    fn = "percentile"
                 return SQLFunction(fn, (target, qarg), False)
             if self.consume_keyword("OVER"):
                 return self._parse_over(fn_node)
@@ -811,22 +816,37 @@ class Parser:
             )
         if self.consume_keyword("ROWS"):
             if self.consume_keyword("BETWEEN"):
-                lo = self._parse_frame_bound()
+                lo = self._parse_frame_bound("start")
                 self.expect_keyword("AND")
-                hi = self._parse_frame_bound()
+                hi = self._parse_frame_bound("end")
             else:
-                lo = self._parse_frame_bound()
+                lo = self._parse_frame_bound("start")
                 hi = 0  # short form: BETWEEN <bound> AND CURRENT ROW
+            if lo is not None and hi is not None and lo > hi:
+                raise ParserError(
+                    f"window frame start ({lo}) is after its end ({hi})"
+                )
             frame = (lo, hi)
         self.expect_op(")")
         return SQLWindowExpr(fn_node, tuple(partition), tuple(order), frame)
 
-    def _parse_frame_bound(self) -> Optional[int]:
+    def _parse_frame_bound(self, which: str) -> Optional[int]:
         """One ROWS frame bound → row offset relative to the current row
-        (negative = preceding, None = unbounded in that direction)."""
+        (negative = preceding, None = unbounded in that direction).
+        `which` ('start'|'end') rejects the two invalid unbounded
+        placements (ANSI: UNBOUNDED FOLLOWING cannot start a frame,
+        UNBOUNDED PRECEDING cannot end one)."""
         if self.consume_keywords("UNBOUNDED", "PRECEDING"):
+            if which == "end":
+                raise ParserError(
+                    "UNBOUNDED PRECEDING is not a valid frame end bound"
+                )
             return None
         if self.consume_keywords("UNBOUNDED", "FOLLOWING"):
+            if which == "start":
+                raise ParserError(
+                    "UNBOUNDED FOLLOWING is not a valid frame start bound"
+                )
             return None
         if self.consume_keywords("CURRENT", "ROW"):
             return 0

@@ -60,6 +60,24 @@ def sort_floor_time(n, dtypes, num_keys):
     return slope_time(jax.jit(fn), ops)
 
 
+def gather_floor_time(n, nd):
+    """Measured in-run floor for the direct-index join: ONE random gather
+    of the build payload at probe scale (~7 ns/elem HBM random access,
+    PERFLOG.md) + the tiny build-side scatter. No formulation of a
+    hash/index join can avoid fetching each matched build value once."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    idx = jax.device_put(rng.integers(0, nd, n).astype(np.int32))
+    w = jax.device_put(rng.random(nd, dtype=np.float32))
+
+    def fn(env):
+        i, ww = env
+        return jnp.take(ww, i)
+
+    return slope_time(jax.jit(fn), (idx, w))
+
+
 def compile_query(sql, tables):
     import datafusion_tpu as df
     from datafusion_tpu.exec.compiler import compile_plan
@@ -162,7 +180,13 @@ def main():
             "SELECT big.k, dim.w FROM big JOIN dim ON big.k = dim.pk",
             {"big": big, "dim": dim},
         )
-        report("c4_hash_join", slope_time(fn, env), 8 + 8, "sorted-probe join")
+        # floor: the one random build-payload gather at probe scale that
+        # NO index/hash join formulation can avoid (VERDICT r1 weak #1)
+        floor = gather_floor_time(n, nd)
+        report(
+            "c4_hash_join", slope_time(fn, env), 8 + 8,
+            "direct-index join (dense PK domain)", floor_s=floor,
+        )
 
     if "c5" in configs:
         fn, env = compile_query(
@@ -170,7 +194,16 @@ def main():
             "JOIN dim ON big.k = dim.pk WHERE big.lat > 40 GROUP BY k",
             {"big": big, "dim": dim},
         )
-        report("c5_full_pipeline", slope_time(fn, env), 12 + 12, "scan→filter→join→agg")
+        # floor: build-payload gather + the aggregate's minimal co-sort
+        # (the 64k-group GROUP BY stays sort-bound; dense path caps at
+        # 2047 slots — VERDICT r1 weak #10)
+        floor = gather_floor_time(n, nd) + sort_floor_time(
+            n, (np.int8, np.int32, np.int32, np.int32, np.float32), 4
+        )
+        report(
+            "c5_full_pipeline", slope_time(fn, env), 12 + 12,
+            "scan→filter→direct join→agg", floor_s=floor,
+        )
 
     print(json.dumps({"suite": results}))
 

@@ -50,10 +50,13 @@ from datafusion_tpu.plan.logical import Expr, LogicalPlan
 from datafusion_tpu.columnar.table import Column, Table
 from datafusion_tpu.columnar.csv import CsvDataSource, read_csv
 from datafusion_tpu.exec.context import ExecutionContext
+from datafusion_tpu.ops.functions import AggregateUDF, HostFunction
+from datafusion_tpu.plan.planner import FunctionMeta, FunctionType
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "AggregateUDF",
     "CsvDataSource",
     "Column",
     "DataType",
@@ -61,6 +64,9 @@ __all__ = [
     "ExecutionError",
     "Expr",
     "Field",
+    "FunctionMeta",
+    "FunctionType",
+    "HostFunction",
     "InvalidColumnError",
     "LogicalPlan",
     "NotImplementedError_",

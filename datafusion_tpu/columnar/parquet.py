@@ -36,7 +36,11 @@ def read_parquet(path: str, schema: Optional[Schema] = None, *, device=None) -> 
         fields = []
         for name in df.columns:
             s = df[name]
-            if s.dtype == object or str(s.dtype).startswith("string"):
+            # pandas may surface parquet strings as object, "string", or
+            # the "str" extension dtype depending on version/backend
+            if s.dtype == object or str(s.dtype) in ("string", "str") or str(
+                s.dtype
+            ).startswith("string"):
                 fields.append(Field(str(name), DataType.Utf8))
             elif str(s.dtype).startswith("datetime"):
                 fields.append(Field(str(name), DataType.Int64))  # epoch ns

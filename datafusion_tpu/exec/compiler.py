@@ -775,6 +775,15 @@ class PlanCompiler:
             layout.append((i, di, vi))
         n_rows = table.num_rows
         ncols = len(schema)
+        # under shard_map (DistCompiler) the stage sees ONE shard: block
+        # the kernel on the local capacity and fold row validity in from
+        # the scan's sel mask OUTSIDE the kernel (its iota is local, so
+        # the in-kernel `iota < n_rows` global test only holds single-chip)
+        shards = getattr(self, "n_dev", 1)
+        partitioned = child.layout == "partitioned"
+        local_cap = child.capacity // shards if partitioned else child.capacity
+        if local_cap % (8 * fs.LANES):
+            return None
         # VMEM budget: bytes per row-of-one across inputs + outputs
         bpr = 0
         for i, di, vi in layout:
@@ -784,7 +793,7 @@ class PlanCompiler:
             from datafusion_tpu.types import physical_np as _phys
 
             bpr += _phys(e.get_type(schema)).itemsize + 1
-        brows = fs.pick_block_rows(table.capacity, bpr)
+        brows = fs.pick_block_rows(local_cap, bpr)
         if not brows:
             return None
         bshape = (brows, fs.LANES)
@@ -793,10 +802,14 @@ class PlanCompiler:
             cols: list = [None] * ncols
             for i, di, vi in layout:
                 cols[i] = (blocks[di], None if vi is None else blocks[vi])
-            r = lax.broadcasted_iota(jnp.int32, bshape, 0)
-            c2 = lax.broadcasted_iota(jnp.int32, bshape, 1)
-            iota = base + r * fs.LANES + c2
-            sel = iota < n_rows
+            if partitioned:
+                # per-shard row validity folds in outside the kernel
+                sel = jnp.ones(bshape, jnp.bool_)
+            else:
+                r = lax.broadcasted_iota(jnp.int32, bshape, 0)
+                c2 = lax.broadcasted_iota(jnp.int32, bshape, 1)
+                iota = base + r * fs.LANES + c2
+                sel = iota < n_rows
             if pred_c is not None:
                 pd, pv = pred_c.fn(cols)
                 pd = jnp.broadcast_to(pd, bshape)
@@ -861,10 +874,14 @@ class PlanCompiler:
                 if vi is not None:
                     in_arrays.append(v)
             outs = fs.run_fused(
-                block_eval, in_arrays, out_dtypes, child.capacity, brows,
+                block_eval, in_arrays, out_dtypes, local_cap, brows,
                 interpret=interpret,
             )
             sel = outs[0]
+            if partitioned:
+                # the scan's sel is iota-derived — XLA fuses this AND into
+                # the kernel's != 0 cast, no extra HBM pass
+                sel = jnp.logical_and(sel, b.sel)
             new_cols: list = []
             k = 1
             ci = 0
@@ -1087,10 +1104,17 @@ class PlanCompiler:
         e = gexpr.expr if isinstance(gexpr, L.Alias) else gexpr
         if not isinstance(e, L.Column):
             return None
-        src = child.src()[e.index]
+        return self._scanned_int_range(child, e.index)
+
+    def _scanned_int_range(self, child: Lowered, col_idx: int):
+        """min/max of a scanned integer column passed through to
+        `child`'s output column `col_idx` (None when the column is
+        computed or non-integer). Shared by the dense GROUP BY probe and
+        the direct-index join probe."""
+        src = child.src()[col_idx]
         if src is None:
             return None
-        if child.schema.fields[e.index].dtype not in (
+        if child.schema.fields[col_idx].dtype not in (
             DataType.Int8, DataType.Int16, DataType.Int32, DataType.Int64,
             DataType.UInt8, DataType.UInt16, DataType.UInt32, DataType.UInt64,
         ):
@@ -1108,6 +1132,37 @@ class PlanCompiler:
         except Exception:
             return None
         return kmin, kmax
+
+    # largest dense-join domain: the scatter table costs ~8 bytes/slot,
+    # so cap it at a small multiple of the build side (plus an absolute
+    # guard) — beyond that the sort-based strategies win on memory
+    DIRECT_JOIN_DOM_FACTOR = 4
+    DIRECT_JOIN_DOM_MAX = 1 << 26
+
+    def _direct_join_domain(self, plan: L.Join, left: Lowered, right: Lowered):
+        """(kmin, domain) for the direct-index join when the single build
+        key's value domain is statically known and small: dictionary-coded
+        keys (domain = merged vocab size) or a scanned integer column
+        (min/max probed like the dense GROUP BY path). None otherwise."""
+        li, ri = plan.on[0]
+        ld, rd = left.dicts[li], right.dicts[ri]
+        if ld is not None and rd is not None:
+            dom = len(ld) if ld == rd else len(set(ld) | set(rd))
+            rng = (0, dom - 1) if dom > 0 else None
+        elif ld is None and rd is None:
+            rng = self._scanned_int_range(right, ri)
+        else:
+            return None
+        if rng is None:
+            return None
+        kmin, kmax = rng
+        dom = kmax - kmin + 1
+        if dom < 1 or dom > min(
+            self.DIRECT_JOIN_DOM_FACTOR * right.capacity,
+            self.DIRECT_JOIN_DOM_MAX,
+        ):
+            return None
+        return kmin, dom
 
     def _lower_sort(self, plan: L.Sort) -> Lowered:
         child = self.lower(plan.input)
@@ -1256,17 +1311,43 @@ class PlanCompiler:
         strategy = "expand" if dup_cap > 0 else "compact"
         import os
 
-        if os.environ.get("DFTPU_LOCAL_JOIN") == "expand":  # test/debug override
+        override = os.environ.get("DFTPU_LOCAL_JOIN")  # test/debug
+        if override == "expand":
             strategy = "expand"
         cross = len(plan.on) == 0
         if cross:
             # CROSS JOIN: every probe matches every build row — the
             # compact one-row-per-probe assumption is wrong by design
             strategy = "expand"
+        # dense-build-key direct-index path: single key with a statically
+        # known small build domain (dictionary vocab or probed scanned-int
+        # min/max, same probe as the dense GROUP BY) joins with ONE small
+        # scatter + ONE gather per output column — no sorts. Build-key
+        # duplicates fall back through the dup-overflow retry exactly like
+        # compact → expand.
+        direct_dom: Optional[tuple[int, int]] = None  # (kmin, domain)
+        if (
+            strategy == "compact"
+            and not is_full
+            and len(plan.on) == 1
+            and override != "compact"
+        ):
+            direct_dom = self._direct_join_domain(plan, left, right)
+        if direct_dom is not None:
+            strategy = "direct"
         self.notes.append(
             f"join: {strategy} "
-            f"({'one row per probe, dup-count fallback armed' if strategy == 'compact' else 'scatter-expand'}), "
-            f"out_capacity={out_cap}"
+            + (
+                f"(dense build domain [{direct_dom[0]}, {direct_dom[0] + direct_dom[1]}), "
+                "one scatter + per-column gather, dup fallback armed), "
+                if strategy == "direct"
+                else (
+                    "(one row per probe, dup-count fallback armed), "
+                    if strategy == "compact"
+                    else "(scatter-expand), "
+                )
+            )
+            + f"out_capacity={out_cap}"
         )
 
         # pre-compute dictionary remaps for string join keys + static key
@@ -1293,6 +1374,42 @@ class PlanCompiler:
                 remaps.append((lmap, rmap))
             else:
                 remaps.append(None)
+
+        if strategy == "direct":
+            kmin_d, dom_d = direct_dom
+            li0, ri0 = plan.on[0]
+            remap0 = remaps[0]
+
+            def fn_direct(env) -> Batch:
+                lb = left.fn(env)
+                rb = right.fn(env)
+                lk, _ = _broadcast_col(lb.cols[li0], lb.capacity)
+                rk, _ = _broadcast_col(rb.cols[ri0], rb.capacity)
+                if remap0 is not None:
+                    lk = jnp.take(remap0[0], lk)
+                    rk = jnp.take(remap0[1], rk)
+                build_cols = [_broadcast_col(c, rb.capacity) for c in rb.cols]
+                rcols, matched, dups = join_ops.direct_index_join(
+                    lk, lb.sel, rk, rb.sel, build_cols, kmin_d, dom_d
+                )
+                out_sel = lb.sel if keep_unmatched else jnp.logical_and(
+                    lb.sel, matched
+                )
+                self.totals.append(jnp.sum(out_sel.astype(jnp.int32)))
+                self.totals.append(dups)
+                return Batch(list(lb.cols) + rcols, out_sel)
+
+            return Lowered(
+                plan.schema,
+                left.dicts + right.dicts,
+                fn_direct,
+                left.capacity,
+                left.layout,
+                # probe rows stay in place (mask-only selection), so the
+                # probe-side columns remain scan pass-throughs — which
+                # also lets the dense GROUP BY probe see through the join
+                sources=left.src() + [None] * len(right.schema),
+            )
 
         def fn(env) -> Batch:
             lb = left.fn(env)

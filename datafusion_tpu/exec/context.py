@@ -83,6 +83,16 @@ class _Catalog:
         entry = self.ctx._functions.get(name.lower())
         return entry[0] if entry else None
 
+    def get_aggregate_udf(self, name: str):
+        """The AggregateUDF registered under `name` (None for scalar
+        UDFs/unknown names) — the planner's UDAF desugar consults this."""
+        from datafusion_tpu.ops.functions import AggregateUDF
+
+        entry = self.ctx._functions.get(name.lower())
+        if entry and isinstance(entry[1], AggregateUDF):
+            return entry[1]
+        return None
+
 
 class ExecutionContext:
     """Session object: table registry + SQL entry point."""
@@ -143,9 +153,44 @@ class ExecutionContext:
         self.register_table(name, read_parquet(path, schema))
 
     def register_function(self, meta: FunctionMeta, fn: Optional[Callable] = None) -> None:
-        """Register a scalar UDF; `fn` maps jax arrays → jax array.
-        (reference: get_function_meta was unimplemented!, context.rs:255)"""
-        self._functions[meta.name.lower()] = (meta, fn)
+        """Register a UDF (reference: get_function_meta was
+        unimplemented!, context.rs:255). Scalar: `fn` maps jax arrays →
+        jax array. Aggregate: `fn` must be an AggregateUDF
+        (map/combine/finalize — ops/functions.py); plain callables are
+        rejected HERE rather than failing at execution time."""
+        from datafusion_tpu.ops.functions import AggregateUDF
+        from datafusion_tpu.plan.planner import FunctionType
+
+        low = meta.name.lower()
+        if meta.function_type is FunctionType.Aggregate:
+            if not isinstance(fn, AggregateUDF):
+                raise PlanError(
+                    f"aggregate UDF '{meta.name}' must be registered with "
+                    "an AggregateUDF(map=..., combine=..., finalize=...) "
+                    "(datafusion_tpu.AggregateUDF)"
+                )
+            # internal scalar hooks the planner's desugar resolves to
+            from datafusion_tpu.schema import Field as _F
+            from datafusion_tpu.types import DataType as _D
+
+            if fn.map_fn is not None:
+                self._functions[f"{low}__map"] = (
+                    FunctionMeta(
+                        f"{low}__map", meta.args, _D.Float64, FunctionType.Scalar
+                    ),
+                    fn.map_fn,
+                )
+            if fn.finalize_fn is not None:
+                self._functions[f"{low}__finalize"] = (
+                    FunctionMeta(
+                        f"{low}__finalize",
+                        (_F("agg", _D.Float64, False), _F("n", _D.Float64, False)),
+                        meta.return_type,
+                        FunctionType.Scalar,
+                    ),
+                    fn.finalize_fn,
+                )
+        self._functions[low] = (meta, fn)
 
     def table(self, name: str) -> Table:
         return self._tables[name]

@@ -76,6 +76,9 @@ class AggSpec:
 def _sentinel(dtype, minimum: bool):
     if jnp.issubdtype(dtype, jnp.floating):
         return jnp.asarray(-jnp.inf if minimum else jnp.inf, dtype)
+    if jnp.dtype(dtype) == jnp.dtype(jnp.bool_):
+        # MIN/MAX over Boolean (false < true): the neutral element
+        return jnp.asarray(not minimum, jnp.bool_)
     info = jnp.iinfo(dtype)
     return jnp.asarray(info.min if minimum else info.max, dtype)
 

@@ -164,6 +164,18 @@ def _and_valid(a: Optional[jax.Array], b: Optional[jax.Array]) -> Optional[jax.A
     return jnp.logical_and(a, b)
 
 
+def _exact_divisor(r):
+    """Keep float division IEEE-exact: a compile-time-constant divisor is
+    rewritten by XLA's algebraic simplifier into a reciprocal multiply
+    (x / 2.5 -> x * 0.4, off by 1 ulp for non-power-of-2 constants —
+    measured on CPU; the era goldens pin exact division). An
+    optimization_barrier hides literal divisors from the simplifier;
+    traced (column) divisors pass through untouched."""
+    if isinstance(r, jax.core.Tracer):
+        return r
+    return lax.optimization_barrier(jnp.asarray(r))
+
+
 _ARITH = {
     Operator.Plus: lambda l, r: l + r,
     Operator.Minus: lambda l, r: l - r,
@@ -171,7 +183,9 @@ _ARITH = {
     # truncated division/remainder to match Rust integer semantics
     # (reference executes arrow array_ops::divide; Rust `/` truncates)
     Operator.Divide: lambda l, r: (
-        lax.div(l, r) if jnp.issubdtype(l.dtype, jnp.integer) else l / r
+        lax.div(l, r)
+        if jnp.issubdtype(l.dtype, jnp.integer)
+        else l / _exact_divisor(r)
     ),
     Operator.Modulus: lambda l, r: lax.rem(l, r),
 }

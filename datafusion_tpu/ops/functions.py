@@ -39,6 +39,47 @@ class HostFunction:
         return self.fn(*args)
 
 
+class AggregateUDF:
+    """A user aggregate as a map/combine/finalize monoid — the shape that
+    runs on TPU at full speed (the reference's FunctionType::Aggregate
+    registry existed but get_function_meta was unimplemented!,
+    context.rs:255-257; this makes UDAFs executable, grouped AND
+    distributed, by desugaring onto the built-in segment machinery):
+
+        result = finalize(combine_over_group(map(*args)), count)
+
+    * map: elementwise jax fn over the argument column(s) → one array
+      (None = identity on the first argument)
+    * combine: "sum" | "min" | "max" — the per-group reduction
+    * finalize: jax fn (combined, count) → result (None = combined)
+
+    Example — geometric mean:
+        AggregateUDF(map=jnp.log, combine="sum",
+                     finalize=lambda s, n: jnp.exp(s / n))
+
+    The desugared plan is ordinary SUM/MIN/MAX + COUNT, so every
+    execution path (sort-based, pallas dense, distributed partial+merge,
+    repartition) works unchanged.
+    """
+
+    COMBINES = ("sum", "min", "max")
+
+    def __init__(
+        self,
+        map: Callable | None = None,
+        combine: str = "sum",
+        finalize: Callable | None = None,
+    ):
+        if combine not in self.COMBINES:
+            raise ValueError(
+                f"AggregateUDF combine must be one of {self.COMBINES}, "
+                f"got {combine!r}"
+            )
+        self.map_fn = map
+        self.combine = combine
+        self.finalize_fn = finalize
+
+
 # ---------------------------------------------------------------------------
 # Geospatial built-ins (reference: the POC-era ST_Point / ST_AsText UDFs)
 # ---------------------------------------------------------------------------

@@ -348,6 +348,93 @@ def join_indices(
     return probe_idx, build_idx, out_sel, matched, total
 
 
+def direct_index_join(
+    probe_key: jax.Array,
+    probe_sel: jax.Array,
+    build_key: jax.Array,
+    build_sel: jax.Array,
+    build_cols: Sequence[ColVal],
+    kmin: int,
+    domain: int,
+):
+    """Dense-build-key join: when the single build key's value domain
+    [kmin, kmin+domain) is statically known AND build keys are unique
+    (the FK → PK / star-schema case), the join is ONE small scatter over
+    the build side plus ONE gather per build output column — no sorts,
+    no compaction, probe rows stay in place (output row j IS probe row
+    j, masked). ~2x over the compact sort-based strategy at BASELINE c4
+    shapes and O(build) instead of O(probe log probe) extra work.
+
+    Duplicate SELECTED build keys violate the unique assumption; their
+    count returns as `dups` and the caller treats it as an overflow
+    against a 0 budget (recompile retries with the sort-based strategy,
+    same mechanism as compact → expand).
+
+    Returns (out_build_cols, matched, dups) where out_build_cols are in
+    probe row order and `matched` flags probe rows with a build match.
+    """
+    b_cap = int(build_sel.shape[0])
+    kmin_b = jnp.asarray(kmin, build_key.dtype)
+    slot = (build_key - kmin_b).astype(jnp.int32)
+    in_dom = jnp.logical_and(slot >= 0, slot < domain)
+    bsel = jnp.logical_and(build_sel, in_dom)
+    slot = jnp.where(bsel, jnp.clip(slot, 0, domain - 1), domain)  # sentinel bucket
+    cnt = (
+        jnp.zeros((domain + 1,), jnp.int32)
+        .at[slot]
+        .add(jnp.ones((), jnp.int32), mode="drop")
+    )
+    cnt_dom = lax.slice(cnt, (0,), (domain,))
+    dups = jnp.sum((cnt_dom > 1).astype(jnp.int32))
+    n_occupied = jnp.sum((cnt_dom > 0).astype(jnp.int32))
+
+    kmin_p = jnp.asarray(kmin, probe_key.dtype)
+    poff = (probe_key - kmin_p).astype(jnp.int32)
+    p_in = jnp.logical_and(
+        probe_sel, jnp.logical_and(poff >= 0, poff < domain)
+    )
+    pslot = jnp.where(p_in, jnp.clip(poff, 0, domain - 1), domain)
+
+    # every in-domain probe matches when the whole domain is occupied —
+    # the FK → arange-PK case: lax.cond skips the occupancy gather at
+    # runtime (each random gather pass costs ~7 ns/row, PERFLOG.md)
+    def _occ_gather(_):
+        occ = jnp.zeros((domain + 1,), jnp.int8).at[slot].max(
+            jnp.ones((), jnp.int8), mode="drop"
+        )
+        return jnp.logical_and(p_in, jnp.take(occ, pslot) != 0)
+
+    matched = lax.cond(
+        n_occupied == domain, lambda _: p_in, _occ_gather, operand=None
+    )
+
+    # scatter each build payload DIRECTLY into a domain-indexed table and
+    # gather it at probe scale: ONE random pass per output column, no
+    # row-id indirection (the scatter over the small build side is cheap)
+    out_build: list[ColVal] = []
+    tables: dict[int, jax.Array] = {}
+
+    def _domain_table(arr: jax.Array) -> jax.Array:
+        # duplicate slots scatter nondeterministically — irrelevant,
+        # since dups > 0 triggers the sort-strategy fallback anyway
+        if id(arr) not in tables:
+            tables[id(arr)] = (
+                jnp.zeros((domain + 1,), arr.dtype).at[slot].set(arr, mode="drop")
+            )
+        return tables[id(arr)]
+
+    for data, valid in build_cols:
+        data = jnp.broadcast_to(data, (b_cap,)) if jnp.ndim(data) == 0 else data
+        d = jnp.take(_domain_table(data), pslot)
+        if valid is None:
+            v = matched
+        else:
+            vt = _domain_table(valid.astype(jnp.int8))
+            v = jnp.logical_and(jnp.take(vt, pslot) != 0, matched)
+        out_build.append((d, v))
+    return out_build, matched, dups
+
+
 def gather_columns(cols: Sequence[ColVal], idx: jax.Array) -> list[ColVal]:
     out = []
     for data, valid in cols:

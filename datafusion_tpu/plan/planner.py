@@ -487,6 +487,14 @@ class SqlToRel:
          "percentile_disc_desc"}
     )
 
+    def _is_agg_fn(self, low: str) -> bool:
+        """Is `low` an aggregate function name? Built-ins plus registered
+        aggregate UDFs (resolved through the schema provider)."""
+        if low in self._AGG_FN_NAMES:
+            return True
+        fm = self.schema_provider.get_function_meta(low)
+        return fm is not None and fm.function_type is FunctionType.Aggregate
+
     def _plan_select_impl(self, sel: A.SQLSelect) -> LogicalPlan:
         gs = self._rewrite_grouping_sets(sel)
         if gs is not None:
@@ -797,7 +805,7 @@ class SqlToRel:
         def collect(n) -> None:
             if (
                 isinstance(n, A.SQLFunction)
-                and n.name.lower() in self._AGG_FN_NAMES
+                and self._is_agg_fn(n.name.lower())
             ):
                 if n not in aggs:
                     aggs.append(n)
@@ -948,7 +956,7 @@ class SqlToRel:
                 return
             if (
                 isinstance(n, A.SQLFunction)
-                and n.name.lower() in self._AGG_FN_NAMES
+                and self._is_agg_fn(n.name.lower())
             ):
                 if n not in aggs:
                     aggs.append(n)
@@ -962,7 +970,7 @@ class SqlToRel:
                 n = stack.pop()
                 if isinstance(n, A.SQLWindowExpr) or (
                     isinstance(n, A.SQLFunction)
-                    and n.name.lower() in self._AGG_FN_NAMES
+                    and self._is_agg_fn(n.name.lower())
                 ):
                     scan(n, inside_window)
                     continue
@@ -2181,5 +2189,35 @@ class SqlToRel:
             raw[i].cast_to(fm.args[i].dtype, schema) for i in range(len(raw))
         )
         if fm.function_type is FunctionType.Aggregate:
-            return AggregateFunction(name, safe, fm.return_type)
+            # desugar onto the map/combine/finalize monoid the UDAF was
+            # registered as (ops/functions.py AggregateUDF): the plan is
+            # ordinary SUM/MIN/MAX + COUNT wrapped in registered scalar
+            # hooks, so grouped, pallas-dense, AND distributed
+            # partial+merge execution all work unchanged
+            udf = getattr(self.schema_provider, "get_aggregate_udf", lambda n: None)(
+                low
+            )
+            if udf is None:
+                # planner-only providers (no implementation attached):
+                # keep the bare node for plan goldens/serialization
+                return AggregateFunction(name, safe, fm.return_type)
+            f64 = DataType.Float64
+            mapped: Expr = (
+                ScalarFunction(f"{low}__map", safe, f64)
+                if udf.map_fn is not None
+                else safe[0].cast_to(f64, schema)
+            )
+            combined: Expr = AggregateFunction(udf.combine, (mapped,), f64)
+            if udf.finalize_fn is None:
+                return (
+                    combined
+                    if fm.return_type is f64
+                    else Cast(combined, fm.return_type)
+                )
+            cnt = Cast(
+                AggregateFunction("count", (safe[0],), DataType.UInt64), f64
+            )
+            return ScalarFunction(
+                f"{low}__finalize", (combined, cnt), fm.return_type
+            )
         return ScalarFunction(name, safe, fm.return_type)

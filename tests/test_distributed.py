@@ -251,3 +251,59 @@ def test_nulls_first_sample_sort_parity(mesh):
     a = single.sql("SELECT k, v FROM t ORDER BY v NULLS FIRST LIMIT 450 OFFSET 420").result_str()
     b = dist.sql("SELECT k, v FROM t ORDER BY v NULLS FIRST LIMIT 450 OFFSET 420").result_str()
     assert a == b
+
+
+def test_multikey_sample_sort_parity(mesh):
+    """Multi-key ORDER BY no longer gathers: tuple-splitter sample sort
+    (VERDICT r1 weak #4). Keys with ties exercise the lexicographic
+    routing; the trailing unique key pins a total order so the
+    comparison is byte-exact."""
+    single, dist = both_ctxs(mesh)
+    n = 4096
+    rng = np.random.default_rng(7)
+    data = {
+        "a": rng.integers(0, 5, n).astype(np.int32),
+        "s": [["x", "y", "z"][i] for i in rng.integers(0, 3, n)],
+        "u": rng.permutation(n).astype(np.int32),  # unique tie-break
+    }
+    for ctx in (single, dist):
+        ctx.register_table("t", Table.from_pydict(data))
+    note = dist.sql(
+        "EXPLAIN VERBOSE SELECT a, s, u FROM t ORDER BY a, s DESC, u"
+    ).result_str()
+    assert "multi-key sample sort" in note, note
+    for sql in (
+        "SELECT a, s, u FROM t ORDER BY a, s DESC, u",
+        "SELECT a, s, u FROM t ORDER BY s DESC, a ASC, u DESC",
+        "SELECT a, u FROM t ORDER BY a DESC, u LIMIT 1000 OFFSET 500",
+    ):
+        assert single.sql(sql).result_str() == dist.sql(sql).result_str(), sql
+
+
+def test_multikey_sample_sort_nulls_and_skew(mesh):
+    """NULL keys and heavy key skew (one value dominating → splitter
+    ties route one range to one device, s_cap overflow retries)."""
+    single, dist = both_ctxs(mesh)
+    n = 3000
+    rng = np.random.default_rng(9)
+    v = rng.random(n)
+    valid = rng.random(n) > 0.3
+    skew = np.where(rng.random(n) < 0.9, 3, rng.integers(0, 8, n)).astype(np.int32)
+    u = rng.permutation(n).astype(np.int32)
+    schema = Schema(
+        [
+            Field("g", D.Int32, False),
+            Field("v", D.Float64, True),
+            Field("u", D.Int32, False),
+        ]
+    )
+    for ctx in (single, dist):
+        ctx.register_table(
+            "t", Table.from_arrays(schema, [skew, v, u], validity=[None, valid, None])
+        )
+    for sql in (
+        "SELECT g, v, u FROM t ORDER BY g, v NULLS FIRST, u",
+        "SELECT g, v, u FROM t ORDER BY g DESC, v DESC, u",
+        "SELECT g, v, u FROM t ORDER BY v NULLS LAST, g, u",
+    ):
+        assert single.sql(sql).result_str() == dist.sql(sql).result_str(), sql

@@ -103,7 +103,8 @@ def test_explain_verbose_physical_notes(data_dir):
         "EXPLAIN VERBOSE SELECT p.k, MAX(d.w) FROM p JOIN d ON p.k = d.k "
         "GROUP BY p.k ORDER BY k LIMIT 3"
     ).result_str()
-    assert "physical: join: compact" in out
+    # arange build keys: the dense direct-index strategy wins (r2)
+    assert "physical: join: direct" in out
     assert "physical: aggregate: co-sort + segmented reduce" in out
     assert "physical: sort+limit: fused lax.top_k (k=3" in out
     # plain EXPLAIN stays logical-only

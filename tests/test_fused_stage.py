@@ -22,8 +22,7 @@ QUERIES = [
 ]
 
 
-def make_ctx():
-    n = 3000
+def make_ctx(mesh=None, n=3000):
     rng = np.random.default_rng(5)
     schema = Schema(
         [
@@ -33,7 +32,7 @@ def make_ctx():
             Field("nv", DataType.Float64, True),
         ]
     )
-    ctx = ExecutionContext()
+    ctx = ExecutionContext(mesh=mesh)
     ctx.register_table(
         "t",
         Table.from_arrays(
@@ -116,3 +115,20 @@ def test_fused_stage_overflow_retry_and_downstream():
     finally:
         os.environ.pop("DFTPU_PALLAS", None)
     assert a == b
+
+
+@pytest.mark.parametrize("sql", QUERIES)
+def test_fused_stage_distributed_parity(sql, monkeypatch):
+    """The fused stage inside shard_map (VERDICT r1 weak #3): per-shard
+    blocking + out-of-kernel row-validity fold must match single-chip."""
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("DFTPU_PALLAS", "1")
+    # 8 shards x >= 1024 rows: below one (8,128) block per shard the
+    # stage correctly declines to fuse
+    single = make_ctx(n=1 << 13)
+    want = sorted(single.sql(sql).result_str().splitlines())
+    dist = make_ctx(mesh=make_mesh(), n=1 << 13)
+    note = dist.sql("EXPLAIN VERBOSE " + sql).result_str()
+    assert "fused pallas stage" in note, note
+    assert sorted(dist.sql(sql).result_str().splitlines()) == want

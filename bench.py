@@ -37,16 +37,17 @@ def _hbm_bandwidth_gbps() -> float:
     return 819.0  # conservative default (also used on CPU dev runs)
 
 
-def _time_pipeline(fn, env, repeats: int = 1) -> float:
+def _time_pipeline(fn, env, repeats: int = 1, with_spread: bool = False):
     """Readback-fenced slope timing, minimized over queue depths — see
     datafusion_tpu/utils/benchtime.py for the methodology (and why
     block_until_ready and deep dispatch queues both mislead through this
     machine's tunneled backend). The flagship (sub-ms) metric uses
-    repeats=3 min-of-sweeps: the tunnel has multi-second slow stretches
-    and this one number is what the driver records per round."""
+    repeats=5 median-of-sweeps with the cross-sweep spread reported in
+    the JSON: the tunnel has multi-second slow stretches and this one
+    number is what the driver records per round."""
     from datafusion_tpu.utils.benchtime import time_pipeline
 
-    return time_pipeline(fn, env, repeats=repeats)
+    return time_pipeline(fn, env, repeats=repeats, with_spread=with_spread)
 
 
 def _compile(sql: str, tables):
@@ -79,7 +80,7 @@ def main() -> None:
         "SELECT k, lat, lng, lat + lng FROM cities WHERE lat > 51.0 AND lat < 53",
         {"cities": table},
     )
-    dt = _time_pipeline(fn, env, repeats=3)
+    dt, spread = _time_pipeline(fn, env, repeats=5, with_spread=True)
     rows_per_s = n / dt
 
     # True data movement of the compiled pipeline: pass-through columns
@@ -117,6 +118,7 @@ def main() -> None:
                 "value": round(rows_per_s, 1),
                 "unit": "rows/s",
                 "vs_baseline": round(vs, 4),
+                "spread": round(spread, 4),
             }
         )
     )

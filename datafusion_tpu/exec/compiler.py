@@ -1199,8 +1199,7 @@ class PlanCompiler:
         off = plan.offset
         topk_ok = (
             isinstance(plan.input, L.Sort)
-            and len(plan.input.exprs) == 1
-            and plan.input.exprs[0].nulls_first is not True
+            and all(se.nulls_first is not True for se in plan.input.exprs)
             and plan.limit is not None
             and 0 < plan.limit + off <= 4096
             and os.environ.get("DFTPU_TOPK", "1") != "0"
@@ -1210,8 +1209,10 @@ class PlanCompiler:
                 lambda: self._lower_topk(plan.input, plan.limit + off)
             )
             if lowered is not None:
+                nk = len(plan.input.exprs)
                 self.notes.append(
-                    f"sort+limit: fused lax.top_k (k={plan.limit + off}, no full sort)"
+                    f"sort+limit: fused lax.top_k (k={plan.limit + off}, "
+                    f"{nk} key{'s' if nk > 1 else ''}, no full sort)"
                 )
                 return self._skip_compacted(lowered, off)
         child = self.lower(plan.input)
@@ -1243,18 +1244,26 @@ class PlanCompiler:
         child = self.lower(plan.input)
         if child.layout != "single":
             return None  # distributed sort keeps the sample-sort path
-        se = plan.exprs[0]
-        keyc = compile_expr(se.expr, child.schema, child.dicts, self.fn_registry)
         from datafusion_tpu.types import physical_np
 
-        if physical_np(keyc.dtype) == np.dtype(np.uint64) and not jax.config.jax_enable_x64:
-            return None  # no order-preserving signed image without 64-bit
+        if len(plan.exprs) == 1:
+            se = plan.exprs[0]
+            keyc = compile_expr(se.expr, child.schema, child.dicts, self.fn_registry)
+            if physical_np(keyc.dtype) == np.dtype(np.uint64) and not jax.config.jax_enable_x64:
+                return None  # no order-preserving signed image without 64-bit
+
+            def rank_fn(b: Batch) -> jax.Array:
+                kd, kv = _broadcast_col(keyc.fn(b.cols), b.capacity)
+                return topk_rank(kd, kv, b.sel, se.asc)
+        else:
+            rank_fn = self._packed_rank(plan, child)
+            if rank_fn is None:
+                return None
         kk = min(k, child.capacity)
 
         def fn(env) -> Batch:
             b = child.fn(env)
-            kd, kv = _broadcast_col(keyc.fn(b.cols), b.capacity)
-            rank = topk_rank(kd, kv, b.sel, se.asc)
+            rank = rank_fn(b)
             _, idx = lax.top_k(rank, kk)
             cols = []
             for d, v in (_broadcast_col(c, b.capacity) for c in b.cols):
@@ -1269,6 +1278,72 @@ class PlanCompiler:
             return Batch(cols, iota < jnp.minimum(n_valid, kk))
 
         return Lowered(child.schema, child.dicts, fn, kk, child.layout)
+
+    def _packed_rank(self, plan: L.Sort, child: Lowered):
+        """Multi-key ORDER BY ... LIMIT k via one packed lexicographic
+        rank, when every key has a statically-bounded small domain:
+        dictionary codes (order-preserving sorted vocab), scanned ints
+        with a probed min..max range, or narrow fixed-width integers.
+
+        Each key contributes a field of ceil(log2(domain+1)) bits holding
+        a code in [1, domain] oriented so LARGER packed rank = earlier
+        output row; per-key NULLs take code 0 (NULLS LAST, matching
+        sort_batch's default null ordering). Unselected rows rank -1.
+        Budget: 30 payload bits in int32 (62 under x64) so the packed
+        rank stays a positive signed int for lax.top_k."""
+        from datafusion_tpu.types import physical_np
+
+        budget = 62 if jax.config.jax_enable_x64 else 30
+        fields = []  # (keyc, asc, domain, width, offset)
+        total = 0
+        for se in plan.exprs:
+            keyc = compile_expr(se.expr, child.schema, child.dicts, self.fn_registry)
+            dom_off = None
+            if keyc.dictionary is not None:
+                if len(keyc.dictionary) >= 1:
+                    dom_off = (len(keyc.dictionary), 0)
+            else:
+                rng = self._int_key_range(se.expr, child)
+                if rng is not None and rng[1] >= rng[0]:
+                    dom_off = (rng[1] - rng[0] + 1, rng[0])
+                else:
+                    p = physical_np(keyc.dtype)
+                    if p == np.dtype(np.bool_):
+                        dom_off = (2, 0)
+                    elif p == np.dtype(np.int8):
+                        dom_off = (256, -128)
+                    elif p == np.dtype(np.uint8):
+                        dom_off = (256, 0)
+                    elif p == np.dtype(np.int16):
+                        dom_off = (65536, -32768)
+                    elif p == np.dtype(np.uint16):
+                        dom_off = (65536, 0)
+            if dom_off is None:
+                return None
+            domain, off = dom_off
+            w = domain.bit_length()  # codes span [0, domain]
+            total += w
+            if total > budget:
+                return None
+            fields.append((keyc, se.asc, domain, off, w))
+        rank_dt = jnp.int64 if total > 30 else jnp.int32
+
+        def rank_fn(b: Batch) -> jax.Array:
+            packed = jnp.zeros((b.capacity,), rank_dt)
+            shift = total
+            for keyc, asc, domain, off, w in fields:
+                kd, kv = _broadcast_col(keyc.fn(b.cols), b.capacity)
+                v = kd.astype(rank_dt) - off  # [0, domain-1] for real data
+                code = (domain - v) if asc else (v + 1)
+                # clip guards padding-row garbage against field overflow
+                code = jnp.clip(code, 0, domain)
+                if kv is not None:
+                    code = jnp.where(kv, code, 0)  # NULLS LAST
+                shift -= w
+                packed = packed + (code << shift).astype(rank_dt)
+            return jnp.where(b.sel, packed, rank_dt(-1))
+
+        return rank_fn
 
     def _lower_join(self, plan: L.Join) -> Lowered:
         # RIGHT join = LEFT join with sides swapped + output columns

@@ -43,15 +43,18 @@ def _fence(out) -> None:
 
 
 def time_pipeline(
-    fn, env, depths=(6, 24), repeats: int = 1, trials: int = 4
-) -> float:
+    fn, env, depths=(6, 24), repeats: int = 1, trials: int = 4,
+    with_spread: bool = False,
+):
     """Per-iteration device time of `fn(env)` in seconds.
 
     Times batches of d1 and d2 fenced dispatches, interleaved for
     `trials` rounds; the estimate is (min T(d2) - min T(d1)) / (d2 - d1).
     Both fixed costs (dispatch setup, the fence's tunnel round-trip) and
     additive tunnel noise cancel in the difference of the min envelopes.
-    `repeats` repeats the whole estimate and takes the median."""
+    `repeats` repeats the whole estimate and takes the median; with
+    `with_spread=True` returns (median, relative spread across repeats)
+    so round artifacts record how noisy the tunnel was."""
     if len(depths) > 2:  # legacy callers passed 3 depths
         depths = (depths[0], depths[-1])
     d1, d2 = depths
@@ -87,4 +90,8 @@ def time_pipeline(
         if slope <= 0:
             slope = lo[1] / d2
         estimates.append(slope)
-    return max(statistics.median(estimates), 1e-9)
+    med = max(statistics.median(estimates), 1e-9)
+    if with_spread:
+        spread = (max(estimates) - min(estimates)) / med if len(estimates) > 1 else 0.0
+        return med, spread
+    return med

@@ -59,8 +59,8 @@ def test_topk_tie_stability(monkeypatch):
     assert [row["row"] for row in r.to_pylist()] == [2, 4, 5, 0]
 
 
-def test_topk_multi_key_falls_back():
-    # two sort keys: no top-k; still correct via the full sort
+def test_topk_multi_key_wide_falls_back():
+    # float secondary key: no static domain, no packed rank — full sort
     ctx = df.ExecutionContext()
     ctx.register_table(
         "t",
@@ -71,12 +71,91 @@ def test_topk_multi_key_falls_back():
             }
         ),
     )
+    out = ctx.sql("EXPLAIN VERBOSE SELECT k, v FROM t ORDER BY k, v LIMIT 3").result_str()
+    assert "fused lax.top_k" not in out
     r = ctx.sql("SELECT k, v FROM t ORDER BY k, v LIMIT 3")
     assert [tuple(row.values()) for row in r.to_pylist()] == [
         (0, 1.0),
         (0, 3.0),
         (1, 2.0),
     ]
+
+
+MULTI_QUERIES = [
+    # int keys: probed scanned range; s: dictionary codes (sorted vocab)
+    "SELECT a, s FROM t ORDER BY s, a LIMIT 25",
+    "SELECT a, s FROM t ORDER BY s DESC, a LIMIT 25",
+    "SELECT a, s FROM t ORDER BY s, a DESC LIMIT 25",
+    "SELECT a, s, v FROM t ORDER BY s, a, v DESC LIMIT 25",  # f64 last: fallback
+    "SELECT a, s FROM t WHERE a > 0 ORDER BY a DESC, s LIMIT 30",
+    "SELECT a, ns FROM t ORDER BY ns, a LIMIT 60",  # NULL dict key placement
+    "SELECT a, ns FROM t ORDER BY ns DESC, a DESC LIMIT 60",
+]
+
+
+@pytest.mark.parametrize("sql", MULTI_QUERIES)
+def test_topk_multi_key_packed_matches_full_sort(sql, monkeypatch):
+    """ORDER BY k1, k2[, k3] LIMIT n over small-domain keys packs into
+    one lexicographic rank + lax.top_k (exec/compiler.py _packed_rank);
+    parity with the full multi-operand sort, incl. NULLS LAST and ties."""
+
+    def ctx():
+        rng = np.random.default_rng(7)
+        n = 4000
+        a = rng.integers(-50, 50, n).astype(np.int64)
+        v = rng.random(n).astype(np.float64)
+        s = np.array([f"g{int(x) % 7}" for x in a], dtype=object)
+        ns = s.copy()
+        ns[rng.random(n) < 0.15] = None
+        c = df.ExecutionContext()
+        c.register_table(
+            "t", df.Table.from_pydict({"a": a, "v": v, "s": s, "ns": ns})
+        )
+        return c
+
+    fused = ctx().sql(sql).result_str()
+    monkeypatch.setenv("DFTPU_TOPK", "0")
+    full = ctx().sql(sql).result_str()
+    assert fused == full
+
+
+def test_topk_multi_key_packed_is_fused():
+    rng = np.random.default_rng(5)
+    n = 512
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "t",
+        df.Table.from_pydict(
+            {
+                "a": rng.integers(0, 100, n).astype(np.int32),
+                "s": np.array(
+                    [f"x{i % 5}" for i in rng.integers(0, 5, n)], dtype=object
+                ),
+            }
+        ),
+    )
+    out = ctx.sql(
+        "EXPLAIN VERBOSE SELECT a, s FROM t ORDER BY s, a DESC LIMIT 9"
+    ).result_str()
+    assert "fused lax.top_k (k=9, 2 keys" in out
+
+
+def test_topk_multi_key_tie_stability():
+    # rows equal on ALL packed keys keep original order (top_k ties by
+    # lowest index — same as the full sort's iota tie-break)
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "t",
+        df.Table.from_pydict(
+            {
+                "k1": np.array([1, 1, 0, 1, 0, 0], np.int32),
+                "k2": np.array([2, 2, 9, 2, 9, 9], np.int32),
+                "row": np.arange(6, dtype=np.int64),
+            }
+        ),
+    )
+    r = ctx.sql("SELECT row FROM t ORDER BY k1, k2 LIMIT 5")
+    assert [row["row"] for row in r.to_pylist()] == [2, 4, 5, 0, 1]
 
 
 def test_topk_distributed_matches_single():

@@ -231,24 +231,14 @@ def _key_sort_operands(key_cols, sel):
 DENSE_MAX_GROUPS = 2047  # domain + NULL slot must fit the W=2048 window
 
 
-def grouped_aggregate_dense(
-    key_cols: Sequence[ColVal],
-    specs: Sequence[AggSpec],
-    sel: jax.Array,
-    domain_size,
-    key_offset=0,
-):
-    """Sort-free GROUP BY for dense int key domains of statically known
-    size: the (mixed-radix packed) key IS the group id — one pallas pass
-    over the unsorted rows, no lax.sort at all. Multiple keys pack
-    major-to-minor (group order = key order); a nullable key gets an
-    extra radix slot (NULL sorts after its values on this path).
+def dense_pack_gid(key_cols, domain_size, key_offset):
+    """Mixed-radix pack of small-domain keys into a dense group id.
+    Multiple keys pack major-to-minor (group order = key order); a
+    nullable key gets an extra radix slot (NULL sorts after its values).
     `key_offset[i]` shifts raw integer keys in [offset, offset+domain)
     onto [0, domain) — the compiler probes scanned key columns' min/max.
-    Returns the grouped_aggregate contract:
-    (out_keys, out_aggs, out_sel, n_groups)."""
-    segred = segmented_reduce_sorted_import()
-    capacity = int(sel.shape[0])
+    Returns (gid [cap] i32 in [0, nslots), doms, offs, radices, strides,
+    nslots)."""
     doms = (
         [int(domain_size)]
         if isinstance(domain_size, int)
@@ -273,6 +263,7 @@ def grouped_aggregate_dense(
     for r in radices:
         acc //= r
         strides.append(acc)
+    capacity = int(key_cols[0][0].shape[0])
     gid = jnp.zeros((capacity,), jnp.int32)
     for (kd, kv), d, off, r in zip(key_cols, doms, offs, radices):
         code = kd if off == 0 else kd - jnp.asarray(off, kd.dtype)
@@ -281,10 +272,35 @@ def grouped_aggregate_dense(
         if kv is not None:
             code = jnp.where(kv, code, d)
         gid = gid * r + code
-    # slot layout: [0, nslots) = packed key codes (incl. per-key NULL
-    # slots); slot nslots = unselected rows
-    gcap = nslots + 1
-    gid = jnp.where(sel, gid, gcap)
+    return gid, doms, offs, radices, strides, nslots
+
+
+def dense_window_aggregate(
+    key_cols: Sequence[ColVal],
+    specs: Sequence[AggSpec],
+    sel: jax.Array,
+    domain_size,
+    key_offset,
+    run_kernel,
+    slot_gid=None,
+    out_slots: int | None = None,
+):
+    """Shared dense-window GROUP BY machinery: pack the group id, build
+    the per-op (op, value, mask) rows, hand them to `run_kernel`, and
+    decode the returned windows into the grouped_aggregate contract.
+
+    run_kernel(gid, sel, k_ops, k_vals, k_masks, nslots) -> per-op slot
+    arrays of length `out_slots` — the single-chip version reduces on
+    the segreduce dense kernel; the distributed version routes rows over
+    ICI and folds inside the exchange (ops/pallas/ragged_shuffle.py
+    ragged_exchange_fold). `slot_gid[i]` maps output slot i back to its
+    packed gid for key decoding (default: identity; the distributed
+    fold's device d holds gids {w*n_dev + d}).
+
+    Returns (out_keys, out_aggs, out_sel, n_slots_i32)."""
+    gid, doms, offs, radices, strides, nslots = dense_pack_gid(
+        key_cols, domain_size, key_offset
+    )
     kd = key_cols[0][0]  # for the exists-count value row below
     base_mask = sel
 
@@ -316,16 +332,7 @@ def grouped_aggregate_dense(
                 k_masks.append(mask)
                 k_slots.append(("cnt", id(mask)))
 
-    interp = jax.devices()[0].platform not in ("tpu", "axon")
-    outs = segred(
-        gid,
-        tuple(k_vals),
-        tuple(k_masks),
-        ops=tuple(k_ops),
-        num_groups=gcap,
-        interpret=interp,
-        dense=True,
-    )
+    outs = run_kernel(gid, sel, k_ops, k_vals, k_masks, nslots)
     results: dict = {}
     counts: dict = {}
     exists_cnt = None
@@ -337,14 +344,15 @@ def grouped_aggregate_dense(
         else:
             counts[ident] = o.astype(jnp.int32)
 
-    giota = lax.broadcasted_iota(jnp.int32, (gcap,), 0)
-    out_sel = exists_cnt > 0
+    if slot_gid is None:
+        slot_gid = lax.broadcasted_iota(jnp.int32, (int(exists_cnt.shape[0]),), 0)
+    out_sel = jnp.logical_and(exists_cnt > 0, slot_gid < nslots)
     # decode each key from the slot id; per-key code d is its NULL slot
     out_keys = []
     for (kd_i, kv_i), d, off, r, stride in zip(
         key_cols, doms, offs, radices, strides
     ):
-        code_i = (giota // stride) % r
+        code_i = (slot_gid // stride) % r
         okd = (jnp.clip(code_i, 0, d - 1) + off).astype(kd_i.dtype)
         out_keys.append((okd, None if kv_i is None else code_i < d))
 
@@ -363,9 +371,45 @@ def grouped_aggregate_dense(
         validity = None if valid is None and spec.func != "avg" else cnt > 0
         out_aggs.append((r.astype(physical_np(spec.out_dtype)), validity))
 
+    n_out = out_slots if out_slots is not None else nslots + 1
+    return out_keys, out_aggs, out_sel, jnp.asarray(n_out, jnp.int32)
+
+
+def grouped_aggregate_dense(
+    key_cols: Sequence[ColVal],
+    specs: Sequence[AggSpec],
+    sel: jax.Array,
+    domain_size,
+    key_offset=0,
+):
+    """Sort-free GROUP BY for dense int key domains of statically known
+    size: the (mixed-radix packed) key IS the group id — one pallas pass
+    over the unsorted rows, no lax.sort at all (dense_window_aggregate
+    over the segreduce dense kernel). Returns the grouped_aggregate
+    contract: (out_keys, out_aggs, out_sel, n_groups)."""
+    segred = segmented_reduce_sorted_import()
+
+    def run_kernel(gid, sel_, k_ops, k_vals, k_masks, nslots):
+        # slot layout: [0, nslots) = packed key codes (incl. per-key
+        # NULL slots); slot nslots = unselected rows
+        gcap = nslots + 1
+        gid_routed = jnp.where(sel_, gid, gcap)
+        interp = jax.devices()[0].platform not in ("tpu", "axon")
+        return segred(
+            gid_routed,
+            tuple(k_vals),
+            tuple(k_masks),
+            ops=tuple(k_ops),
+            num_groups=gcap,
+            interpret=interp,
+            dense=True,
+        )
+
     # n_groups reported as the domain size — always <= the compiled
     # capacity, so the overflow-retry loop never fires on this path
-    return out_keys, out_aggs, out_sel, jnp.asarray(gcap, jnp.int32)
+    return dense_window_aggregate(
+        key_cols, specs, sel, domain_size, key_offset, run_kernel
+    )
 
 
 def grouped_aggregate(

@@ -107,7 +107,14 @@ class DistCompiler(PlanCompiler):
             global_row = lax.axis_index(AXIS).astype(jnp.int32) * local_cap + iota
             return Batch(cols, global_row < n)
 
-        return Lowered(base.schema, base.dicts, fn, table.capacity, "partitioned")
+        # pass-through sources feed the compile-time probes (dense
+        # group-by / direct-index join / fold aggregate int-key ranges);
+        # the dist output path never elides columns, so this is
+        # probe-only metadata here
+        return Lowered(
+            base.schema, base.dicts, fn, table.capacity, "partitioned",
+            sources=base.sources,
+        )
 
     def _lower_sort(self, plan: L.Sort) -> Lowered:
         import os
@@ -1069,6 +1076,141 @@ class DistCompiler(PlanCompiler):
 
         return Lowered(plan.schema, out_dicts, fn, dom + 1, "replicated")
 
+    def _try_lower_fold_dist(
+        self, plan, child, group_c, agg_meta, out_dicts, local_cap
+    ):
+        """Fused exchange+fold distributed GROUP BY (the flagship ragged
+        shuffle with compute overlap, SURVEY §7): rows route to device
+        gid % n_dev as chunked RDMA and fold into dense per-device group
+        windows INSIDE the exchange kernel — no materialized
+        post-shuffle batch, no lax.sort, and the fold compute overlaps
+        the in-flight exchange (ops/pallas/ragged_shuffle.py
+        ragged_exchange_fold). Extends the dense sort-free path to
+        global domains up to 2048 * n_dev (the single-chip dense window
+        caps at DENSE_MAX_GROUPS)."""
+        import os
+
+        from datafusion_tpu.ops.aggregate import _pallas_enabled
+        from datafusion_tpu.types import physical_np as _phys
+
+        n = self.n_dev
+        if not (_pallas_enabled() and local_cap % 1024 == 0 and group_c):
+            return None
+        for (name, arg, rt) in agg_meta:
+            p = _phys(arg.dtype)
+            if name in ("sum", "avg") and p != np.dtype(np.float32):
+                return None
+            if name in ("min", "max") and p not in (
+                np.dtype(np.float32), np.dtype(np.int32)
+            ):
+                return None
+            if name not in ("sum", "avg", "min", "max", "count"):
+                return None
+        # static key domains: dictionary vocab or probed scanned-int range
+        doms: list[int] = []
+        offs: list[int] = []
+        for gi, gc in enumerate(group_c):
+            if gc.dictionary is not None:
+                if len(gc.dictionary) < 1:
+                    return None
+                doms.append(len(gc.dictionary))
+                offs.append(0)
+                continue
+            rng = self._int_key_range(plan.group_exprs[gi], child)
+            if rng is None or rng[1] < rng[0]:
+                return None
+            doms.append(rng[1] - rng[0] + 1)
+            offs.append(rng[0])
+        nslots = 1
+        for d in doms:
+            nslots *= d + 1  # conservative: +1 NULL radix per key
+        num_local = -(-nslots // n)
+        if not (1 <= num_local <= 2048):
+            return None
+
+        def grow_1024(t):
+            return -(-int(t) // 1024) * 1024
+
+        s_cap = self._alloc_cap(
+            grow_1024(max(1024, 2 * local_cap // n)), grow=grow_1024
+        )
+        self.notes.append(
+            f"aggregate: fused ragged-exchange fold (global slots={nslots}, "
+            f"{num_local}/device, split_cap={s_cap})"
+        )
+
+        def fn(env) -> Batch:
+            from datafusion_tpu.ops.pallas.ragged_shuffle import (
+                ragged_exchange_fold,
+            )
+            from datafusion_tpu.parallel.shuffle import build_regions
+
+            b = child.fn(env)
+            keys = [_broadcast_col(c.fn(b.cols), local_cap) for c in group_c]
+            specs = [
+                agg_ops.AggSpec(
+                    name, _broadcast_col(arg.fn(b.cols), local_cap), rt, 0.5
+                )
+                for (name, arg, rt) in agg_meta
+            ]
+            me = lax.axis_index(AXIS).astype(jnp.int32)
+
+            def run_kernel(gid, sel_, k_ops, k_vals, k_masks, nslots_k):
+                dst = gid % n
+                w = gid // n
+                # dedup masks; the base selection is the kernel's
+                # implicit all-valid mask (index 0) — selected rows only
+                # are routed, so it costs no wire bytes
+                uniq: list = []
+                mask_map: list[int] = []
+                for m in k_masks:
+                    if m is sel_:
+                        mask_map.append(0)
+                        continue
+                    for i, u in enumerate(uniq):
+                        if u is m:
+                            mask_map.append(i + 1)
+                            break
+                    else:
+                        uniq.append(m)
+                        mask_map.append(len(uniq))
+                cols = (
+                    [(w, None)]
+                    + [(v, None) for v in k_vals]
+                    + [(m, None) for m in uniq]
+                )
+                send_cols, _valid, counts, max_split = build_regions(
+                    cols, dst, sel_, n, s_cap
+                )
+                self.totals.append(lax.pmax(max_split, AXIS))
+                sizes = lax.all_gather(counts.astype(jnp.int32), AXIS)
+                interp = jax.devices()[0].platform not in ("tpu", "axon")
+                send = [c[0] for c in send_cols]
+                nv = len(k_vals)
+                return ragged_exchange_fold(
+                    send[0],
+                    tuple(send[1 : 1 + nv]),
+                    tuple(send[1 + nv :]),
+                    sizes,
+                    ops=tuple(k_ops),
+                    mask_map=tuple(mask_map),
+                    n_dev=n,
+                    split_cap=s_cap,
+                    chunk=1024,
+                    num_groups=num_local,
+                    interpret=interp,
+                )
+
+            giota = lax.broadcasted_iota(jnp.int32, (num_local,), 0)
+            slot_gid = giota * n + me
+            okeys, oaggs, osel, _ = agg_ops.dense_window_aggregate(
+                keys, specs, b.sel, doms, offs, run_kernel,
+                slot_gid=slot_gid, out_slots=num_local,
+            )
+            return Batch(list(okeys) + list(oaggs), osel)
+
+        return Lowered(plan.schema, out_dicts, fn, num_local * n, "partitioned")
+
     def _join_key_maxes(self, plan, left, right):
         """Static key bounds for int32 packing of two-key joins (from
         dictionary vocab sizes); None for unbounded numeric keys."""
@@ -1152,11 +1294,20 @@ class DistCompiler(PlanCompiler):
         # dense distributed path: a dictionary-coded key's slots align
         # across shards, so per-shard dense tables merge with plain
         # psum/pmin/pmax collectives — no gather, no re-aggregation
-        dense = self._try_lower_dense_dist(
-            plan, child, group_c, agg_meta, out_dicts, local_cap
-        )
-        if dense is not None:
-            return dense
+        if strategy != "fold":
+            dense = self._try_lower_dense_dist(
+                plan, child, group_c, agg_meta, out_dicts, local_cap
+            )
+            if dense is not None:
+                return dense
+        if strategy in ("auto", "fold"):
+            fold = self._speculative(
+                lambda: self._try_lower_fold_dist(
+                    plan, child, group_c, agg_meta, out_dicts, local_cap
+                )
+            )
+            if fold is not None:
+                return fold
         # static group slots per shard; overflow detected via the max local
         # group count and retried bigger (run() loop)
         gcap_local = self._alloc_cap(min(local_cap, self.DEFAULT_GROUP_CAPACITY))

@@ -88,7 +88,13 @@ def main() -> int:
     fast = run({})  # default: pallas + compact join
     ref = run({"DFTPU_PALLAS": "0", "DFTPU_LOCAL_JOIN": "expand"})
 
-    failures = 0
+    # ragged-shuffle kernel, Mosaic-compiled on the real chip (the
+    # single-device degenerate: SMEM sizes matrix + local-DMA region
+    # path; the RDMA branches only exist on multi-chip hardware and are
+    # interpret-validated by tests/test_ragged_shuffle.py)
+    ragged_fail = _check_ragged_local()
+
+    failures = ragged_fail
     for qi, (a, b) in enumerate(zip(fast, ref)):
         if len(a) != len(b):
             print(f"query {qi}: row count {len(a)} vs {len(b)} MISMATCH")
@@ -115,6 +121,47 @@ def main() -> int:
         return 1
     print("ALL OK")
     return 0
+
+
+def _check_ragged_local() -> int:
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from datafusion_tpu.parallel import shuffle as sh
+    from datafusion_tpu.parallel.mesh import AXIS, make_mesh
+
+    mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    rng = np.random.default_rng(11)
+    n = n_dev * 4096
+    data_f = rng.random(n).astype(np.float32) * 100
+    sel = rng.random(n) < 0.7
+    dst = rng.integers(0, n_dev, n).astype(np.int32)
+
+    def body(x, s, d):
+        cols, new_sel, mx = sh.repartition([(x, None)], d, s, n_dev, 8192)
+        return cols[0][0], new_sel, mx[None]
+
+    f = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(AXIS),) * 3,
+        out_specs=(P(AXIS),) * 3,
+        check_vma=False,
+    )
+    outs = {}
+    for strat in ("fixed", "ragged"):
+        os.environ["DFTPU_SHUFFLE"] = strat
+        try:
+            d, s, _ = jax.jit(f)(jnp.array(data_f), jnp.array(sel), jnp.array(dst))
+            outs[strat] = np.sort(np.asarray(d)[np.asarray(s)])
+        finally:
+            os.environ.pop("DFTPU_SHUFFLE", None)
+    ok = np.array_equal(outs["fixed"], outs["ragged"])
+    print(f"ragged shuffle (n_dev={n_dev}, compiled): {'OK' if ok else 'MISMATCH'}")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

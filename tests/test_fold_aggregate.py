@@ -1,0 +1,106 @@
+"""Distributed fused exchange+fold GROUP BY (parallel/dist.py
+_try_lower_fold_dist over ops/pallas/ragged_shuffle.py
+ragged_exchange_fold): parity with single-chip execution on the
+8-virtual-device CPU mesh, interpret-mode pallas.
+
+Float32 columns only: the exchange moves 32-bit words (the path is
+ineligible for f64, which exists only on the CPU parity backend)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from datafusion_tpu import ExecutionContext, Table
+from datafusion_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(autouse=True)
+def _fold_env(monkeypatch):
+    monkeypatch.setenv("DFTPU_PALLAS", "1")
+    monkeypatch.setenv("DFTPU_AGG_STRATEGY", "fold")
+
+
+def _data(n=8192, kmax=5000, seed=3):
+    rng = np.random.default_rng(seed)
+    nv = (rng.random(n) * 100 - 50).astype(np.float32)
+    nv[rng.random(n) < 0.2] = np.nan  # from_pydict: NaN -> NULL
+    return {
+        "k": rng.integers(0, kmax, n).astype(np.int32),
+        "v": (rng.random(n) * 10).astype(np.float32),
+        "iv": rng.integers(-(2**28), 2**28, n).astype(np.int32),
+        "nv": nv,
+        "s": np.array(
+            [f"g{i}" for i in rng.integers(0, 6, n)], dtype=object
+        ),
+    }
+
+
+def _approx_equal(a: str, b: str, rel=1e-4) -> bool:
+    la, lb = a.splitlines(), b.splitlines()
+    if len(la) != len(lb):
+        return False
+    for ra, rb in zip(la, lb):
+        ca, cb = ra.split("\t"), rb.split("\t")
+        if len(ca) != len(cb):
+            return False
+        for x, y in zip(ca, cb):
+            if x == y:
+                continue
+            try:
+                fx, fy = float(x), float(y)
+            except ValueError:
+                return False
+            if not np.isclose(fx, fy, rtol=rel, atol=1e-4):
+                return False
+    return True
+
+
+QUERIES = [
+    # int key, probed range: 5000 groups > DENSE_MAX_GROUPS — the fold
+    # extends the dense sort-free path past the single-window cap
+    "SELECT k, SUM(v), COUNT(v) FROM t GROUP BY k ORDER BY k",
+    "SELECT k, MIN(iv), MAX(iv), AVG(v) FROM t GROUP BY k ORDER BY k LIMIT 500",
+    # NULL-valued aggregate args (mask columns ride the exchange)
+    "SELECT k, COUNT(nv), SUM(nv), MIN(v) FROM t GROUP BY k ORDER BY k",
+    # multi-key: dictionary x probed int
+    "SELECT s, k, COUNT(v), MAX(v) FROM t WHERE k < 900 GROUP BY s, k "
+    "ORDER BY s, k",
+    # filtered input (unselected rows must not be routed)
+    "SELECT k, SUM(v) FROM t WHERE v > 5 GROUP BY k ORDER BY k",
+]
+
+
+@pytest.mark.parametrize("sql", QUERIES)
+def test_fold_matches_single_chip(sql):
+    data = _data()
+    single = ExecutionContext()
+    single.register_table("t", Table.from_pydict(dict(data)))
+    dist = ExecutionContext(mesh=make_mesh())
+    dist.register_table("t", Table.from_pydict(dict(data)))
+    a = single.sql(sql).result_str()
+    b = dist.sql(sql).result_str()
+    assert _approx_equal(a, b), f"{sql}\n--- single ---\n{a}\n--- fold ---\n{b}"
+
+
+def test_fold_is_engaged():
+    data = _data(n=8192, kmax=3000)
+    dist = ExecutionContext(mesh=make_mesh())
+    dist.register_table("t", Table.from_pydict(dict(data)))
+    out = dist.sql(
+        "EXPLAIN VERBOSE SELECT k, SUM(v) FROM t GROUP BY k ORDER BY k LIMIT 3"
+    ).result_str()
+    assert "fused ragged-exchange fold" in out, out
+
+
+def test_fold_auto_engages_past_dense_cap(monkeypatch):
+    # auto strategy: 5000-slot domain exceeds the single-chip dense
+    # window, fold picks it up without a forced knob
+    monkeypatch.setenv("DFTPU_AGG_STRATEGY", "auto")
+    data = _data()
+    dist = ExecutionContext(mesh=make_mesh())
+    dist.register_table("t", Table.from_pydict(dict(data)))
+    out = dist.sql(
+        "EXPLAIN VERBOSE SELECT k, COUNT(v) FROM t GROUP BY k ORDER BY k LIMIT 3"
+    ).result_str()
+    assert "fused ragged-exchange fold" in out, out

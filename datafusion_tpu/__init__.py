@@ -37,6 +37,25 @@ if _os.environ.get("DFTPU_FORCE_CPU", "0") == "1":
     except Exception:
         pass
 
+# Persistent XLA compilation cache: cold compiles through the remote
+# AOT tunnel run minutes (CLAUDE.md), and every fresh process re-paid
+# them. Caching compiled executables on disk makes bench/console restarts
+# warm. DFTPU_COMPILE_CACHE=0 disables; harmless where the backend
+# doesn't support serialization (jax falls back silently).
+if _os.environ.get("DFTPU_COMPILE_CACHE", "1") == "1":
+    import jax as _jax3
+
+    try:
+        _jax3.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "DFTPU_COMPILE_CACHE_DIR", "/root/.cache/dftpu_xla"
+            ),
+        )
+        _jax3.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
 from datafusion_tpu.errors import (
     ExecutionError,
     InvalidColumnError,

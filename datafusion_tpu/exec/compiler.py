@@ -22,6 +22,7 @@ unnecessary on the hot path.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
 
@@ -977,29 +978,10 @@ class PlanCompiler:
             # Integer keys qualify too when the scanned column's probed
             # min..max range is small (_int_key_range) — the compile-time
             # probe costs two tiny reductions on the table buffer.
-            doms: list[int] = []
-            offs: list[int] = []
-            notes: list[str] = []
-            for gi, gc in enumerate(group_c):
-                if gc.dictionary is not None:
-                    if len(gc.dictionary) < 1:
-                        break
-                    doms.append(len(gc.dictionary))
-                    offs.append(0)
-                    notes.append(f"dict={len(gc.dictionary)}")
-                    continue
-                rng = self._int_key_range(plan.group_exprs[gi], child)
-                if rng is None:
-                    break
-                kmin, kmax = rng
-                d = kmax - kmin + 1
-                if d < 1:
-                    break
-                doms.append(d)
-                offs.append(kmin)
-                notes.append(f"int[{kmin},{kmax}]")
+            probe = self._probe_key_domains(group_c, plan.group_exprs, child)
+            doms, offs, notes = probe if probe is not None else ([], [], [])
             dom = 0
-            if len(doms) == len(group_c):
+            if len(doms) == len(group_c) and doms:
                 # conservative +1 radix per key (nullable keys carry a
                 # NULL slot; nullability resolves at trace time)
                 prod = 1
@@ -1051,10 +1033,33 @@ class PlanCompiler:
                 # unselected rows
                 return Lowered(plan.schema, out_dicts, fn_dense, dom + 1, child.layout)
 
-            gcap = self._alloc_cap(min(child.capacity, self.DEFAULT_GROUP_CAPACITY))
-            self.notes.append(
-                f"aggregate: co-sort + segmented reduce, group_capacity={gcap}"
-            )
+            # packed sort path: domains probed but too wide for the dense
+            # window (or specs the dense kernel can't take) — (sel, keys)
+            # mixed-radix-pack into ONE i32 sort key, dropping the
+            # notsel/per-key/iota operands from the dominant co-sort.
+            # The domain also bounds the group count, so the overflow
+            # retry can never fire on this path.
+            packed_doms = packed_offs = None
+            packed_on = os.environ.get("DFTPU_PACKED_AGG", "1") != "0"
+            if packed_on and len(doms) == len(group_c):
+                prodp = 1
+                for d in doms:
+                    prodp *= d + 1
+                if 1 <= prodp <= agg_ops.PACKED_MAX_GROUPS:
+                    packed_doms, packed_offs = doms, offs
+            if packed_doms is not None:
+                gcap = self._alloc_cap(min(child.capacity, prodp + 1))
+                self.notes.append(
+                    f"aggregate: packed-gid co-sort ({' x '.join(notes)}) "
+                    f"+ segmented reduce, group_capacity={gcap}"
+                )
+            else:
+                gcap = self._alloc_cap(
+                    min(child.capacity, self.DEFAULT_GROUP_CAPACITY)
+                )
+                self.notes.append(
+                    f"aggregate: co-sort + segmented reduce, group_capacity={gcap}"
+                )
 
             def fn(env) -> Batch:
                 b = child.fn(env)
@@ -1066,7 +1071,8 @@ class PlanCompiler:
                     for (name, arg, rt, q) in agg_meta
                 ]
                 okeys, oaggs, osel, n_groups = agg_ops.grouped_aggregate(
-                    keys, specs, b.sel, gcap
+                    keys, specs, b.sel, gcap,
+                    dense_domain=packed_doms, dense_offset=packed_offs,
                 )
                 self.totals.append(n_groups)
                 return Batch(list(okeys) + list(oaggs), osel)
@@ -1093,6 +1099,33 @@ class PlanCompiler:
             return Batch(cols, iota < 1)
 
         return Lowered(plan.schema, out_dicts, fn0, out_cap, child.layout)
+
+    def _probe_key_domains(self, group_c, group_exprs, child: Lowered):
+        """Per-key (domains, offsets, notes) for the dense/packed GROUP BY
+        paths: dictionary vocab sizes, or compile-time min/max probes of
+        scanned int columns (_int_key_range). None when any key fails."""
+        doms: list[int] = []
+        offs: list[int] = []
+        notes: list[str] = []
+        for gi, gc in enumerate(group_c):
+            if gc.dictionary is not None:
+                if len(gc.dictionary) < 1:
+                    return None
+                doms.append(len(gc.dictionary))
+                offs.append(0)
+                notes.append(f"dict={len(gc.dictionary)}")
+                continue
+            rng = self._int_key_range(group_exprs[gi], child)
+            if rng is None:
+                return None
+            kmin, kmax = rng
+            d = kmax - kmin + 1
+            if d < 1:
+                return None
+            doms.append(d)
+            offs.append(kmin)
+            notes.append(f"int[{kmin},{kmax}]")
+        return doms, offs, notes
 
     def _int_key_range(self, gexpr, child: Lowered):
         """Compile-time probe for the dense-int group-by path: when the

@@ -412,24 +412,47 @@ def grouped_aggregate_dense(
     )
 
 
+PACKED_MAX_GROUPS = 1 << 19  # packed-gid sort path cap (VMEM accumulators)
+
+
 def grouped_aggregate(
     key_cols: Sequence[ColVal],
     specs: Sequence[AggSpec],
     sel: jax.Array,
     group_capacity: int | None = None,
+    dense_domain=None,
+    dense_offset=None,
 ):
     """GROUP BY aggregation. Returns (out_keys, out_aggs, out_sel,
     n_groups); output arrays have length group_capacity. If the true
     group count exceeds group_capacity the surplus groups are dropped and
     the returned n_groups (> group_capacity) lets the caller recompile
     bigger (the fixed-capacity + valid-count idiom, SURVEY.md §7).
+
+    dense_domain/dense_offset (compiler-probed per-key int domains, same
+    contract as grouped_aggregate_dense) enable the PACKED sort path:
+    (sel, all group keys) mixed-radix-pack into ONE dense i32 that is the
+    single sort key — the notsel/per-key operands and the iota tie-break
+    all drop out of the main co-sort, which is the aggregate's dominant
+    cost at scale. Group keys decode arithmetically from the packed id,
+    so they never ride the sort as payloads either.
     """
     capacity = int(sel.shape[0])
     gcap = capacity if group_capacity is None else min(int(group_capacity), capacity)
     iota = lax.broadcasted_iota(jnp.int32, (capacity,), 0)
     giota = lax.broadcasted_iota(jnp.int32, (gcap,), 0)
 
-    notsel, skeys = _key_sort_operands(key_cols, sel)
+    use_packed = dense_domain is not None
+    if use_packed:
+        gid_raw, p_doms, p_offs, p_radices, p_strides, p_nslots = dense_pack_gid(
+            key_cols, dense_domain, dense_offset
+        )
+        assert p_nslots <= PACKED_MAX_GROUPS
+        packed0 = jnp.where(sel, gid_raw, jnp.asarray(p_nslots, jnp.int32))
+        sort_head: list = [packed0]
+    else:
+        notsel, skeys = _key_sort_operands(key_cols, sel)
+        sort_head = [notsel, *skeys]
 
     # ---- choose a value-ordered sort arg for MIN/MAX --------------------
     # The arg referenced by the most MIN/MAX specs rides the main sort as
@@ -463,7 +486,7 @@ def grouped_aggregate(
     # ---- main co-sort: keys + iota + every distinct payload ------------
     payload_plan: list[int] = []  # operand index per spec (data)
     vpayload_plan: list[Optional[int]] = []  # operand index per spec (validity)
-    operands = [notsel, *skeys]
+    operands = list(sort_head)
     vsort_idx: Optional[int] = None
     seen: dict[int, int] = {}
     if chosen_vid is not None:
@@ -475,7 +498,12 @@ def grouped_aggregate(
         operands.append(vimage)
         if vimage is vdata:  # ints pass through — payloads can reuse it
             seen[id(vdata)] = vsort_idx
-    operands.append(iota)
+    if not use_packed:
+        # iota tie-break: deterministic within-group row order on the
+        # reference-parity path. The packed path drops it — the pallas
+        # kernel reduces in whatever (deterministic-per-compile) order
+        # the unstable sort yields; float sums are tolerance-compared.
+        operands.append(iota)
     num_keys = len(operands)
     for spec in specs:
         data, valid = spec.arg
@@ -507,10 +535,16 @@ def grouped_aggregate(
             vpayload_plan.append(None)
 
     sorted_ops = lax.sort(operands, num_keys=num_keys)
-    sel_sorted = jnp.logical_not(sorted_ops[0].astype(jnp.bool_))
-    # group boundaries come from the GROUP-key operands only — the
-    # value-order keys (and iota) must not split groups
-    sorted_keys = sorted_ops[1 : 1 + len(skeys)]
+    if use_packed:
+        # the packed id encodes (sel, keys): unselected rows hold nslots
+        # and sort after every valid group
+        sel_sorted = sorted_ops[0] < p_nslots
+        sorted_keys = [sorted_ops[0]]
+    else:
+        sel_sorted = jnp.logical_not(sorted_ops[0].astype(jnp.bool_))
+        # group boundaries come from the GROUP-key operands only — the
+        # value-order keys (and iota) must not split groups
+        sorted_keys = sorted_ops[1 : 1 + len(skeys)]
 
     # ---- boundaries, group ids, group extents --------------------------
     first = iota == 0
@@ -658,18 +692,29 @@ def grouped_aggregate(
 
     # ---- group key outputs ---------------------------------------------
     out_keys = []
-    ki = 1
-    for kidx, (kd, kv) in enumerate(key_cols):
-        if kv is not None:
-            knull = at_starts(sorted_ops[ki]).astype(jnp.bool_)
-            kvalid = jnp.logical_not(knull)
+    if use_packed:
+        # decode each key arithmetically from the group's packed id (one
+        # tiny gather total, vs one per key operand on the generic path)
+        packed_at_start = at_starts(sorted_ops[0])
+        for (kd, kv), d, off, r, stride in zip(
+            key_cols, p_doms, p_offs, p_radices, p_strides
+        ):
+            code_i = (packed_at_start // stride) % r
+            okd = (jnp.clip(code_i, 0, d - 1) + off).astype(kd.dtype)
+            out_keys.append((okd, None if kv is None else code_i < d))
+    else:
+        ki = 1
+        for kidx, (kd, kv) in enumerate(key_cols):
+            if kv is not None:
+                knull = at_starts(sorted_ops[ki]).astype(jnp.bool_)
+                kvalid = jnp.logical_not(knull)
+                ki += 1
+            else:
+                kvalid = None
+            raw = at_starts(sorted_ops[ki])
+            # float keys were grouped via their order-preserving int image
+            out_keys.append((from_sortable_int(raw, kd.dtype), kvalid))
             ki += 1
-        else:
-            kvalid = None
-        raw = at_starts(sorted_ops[ki])
-        # float keys were grouped via their order-preserving int image
-        out_keys.append((from_sortable_int(raw, kd.dtype), kvalid))
-        ki += 1
 
     # cache secondary value-sorts per (arg operand index) so MIN and MAX
     # of the same argument share one sort
@@ -678,7 +723,7 @@ def grouped_aggregate(
     def minmax_sorted(pi: int) -> jax.Array:
         if pi not in minmax_cache:
             vops = lax.sort(
-                [notsel, *skeys, operands[pi]], num_keys=1 + len(skeys) + 1
+                [*sort_head, operands[pi]], num_keys=len(sort_head) + 1
             )
             minmax_cache[pi] = vops[-1]
         return minmax_cache[pi]
@@ -813,7 +858,7 @@ def grouped_aggregate(
             # value-co-sort per group (valid rows first within the group);
             # distinct values are runs — count/sum the run-START rows via
             # exact prefix differences over the group extents
-            operands_cd = [notsel, *skeys]
+            operands_cd = list(sort_head)
             if vpi is not None:
                 operands_cd.append(
                     (1 - operands[vpi].astype(jnp.int8))

@@ -22,6 +22,7 @@ smoketest.sh:36-63).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -927,9 +928,26 @@ class DistCompiler(PlanCompiler):
             for (_, arg, rt, _q) in agg_meta
         ]
         ex_cap = n * s_cap
-        gcap_local = self._alloc_cap(
-            min(ex_cap, self.DEFAULT_GROUP_CAPACITY)
-        )
+        # packed-gid co-sort for the post-shuffle local aggregate: the
+        # scanned-column domain probe is global (min/max over the whole
+        # table), so it stays valid after rows move chips. Same contract
+        # as the single-chip packed path (exec/compiler.py).
+        packed_doms = packed_offs = None
+        if os.environ.get("DFTPU_PACKED_AGG", "1") != "0":
+            probe = self._probe_key_domains(group_c, plan.group_exprs, child)
+            if probe is not None:
+                doms_p, offs_p, _notes = probe
+                prodp = 1
+                for d in doms_p:
+                    prodp *= d + 1
+                if 1 <= prodp <= agg_ops.PACKED_MAX_GROUPS:
+                    packed_doms, packed_offs = doms_p, offs_p
+        if packed_doms is not None:
+            gcap_local = self._alloc_cap(min(ex_cap, prodp + 1))
+        else:
+            gcap_local = self._alloc_cap(
+                min(ex_cap, self.DEFAULT_GROUP_CAPACITY)
+            )
 
         def fn(env) -> Batch:
             b = child.fn(env)
@@ -949,7 +967,8 @@ class DistCompiler(PlanCompiler):
                 for (name, arg, rt, q) in agg_meta
             ]
             okeys, oaggs, osel, n_g = agg_ops.grouped_aggregate(
-                keys2, specs2, sel2, gcap_local
+                keys2, specs2, sel2, gcap_local,
+                dense_domain=packed_doms, dense_offset=packed_offs,
             )
             self.totals.append(lax.pmax(n_g, AXIS))
             return Batch(list(okeys) + list(oaggs), osel)

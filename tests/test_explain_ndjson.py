@@ -105,7 +105,8 @@ def test_explain_verbose_physical_notes(data_dir):
     ).result_str()
     # arange build keys: the dense direct-index strategy wins (r2)
     assert "physical: join: direct" in out
-    assert "physical: aggregate: co-sort + segmented reduce" in out
+    # probed int[0,99] domain: the packed-gid single-key co-sort (r2)
+    assert "physical: aggregate: packed-gid co-sort" in out
     assert "physical: sort+limit: fused lax.top_k (k=3" in out
     # plain EXPLAIN stays logical-only
     plain = ctx.sql(

@@ -5,7 +5,13 @@ the reference's uk_cities query shape) in rows/s on one chip, with
 vs_baseline = fraction of the HBM-bandwidth speed-of-light roofline
 (BASELINE.md: scan/filter is HBM-BW-bound; target ≥ 0.70).
 
-Secondary operator throughputs (hash aggregate, sort, join) go to stderr.
+The same JSON line carries the FULL BASELINE suite (c1–c5 with measured
+in-run floors, "suite" key) so the round artifact witnesses every config
+(VERDICT r2 missing #1). The persistent XLA compile cache (enabled by
+default in the package __init__, DFTPU_COMPILE_CACHE) makes repeat runs
+warm — cold compiles through the remote AOT tunnel run minutes, so the
+suite is budgeted with a deadline and reports configs it could not start
+as skipped rather than blowing the driver's budget.
 """
 
 from __future__ import annotations
@@ -21,6 +27,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
 
 
 def _hbm_bandwidth_gbps() -> float:
@@ -42,45 +50,30 @@ def _time_pipeline(fn, env, repeats: int = 1, with_spread: bool = False):
     datafusion_tpu/utils/benchtime.py for the methodology (and why
     block_until_ready and deep dispatch queues both mislead through this
     machine's tunneled backend). The flagship (sub-ms) metric uses
-    repeats=5 median-of-sweeps with the cross-sweep spread reported in
-    the JSON: the tunnel has multi-second slow stretches and this one
-    number is what the driver records per round."""
+    median-of-sweeps with the cross-sweep spread reported in the JSON:
+    the tunnel has multi-second slow stretches and this one number is
+    what the driver records per round."""
     from datafusion_tpu.utils.benchtime import time_pipeline
 
     return time_pipeline(fn, env, repeats=repeats, with_spread=with_spread)
 
 
-def _compile(sql: str, tables):
-    import datafusion_tpu as df
-
-    ctx = df.ExecutionContext()
-    for name, t in tables.items():
-        ctx.register_table(name, t)
-    plan = ctx.plan(sql)
-    from datafusion_tpu.exec.compiler import compile_plan
-
-    cq = compile_plan(plan, ctx._tables)
-    env = [[(c.data, c.validity) for c in t.columns] for t in cq._scan_tables]
-    return cq._jitted, env
-
-
 def main() -> None:
     _t_start = time.time()
-    import datafusion_tpu as df
+    budget_s = float(os.environ.get("DFTPU_BENCH_BUDGET_S", "480"))
+    import datafusion_tpu as df  # noqa: F401  (enables the compile cache)
+    from bench_suite import make_tables, run_suite, compile_query
 
     n = int(os.environ.get("DFTPU_BENCH_ROWS", 1 << 25))  # 33.5M rows
-    rng = np.random.default_rng(0)
-    lat = (rng.random(n, dtype=np.float32) * 40 + 30)
-    lng = (rng.random(n, dtype=np.float32) * 360 - 180)
-    k = rng.integers(0, 1 << 16, n).astype(np.int32)
-    table = df.Table.from_pydict({"k": k, "lat": lat, "lng": lng})
+    nd = 1 << 21
+    big, dim = make_tables(n, nd)
 
     # ---- flagship: filter + project (config 1) -----------------------
-    fn, env = _compile(
-        "SELECT k, lat, lng, lat + lng FROM cities WHERE lat > 51.0 AND lat < 53",
-        {"cities": table},
+    fn, env = compile_query(
+        "SELECT k, lat, lng, lat + lng FROM big WHERE lat > 51.0 AND lat < 53",
+        {"big": big},
     )
-    dt, spread = _time_pipeline(fn, env, repeats=5, with_spread=True)
+    dt, spread = _time_pipeline(fn, env, repeats=7, with_spread=True)
     rows_per_s = n / dt
 
     # True data movement of the compiled pipeline: pass-through columns
@@ -92,24 +85,31 @@ def main() -> None:
     roofline_rows = _hbm_bandwidth_gbps() * 1e9 / bytes_per_row
     vs = rows_per_s / roofline_rows
 
-    # ---- secondary operators (stderr) --------------------------------
-    # skipped when the headline consumed too much wall clock (cold remote
-    # AOT compiles run ~90 s each); the driver only records the JSON line
-    budget_s = float(os.environ.get("DFTPU_BENCH_BUDGET_S", "420"))
+    # ---- full BASELINE suite (c2–c5; c1 is the headline above) -------
+    # budgeted: with a warm compile cache the whole suite runs in well
+    # under the budget; cold it reports what it could not start.
+    suite = [
+        {
+            "config": "c1_filter_project",
+            "rows_per_s": round(rows_per_s, 1),
+            "ms": round(dt * 1e3, 3),
+            "vs_roofline": round(vs, 4),
+            "spread": round(spread, 4),
+            "note": "headline (read lat,lng; write sum+sel)",
+        }
+    ]
     try:
-        if time.time() - _t_start > budget_s * 0.5:
-            raise TimeoutError(
-                f"headline took {time.time() - _t_start:.0f}s; skipping secondaries"
-            )
-        for label, sql in [
-            ("hash_aggregate", "SELECT k, MIN(lat), MAX(lat), SUM(lng), COUNT(lat) FROM cities GROUP BY k"),
-            ("sort", "SELECT k, lat FROM cities ORDER BY lat"),
-        ]:
-            f2, e2 = _compile(sql, {"cities": table})
-            d2 = _time_pipeline(f2, e2)
-            print(f"[bench] {label}: {n / d2 / 1e9:.3f} Grows/s ({d2*1e3:.1f} ms)", file=sys.stderr)
-    except Exception as e:  # secondary benches must not break the headline
-        print(f"[bench] secondary failed: {e}", file=sys.stderr)
+        suite += run_suite(
+            n=n,
+            nd=nd,
+            configs=("c2", "c3", "c4", "c5"),
+            deadline=_t_start + budget_s,
+            emit=lambda e: print(f"[bench] {json.dumps(e)}", file=sys.stderr),
+            tables=(big, dim),
+        )
+    except Exception as e:  # suite configs must not break the headline
+        print(f"[bench] suite failed: {e}", file=sys.stderr)
+        suite.append({"config": "suite", "error": str(e)[:200]})
 
     print(
         json.dumps(
@@ -119,6 +119,7 @@ def main() -> None:
                 "unit": "rows/s",
                 "vs_baseline": round(vs, 4),
                 "spread": round(spread, 4),
+                "suite": suite,
             }
         )
     )

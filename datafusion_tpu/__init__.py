@@ -49,7 +49,12 @@ if _os.environ.get("DFTPU_COMPILE_CACHE", "1") == "1":
         _jax3.config.update(
             "jax_compilation_cache_dir",
             _os.environ.get(
-                "DFTPU_COMPILE_CACHE_DIR", "/root/.cache/dftpu_xla"
+                "DFTPU_COMPILE_CACHE_DIR",
+                _os.path.join(
+                    _os.environ.get("XDG_CACHE_HOME")
+                    or _os.path.join(_os.path.expanduser("~"), ".cache"),
+                    "dftpu_xla",
+                ),
             ),
         )
         _jax3.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

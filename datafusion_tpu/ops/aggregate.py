@@ -499,10 +499,12 @@ def grouped_aggregate(
         if vimage is vdata:  # ints pass through — payloads can reuse it
             seen[id(vdata)] = vsort_idx
     if not use_packed:
-        # iota tie-break: deterministic within-group row order on the
-        # reference-parity path. The packed path drops it — the pallas
-        # kernel reduces in whatever (deterministic-per-compile) order
-        # the unstable sort yields; float sums are tolerance-compared.
+        # iota tie-break: an explicit within-group row-order key on the
+        # reference-parity path. The packed path drops the operand
+        # because lax.sort is STABLE by default (is_stable=True), so
+        # within-group row order is preserved without it — stability is
+        # load-bearing for the CPU bit-exact row-order float sums; do
+        # not pass is_stable=False here.
         operands.append(iota)
     num_keys = len(operands)
     for spec in specs:
@@ -660,7 +662,13 @@ def grouped_aggregate(
             if needs_cnt:
                 _ensure_count(_spec_mask(vpi))
 
-        if k_ops:
+        from datafusion_tpu.ops.pallas.segreduce import accum_fits_vmem
+
+        # VMEM budget: the kernel keeps every accumulator table resident
+        # (~4 B/slot/op). Wide packed domains × many ops would fail
+        # Mosaic compile on chip — decline and fall back to XLA segment
+        # ops below (ADVICE r2: invisible to interpret-mode CPU tests).
+        if k_ops and accum_fits_vmem(gcap, len(k_ops)):
             interp = jax.devices()[0].platform not in ("tpu", "axon")
             outs = segmented_reduce_sorted_import()(
                 gid,

@@ -41,6 +41,22 @@ ALIGN = 1024  # f32 VMEM tile alignment, elements
 W = ALIGN + BLOCK  # update-window width (multiple of ALIGN)
 
 
+# The whole accumulator table is VMEM-resident (out BlockSpec maps every
+# grid step to block 0): ~4 B per slot per op. Multi-aggregate queries
+# over wide packed domains (PACKED_MAX_GROUPS = 2^19 → ~2.1 MB/op) can
+# exceed the ~16 MB VMEM budget and fail Mosaic compile on real chips —
+# invisible to CPU interpret-mode tests. Callers must check this before
+# invoking the kernel and fall back to the XLA segment ops when it
+# fails. Budget leaves headroom for the [SUB, W]-scale intermediates.
+ACCUM_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def accum_fits_vmem(num_groups: int, n_ops: int) -> bool:
+    """Would the kernel's VMEM-resident accumulator tables fit?"""
+    out_pad = ((num_groups + W) + ALIGN - 1) // ALIGN * ALIGN
+    return out_pad * 4 * max(n_ops, 1) <= ACCUM_VMEM_BUDGET
+
+
 def _identity(op: str, dtype):
     if op in ("sum", "count"):
         return jnp.zeros((), dtype)

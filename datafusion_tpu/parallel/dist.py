@@ -943,7 +943,15 @@ class DistCompiler(PlanCompiler):
                 if 1 <= prodp <= agg_ops.PACKED_MAX_GROUPS:
                     packed_doms, packed_offs = doms_p, offs_p
         if packed_doms is not None:
-            gcap_local = self._alloc_cap(min(ex_cap, prodp + 1))
+            # prodp bounds the group count but can be a very loose bound
+            # for sparse wide domains (up to PACKED_MAX_GROUPS): start
+            # from the default capacity and let the overflow-retry grow
+            # toward prodp+1 only if the data really has that many groups
+            # (ADVICE r2: unconditional prodp+1 allocated ~8x oversized
+            # per-shard buffers for sparse keys).
+            gcap_local = self._alloc_cap(
+                min(ex_cap, prodp + 1, self.DEFAULT_GROUP_CAPACITY)
+            )
         else:
             gcap_local = self._alloc_cap(
                 min(ex_cap, self.DEFAULT_GROUP_CAPACITY)

@@ -92,6 +92,14 @@ def time_pipeline(
         estimates.append(slope)
     med = max(statistics.median(estimates), 1e-9)
     if with_spread:
-        spread = (max(estimates) - min(estimates)) / med if len(estimates) > 1 else 0.0
+        # tunnel noise is one-sided (additive slow stretches): with
+        # enough repeats, drop the single worst estimate before
+        # computing the band — a multi-second stretch that poisons every
+        # trial of ONE repeat is a property of the tunnel, not the chip.
+        # The median itself is computed over ALL repeats (unbiased).
+        es = sorted(estimates)
+        if len(es) >= 5:
+            es = es[:-1]
+        spread = (max(es) - min(es)) / med if len(es) > 1 else 0.0
         return med, spread
     return med

@@ -73,9 +73,19 @@ class Lowered:
     # projection of an existing column is metadata, not data movement —
     # and materialized from the original table buffers. None = computed.
     sources: Optional[list[Optional[tuple[int, int]]]] = None
+    # per output column: a static (lo, hi) bound on the column's values,
+    # tighter than (or independent of) the scanned buffer's min/max.
+    # Set by the direct-index INNER join on its key columns (output keys
+    # are a subset of the build domain) so the dense/packed GROUP BY
+    # probe sees the post-join key domain, not the scan's (VERDICT r2
+    # next #1a). None = no static bound known.
+    bounds: Optional[list[Optional[tuple[int, int]]]] = None
 
     def src(self) -> list[Optional[tuple[int, int]]]:
         return self.sources if self.sources is not None else [None] * len(self.schema)
+
+    def bnd(self) -> list[Optional[tuple[int, int]]]:
+        return self.bounds if self.bounds is not None else [None] * len(self.schema)
 
 
 @dataclass
@@ -625,7 +635,7 @@ class PlanCompiler:
 
         return Lowered(
             child.schema, child.dicts, fn, child.capacity, child.layout,
-            sources=child.sources,
+            sources=child.sources, bounds=child.bounds,
         )
 
     # DistCompiler disables the fused pallas stage (its stage fns run
@@ -901,15 +911,21 @@ class PlanCompiler:
             return Batch(new_cols, sel)
 
         child_src = child.src()
+        child_bnd = child.bnd()
         sources = [
             child_src[e.index] if isinstance(e, L.Column) else None
+            for e in exprs
+        ]
+        bounds = [
+            child_bnd[e.index] if isinstance(e, L.Column) else None
             for e in exprs
         ]
         out_dicts = [
             dicts[e.index] if isinstance(e, L.Column) else None for e in exprs
         ]
         return Lowered(
-            plan.schema, out_dicts, fn, child.capacity, child.layout, sources
+            plan.schema, out_dicts, fn, child.capacity, child.layout, sources,
+            bounds=bounds,
         )
 
     def _lower_projection(self, plan: L.Projection) -> Lowered:
@@ -929,11 +945,19 @@ class PlanCompiler:
             return Batch(cols, b.sel)
 
         child_src = child.src()
+        child_bnd = child.bnd()
         sources = [
             child_src[e.index] if isinstance(e, L.Column) else None
             for e in plan.exprs
         ]
-        return Lowered(plan.schema, dicts, fn, child.capacity, child.layout, sources)
+        bounds = [
+            child_bnd[e.index] if isinstance(e, L.Column) else None
+            for e in plan.exprs
+        ]
+        return Lowered(
+            plan.schema, dicts, fn, child.capacity, child.layout, sources,
+            bounds=bounds,
+        )
 
     def _lower_aggregate(self, plan: L.Aggregate) -> Lowered:
         child = self.lower(plan.input)
@@ -1143,15 +1167,19 @@ class PlanCompiler:
         """min/max of a scanned integer column passed through to
         `child`'s output column `col_idx` (None when the column is
         computed or non-integer). Shared by the dense GROUP BY probe and
-        the direct-index join probe."""
-        src = child.src()[col_idx]
-        if src is None:
-            return None
+        the direct-index join probe. A static per-column bound (set by an
+        inner direct join: keys ⊆ build domain) intersects the scanned
+        range — and suffices on its own when the column has no scan
+        source."""
+        bound = child.bnd()[col_idx]
         if child.schema.fields[col_idx].dtype not in (
             DataType.Int8, DataType.Int16, DataType.Int32, DataType.Int64,
             DataType.UInt8, DataType.UInt16, DataType.UInt32, DataType.UInt64,
         ):
             return None
+        src = child.src()[col_idx]
+        if src is None:
+            return bound
         tbl = self.scan_tables[src[0]]
         if tbl.num_rows <= 0:
             return None
@@ -1164,6 +1192,10 @@ class PlanCompiler:
             kmax = int(to_host(jnp.max(data)))
         except Exception:
             return None
+        if bound is not None:
+            kmin, kmax = max(kmin, bound[0]), min(kmax, bound[1])
+            if kmax < kmin:
+                return None
         return kmin, kmax
 
     # largest dense-join domain: the scatter table costs ~8 bytes/slot,
@@ -1507,6 +1539,20 @@ class PlanCompiler:
                 self.totals.append(dups)
                 return Batch(list(lb.cols) + rcols, out_sel)
 
+            # INNER join: surviving keys are a subset of the build
+            # domain — publish it as a static value bound on both key
+            # output columns so a downstream GROUP BY on the join key
+            # probes the POST-join domain (typically the small dimension
+            # PK range), not the scan's (VERDICT r2 next #1a). LEFT join
+            # keeps unmatched probe keys, so no narrowing there.
+            bounds = left.bnd() + [None] * len(right.schema)
+            if plan.join_type is L.JoinType.Inner and remap0 is None:
+                kb = (kmin_d, kmin_d + dom_d - 1)
+                lb = bounds[li0]
+                bounds[li0] = (
+                    kb if lb is None else (max(kb[0], lb[0]), min(kb[1], lb[1]))
+                )
+                bounds[len(left.schema) + ri0] = kb
             return Lowered(
                 plan.schema,
                 left.dicts + right.dicts,
@@ -1517,6 +1563,7 @@ class PlanCompiler:
                 # probe-side columns remain scan pass-throughs — which
                 # also lets the dense GROUP BY probe see through the join
                 sources=left.src() + [None] * len(right.schema),
+                bounds=bounds,
             )
 
         def fn(env) -> Batch:

@@ -507,10 +507,31 @@ def grouped_aggregate(
         # not pass is_stable=False here.
         operands.append(iota)
     num_keys = len(operands)
-    for spec in specs:
+    raw_payload: dict[int, jax.Array] = {}  # spec idx -> unsorted arg
+    for si_, spec in enumerate(specs):
         data, valid = spec.arg
         data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
         key_id = id(data)
+        if spec.func in (
+            "count", "count_distinct", "sum_distinct", "avg_distinct"
+        ):
+            # plain COUNT never reads its argument's values (only the
+            # validity mask); the *_distinct family re-sorts the RAW
+            # argument in its own secondary sort. Neither needs the
+            # argument riding the dominant main co-sort as a payload —
+            # dropping it saves a full f32 operand (measured ~25-30 ms
+            # at 33.5M rows on v5e).
+            raw_payload[si_] = data
+            payload_plan.append(None)
+            if valid is not None:
+                vid = id(valid)
+                if vid not in seen:
+                    seen[vid] = len(operands)
+                    operands.append(valid.astype(jnp.int8))
+                vpayload_plan.append(seen[vid])
+            else:
+                vpayload_plan.append(None)
+            continue
         handled_by_vsort = (
             key_id == chosen_vid and spec.func in ("min", "max")
         )
@@ -637,10 +658,14 @@ def grouped_aggregate(
         # out_sel mask, and every non-null valid count — always computed
         _ensure_count(sel_sorted)
         for si, (spec, pi, vpi) in enumerate(zip(specs, payload_plan, vpayload_plan)):
-            d_sorted = sorted_ops[pi]
+            d_sorted = sorted_ops[pi] if pi is not None else None
             if _handled(spec):
                 if vpi is not None:
                     _ensure_count(_spec_mask(vpi))  # max needs the valid count
+                continue
+            if d_sorted is None:  # COUNT / *_distinct: no sorted payload
+                if spec.func == "count":
+                    _ensure_count(_spec_mask(vpi))
                 continue
             eligible = d_sorted.dtype in (jnp.float32, jnp.int32)
             if spec.func in ("sum", "avg") and d_sorted.dtype == jnp.float32:
@@ -738,7 +763,7 @@ def grouped_aggregate(
 
     out_aggs = []
     for si, (spec, pi, vpi) in enumerate(zip(specs, payload_plan, vpayload_plan)):
-        d_sorted = sorted_ops[pi]
+        d_sorted = sorted_ops[pi] if pi is not None else None
         if spec.func in (
             "median", "percentile", "percentile_disc", "percentile_disc_desc"
         ):
@@ -871,7 +896,7 @@ def grouped_aggregate(
                 operands_cd.append(
                     (1 - operands[vpi].astype(jnp.int8))
                 )
-            operands_cd.append(operands[pi])
+            operands_cd.append(raw_payload[si])
             vres = lax.sort(operands_cd, num_keys=len(operands_cd))
             vs = vres[-1]
             flag = jnp.logical_and(

@@ -104,3 +104,32 @@ def test_fold_auto_engages_past_dense_cap(monkeypatch):
         "EXPLAIN VERBOSE SELECT k, COUNT(v) FROM t GROUP BY k ORDER BY k LIMIT 3"
     ).result_str()
     assert "fused ragged-exchange fold" in out, out
+
+
+def test_utf8_minmax_rides_fold():
+    # Utf8 args are order-preserving i32 dictionary codes on device
+    # (types.py), so string MIN/MAX is code MIN/MAX and folds inside the
+    # exchange like any i32 aggregate (VERDICT r2 next #5)
+    data = _data()
+    single = ExecutionContext()
+    single.register_table("t", Table.from_pydict(dict(data)))
+    dist = ExecutionContext(mesh=make_mesh())
+    dist.register_table("t", Table.from_pydict(dict(data)))
+    sql = "SELECT k, MIN(s), MAX(s) FROM t GROUP BY k ORDER BY k LIMIT 200"
+    txt = dist.sql("EXPLAIN VERBOSE " + sql).result_str()
+    assert "fused ragged-exchange fold" in txt, txt
+    assert single.sql(sql).result_str() == dist.sql(sql).result_str()
+
+
+def test_fold_decline_reason_in_explain():
+    # an aggregate arg the kernel can't take (f64 SUM: the exchange
+    # moves 32-bit words) must say WHY the fold path did not engage
+    # instead of silently falling back (VERDICT r2 weak #4)
+    data = _data()
+    data["d"] = np.asarray(data["v"], dtype=np.float64)
+    dist = ExecutionContext(mesh=make_mesh())
+    dist.register_table("t", Table.from_pydict(dict(data)))
+    txt = dist.sql(
+        "EXPLAIN VERBOSE SELECT k, SUM(d) FROM t GROUP BY k ORDER BY k LIMIT 3"
+    ).result_str()
+    assert "exchange-fold declined (SUM arg is float64" in txt, txt

@@ -396,6 +396,14 @@ class PlanCompiler:
         self.totals: list = []  # traced counts, parallel to caps
         self.grows: dict[int, Callable[[int], int]] = {}
         self.notes: list[str] = []  # physical choices, for EXPLAIN VERBOSE
+        # decline diagnostics survive speculative rollbacks (a
+        # speculative path that returns None rolls self.notes back, but
+        # WHY it declined is exactly what EXPLAIN should still show)
+        self.sticky_notes: list[str] = []
+
+    def note_decline(self, msg: str) -> None:
+        if msg not in self.sticky_notes:
+            self.sticky_notes.append(msg)
 
     def _speculative(self, attempt):
         """Run a lowering attempt that may return None; on None, roll back
@@ -1037,7 +1045,7 @@ class PlanCompiler:
                         why = f"{name.upper()} needs the sorted path"
                     if why is not None:
                         dense_ok = False
-                        self.notes.append(
+                        self.note_decline(
                             f"aggregate: dense sort-free declined ({why})"
                         )
                         break
@@ -1064,6 +1072,80 @@ class PlanCompiler:
                 # unselected rows
                 return Lowered(plan.schema, out_dicts, fn_dense, dom + 1, child.layout)
 
+            # bigdense radix-partition path: domains past the dense
+            # window but with VMEM-sized accumulator tables — rows are
+            # radix-partitioned into 2048-slot window buckets (one MXU
+            # permutation + chunked DMA appends, ops/pallas/partition.py)
+            # and reduced windowed with NO lax.sort (the sort is the
+            # dominant cost of the packed path below; VERDICT r2 next #3)
+            bigdense_ok = (
+                os.environ.get("DFTPU_BIGDENSE", "1") != "0"
+                and len(doms) == len(group_c)
+                and doms
+                and child.capacity % 1024 == 0
+                and agg_ops._pallas_enabled()
+            )
+            if bigdense_ok:
+                prodb = 1
+                for d in doms:
+                    prodb *= d + 1
+                id_mod_b = 1 << prodb.bit_length()
+                from datafusion_tpu.ops.pallas.segreduce import (
+                    accum_fits_vmem as _fits,
+                )
+
+                # mask budget: one packed bit per DISTINCT nullable
+                # aggregate argument (dense_window_aggregate shares one
+                # mask object per validity array); nullability is not
+                # statically tracked, so bound by distinct arg exprs
+                n_arg_exprs = len(
+                    {repr(e.args[0]) for e in plan.aggr_exprs}
+                )
+                bigdense_ok = (
+                    agg_ops.DENSE_MAX_GROUPS < prodb <= agg_ops.BIGDENSE_MAX_GROUPS
+                    and id_mod_b << n_arg_exprs <= (1 << 23)
+                    # exists-count + one slot per spec + per-mask counts
+                    and _fits(prodb + 1, 2 * len(agg_meta) + 1)
+                )
+            if bigdense_ok:
+                from datafusion_tpu.types import physical_np as _physb
+
+                for (name, arg, rt, _q) in agg_meta:
+                    p = _physb(arg.dtype)
+                    if name in ("sum", "avg") and p != np.dtype(np.float32):
+                        bigdense_ok = False
+                    elif name in ("min", "max") and p not in (
+                        np.dtype(np.float32), np.dtype(np.int32),
+                    ):
+                        bigdense_ok = False
+                    elif name not in ("sum", "avg", "min", "max", "count"):
+                        bigdense_ok = False
+            if bigdense_ok:
+                self.notes.append(
+                    "aggregate: bigdense radix-partition sort-free group-by "
+                    f"({' x '.join(notes)}, {prodb + 1} slots)"
+                )
+
+                def fn_bigdense(env) -> Batch:
+                    b = child.fn(env)
+                    keys = [
+                        _broadcast_col(c.fn(b.cols), b.capacity) for c in group_c
+                    ]
+                    specs = [
+                        agg_ops.AggSpec(
+                            name, _broadcast_col(arg.fn(b.cols), b.capacity), rt, q
+                        )
+                        for (name, arg, rt, q) in agg_meta
+                    ]
+                    okeys, oaggs, osel, _ = agg_ops.grouped_aggregate_bigdense(
+                        keys, specs, b.sel, doms, offs
+                    )
+                    return Batch(list(okeys) + list(oaggs), osel)
+
+                return Lowered(
+                    plan.schema, out_dicts, fn_bigdense, prodb + 1, child.layout
+                )
+
             # packed sort path: domains probed but too wide for the dense
             # window (or specs the dense kernel can't take) — (sel, keys)
             # mixed-radix-pack into ONE i32 sort key, dropping the
@@ -1079,7 +1161,7 @@ class PlanCompiler:
                 if 1 <= prodp <= agg_ops.PACKED_MAX_GROUPS:
                     packed_doms, packed_offs = doms, offs
                 elif prodp > agg_ops.PACKED_MAX_GROUPS:
-                    self.notes.append(
+                    self.note_decline(
                         f"aggregate: packed-gid declined (domain product "
                         f"{prodp} > {agg_ops.PACKED_MAX_GROUPS})"
                     )
@@ -1149,7 +1231,7 @@ class PlanCompiler:
         for gi, gc in enumerate(group_c):
             if gc.dictionary is not None:
                 if len(gc.dictionary) < 1:
-                    self.notes.append(
+                    self.note_decline(
                         f"aggregate: dense/packed declined (key #{gi} has "
                         "an empty dictionary)"
                     )
@@ -1161,7 +1243,7 @@ class PlanCompiler:
             rng = self._int_key_range(group_exprs[gi], child)
             if rng is None:
                 dt = gc.dtype.value if hasattr(gc.dtype, "value") else gc.dtype
-                self.notes.append(
+                self.note_decline(
                     f"aggregate: dense/packed declined (key #{gi} "
                     f"{dt}: no static domain — not a scanned int column)"
                 )
@@ -1169,7 +1251,7 @@ class PlanCompiler:
             kmin, kmax = rng
             d = kmax - kmin + 1
             if d < 1:
-                self.notes.append(
+                self.note_decline(
                     f"aggregate: dense/packed declined (key #{gi} has an "
                     f"empty probed range [{kmin},{kmax}])"
                 )

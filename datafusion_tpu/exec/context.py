@@ -241,7 +241,7 @@ class ExecutionContext:
                     plan, _ = split_host_projection(plan, fn_reg)
                     pc = PlanCompiler(self._tables, fn_reg)
                 pc.lower(plan)
-                for note in pc.notes:
+                for note in pc.notes + pc.sticky_notes:
                     text += f"physical: {note}\n"
             return ResultTable(Schema.empty(), [], [], raw_text=text)
         if isinstance(node, A.SQLCreateExternalTable):

@@ -309,10 +309,21 @@ def dense_window_aggregate(
     k_masks = [base_mask]
     k_slots: list = [("exists", None)]
     counted: dict = {}
+    _mask_cache: dict = {}  # id(valid) -> one shared mask array (specs
+    # sharing a validity share one mask object: fewer kernel one-hots,
+    # fewer packed mask bits on the bigdense path)
+
+    def _mask_for(valid):
+        if valid is None:
+            return base_mask
+        if id(valid) not in _mask_cache:
+            _mask_cache[id(valid)] = jnp.logical_and(base_mask, valid)
+        return _mask_cache[id(valid)]
+
     for si, spec in enumerate(specs):
         data, valid = spec.arg
         data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
-        mask = base_mask if valid is None else jnp.logical_and(base_mask, valid)
+        mask = _mask_for(valid)
         if spec.func in ("sum", "avg"):
             k_ops.append("sum")
             k_vals.append(data)
@@ -360,7 +371,10 @@ def dense_window_aggregate(
     for si, spec in enumerate(specs):
         data, valid = spec.arg
         data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
-        mask = base_mask if valid is None else jnp.logical_and(base_mask, valid)
+        # _mask_for returns the SAME object registered above, so the
+        # per-mask count lookup actually hits (a fresh logical_and here
+        # would silently fall back to the group-existence count)
+        mask = _mask_for(valid)
         cnt = counts.get(id(mask), exists_cnt)
         if spec.func == "count":
             out_aggs.append((cnt.astype(physical_np(spec.out_dtype)), None))
@@ -395,14 +409,29 @@ def grouped_aggregate_dense(
         gcap = nslots + 1
         gid_routed = jnp.where(sel_, gid, gcap)
         interp = jax.devices()[0].platform not in ("tpu", "axon")
-        return segred(
+        # f32 min/max reduce on the order-preserving int image (NaN
+        # ordering consistent with the value-sort path: NaNs past +inf)
+        vals = []
+        img = []
+        for op, v in zip(k_ops, k_vals):
+            if op in ("min", "max") and v.dtype == jnp.float32:
+                vals.append(to_sortable_int(v))
+                img.append(True)
+            else:
+                vals.append(v)
+                img.append(False)
+        outs = segred(
             gid_routed,
-            tuple(k_vals),
+            tuple(vals),
             tuple(k_masks),
             ops=tuple(k_ops),
             num_groups=gcap,
             interpret=interp,
             dense=True,
+        )
+        return tuple(
+            from_sortable_int(o, jnp.float32) if im else o
+            for o, im in zip(outs, img)
         )
 
     # n_groups reported as the domain size — always <= the compiled
@@ -413,6 +442,164 @@ def grouped_aggregate_dense(
 
 
 PACKED_MAX_GROUPS = 1 << 19  # packed-gid sort path cap (VMEM accumulators)
+
+# bigdense (radix-partition) path: domains past the dense window but
+# small enough that the windowed reduce's full accumulator tables fit
+# VMEM (the compiler also checks accum_fits_vmem per query)
+BIGDENSE_MAX_GROUPS = 1 << 19
+
+
+def grouped_aggregate_bigdense(
+    key_cols: Sequence[ColVal],
+    specs: Sequence[AggSpec],
+    sel: jax.Array,
+    domain_size,
+    key_offset=0,
+):
+    """Sort-free GROUP BY for probed int/dict key domains PAST the dense
+    window (2047 < nslots <= BIGDENSE_MAX_GROUPS): rows are radix-
+    partitioned into 2048-slot window buckets (ops/pallas/partition.py —
+    one MXU permutation + chunked DMA appends instead of the multi-
+    operand lax.sort), then reduced by the segmented-reduce kernel in
+    windowed mode with full-table VMEM accumulators. Validity masks ride
+    packed into the gid's high bits; i32 aggregate args ride as two
+    16-bit f32 halves (the partition moves f32 exactly; the reassembled
+    i32 reduces natively). No lax.sort anywhere (VERDICT r2 next #3).
+
+    Caller contract (checked by the compiler gate): specs limited to
+    SUM/AVG (f32), MIN/MAX (f32/i32), COUNT; capacity % 1024 == 0;
+    (nslots+1 rounded to a power of two) << n_distinct_masks <= 2^23;
+    accumulators fit VMEM (segreduce.accum_fits_vmem)."""
+    from datafusion_tpu.ops.pallas.partition import (
+        SENTINEL,
+        WINDOW,
+        pick_pblock,
+        radix_partition,
+    )
+
+    segred = segmented_reduce_sorted_import()
+    interp = jax.devices()[0].platform not in ("tpu", "axon")
+
+    def run_kernel(gid, sel_, k_ops, k_vals, k_masks, nslots):
+        n = int(sel_.shape[0])
+        pblock = pick_pblock(n)
+        gcap = nslots + 1  # slot nslots holds unselected rows
+        id_mod = 1 << (gcap - 1).bit_length()
+        id_shift = id_mod.bit_length() - 1
+        gid_routed = jnp.where(sel_, gid, jnp.asarray(nslots, jnp.int32))
+
+        # mask bits: ops whose mask IS the base selection need no bit
+        # (unselected rows route to the dropped slot); distinct validity
+        # masks pack above the id bits
+        mask_bit: dict[int, int] = {}
+        uniq_masks: list = []
+        for m in k_masks:
+            if m is sel_ or id(m) in mask_bit:
+                continue
+            mask_bit[id(m)] = len(uniq_masks)
+            uniq_masks.append(m)
+        assert id_mod << len(uniq_masks) <= SENTINEL
+
+        packed = gid_routed
+        for i, m in enumerate(uniq_masks):
+            packed = packed + (m.astype(jnp.int32) << (id_shift + i))
+
+        # payload columns: dedupe by array identity; COUNT slots read
+        # only their mask in-kernel, so they ship no value column at
+        # all; i32 values split into two exact-f32 16-bit halves. f32
+        # MIN/MAX values ride their order-preserving int image and
+        # reduce as i32 — matching the packed sort path's NaN ordering
+        # (NaN sorts past +inf: MIN skips NaNs, MAX surfaces them; a
+        # raw jnp.minimum cell reduce would poison MIN with NaN).
+        col_plan: list = []  # per op: ("none",)|("f32",i)|("i32",hi,lo)|("img",hi,lo)
+        cols: list = []
+        seen: dict[tuple, tuple] = {}
+
+        def _split_i32(vi):
+            hi = (vi >> 16).astype(jnp.float32)
+            lo = (vi & 0xFFFF).astype(jnp.float32)
+            i = len(cols)
+            cols.append(hi)
+            cols.append(lo)
+            return i, i + 1
+
+        for op, v in zip(k_ops, k_vals):
+            if op == "count":
+                col_plan.append(("none",))
+                continue
+            minmax = op in ("min", "max")
+            key = (id(v), minmax and v.dtype == jnp.float32)
+            if key in seen:
+                col_plan.append(seen[key])
+                continue
+            if v.dtype == jnp.float32 and minmax:
+                plan = ("img", *_split_i32(to_sortable_int(v)))
+            elif v.dtype == jnp.float32:
+                plan = ("f32", len(cols))
+                cols.append(v)
+            else:
+                plan = ("i32", *_split_i32(v.astype(jnp.int32)))
+            seen[key] = plan
+            col_plan.append(plan)
+
+        parts = radix_partition(
+            packed.astype(jnp.float32),
+            tuple(cols),
+            n_buckets=-(-gcap // WINDOW),
+            id_mod=id_mod,
+            pblock=pblock,
+            interpret=interp,
+        )
+        pg = parts[0].astype(jnp.int32)
+        is_sent = pg >= jnp.int32(SENTINEL)
+        gid_k = jnp.where(is_sent, jnp.int32(SENTINEL), pg & (id_mod - 1))
+        base_mask = jnp.logical_not(is_sent)
+        pm = [
+            jnp.logical_and(
+                base_mask, ((pg >> (id_shift + i)) & 1).astype(jnp.bool_)
+            )
+            for i in range(len(uniq_masks))
+        ]
+
+        vals_k: list = []
+        masks_k: list = []
+        reassembled: dict[tuple, jax.Array] = {}
+        for (op, v, m), plan in zip(zip(k_ops, k_vals, k_masks), col_plan):
+            if plan[0] == "none":
+                vals_k.append(parts[0])  # count reads only its mask
+            elif plan[0] == "f32":
+                vals_k.append(parts[1 + plan[1]])
+            else:
+                pk = plan[1:]
+                if pk not in reassembled:
+                    hi = parts[1 + plan[1]].astype(jnp.int32)
+                    lo = parts[1 + plan[2]].astype(jnp.int32)
+                    reassembled[pk] = hi * 65536 + lo
+                vals_k.append(reassembled[pk])
+            if m is sel_:
+                masks_k.append(base_mask)
+            else:
+                masks_k.append(pm[mask_bit[id(m)]])
+
+        outs = segred(
+            gid_k,
+            tuple(vals_k),
+            tuple(masks_k),
+            ops=tuple(k_ops),
+            num_groups=gcap,
+            interpret=interp,
+            windowed=True,
+        )
+        # f32 min/max rode as sortable images: un-image the outputs
+        outs = list(outs)
+        for a, plan in enumerate(col_plan):
+            if plan[0] == "img":
+                outs[a] = from_sortable_int(outs[a], jnp.float32)
+        return tuple(outs)
+
+    return dense_window_aggregate(
+        key_cols, specs, sel, domain_size, key_offset, run_kernel
+    )
 
 
 def grouped_aggregate(
@@ -628,6 +815,7 @@ def grouped_aggregate(
     k_slots: list[tuple] = []  # (kind, index) kind in {agg, cnt}
     pallas_results: dict[int, jax.Array] = {}
     pallas_counts: dict[int, jax.Array] = {}
+    img_slots: set[int] = set()  # f32 min/max reduced on the int image
 
     def _spec_mask(vpi):
         if vpi is None:
@@ -675,7 +863,16 @@ def grouped_aggregate(
                 k_slots.append(("agg", si))
             elif spec.func in ("min", "max") and eligible:
                 k_ops.append(spec.func)
-                k_vals.append(d_sorted)
+                if d_sorted.dtype == jnp.float32:
+                    # reduce on the order-preserving int image: NaNs
+                    # sort past +inf (MIN skips them, MAX surfaces
+                    # them) — the same ordering the value-sort path
+                    # uses, so MIN/MAX semantics no longer depend on
+                    # which argument won the value-sort ride
+                    k_vals.append(to_sortable_int(d_sorted))
+                    img_slots.add(si)
+                else:
+                    k_vals.append(d_sorted)
                 k_masks.append(_spec_mask(vpi))
                 k_slots.append(("agg", si))
             # counts: explicit COUNT, AVG denominators, and validity for
@@ -706,6 +903,8 @@ def grouped_aggregate(
             cnt_by_mask = {}
             for (kind, ident), o in zip(k_slots, outs):
                 if kind == "agg":
+                    if ident in img_slots:
+                        o = from_sortable_int(o, jnp.float32)
                     pallas_results[ident] = o
                 else:
                     cnt_by_mask[ident] = o.astype(jnp.int32)

@@ -356,6 +356,7 @@ def direct_index_join(
     build_cols: Sequence[ColVal],
     kmin: int,
     domain: int,
+    matched_validity: bool = True,
 ):
     """Dense-build-key join: when the single build key's value domain
     [kmin, kmin+domain) is statically known AND build keys are unique
@@ -423,14 +424,24 @@ def direct_index_join(
             )
         return tables[id(arr)]
 
+    # matched_validity=False (INNER joins): the caller's selection mask
+    # already carries `matched` (out_sel = probe_sel ∧ matched), so
+    # attaching it per-column would be redundant — and expensive: a
+    # downstream GROUP BY treats the column as NULLABLE and pays extra
+    # i8 sort operands + per-mask count slots for a mask that is all-
+    # true on selected rows (measured: 4-op vs 2-op aggregate co-sort
+    # on the c5 post-join MAX, PERFLOG r3). LEFT/FULL joins keep it:
+    # unmatched probe rows really are NULL on the build side.
     for data, valid in build_cols:
         data = jnp.broadcast_to(data, (b_cap,)) if jnp.ndim(data) == 0 else data
         d = jnp.take(_domain_table(data), pslot)
         if valid is None:
-            v = matched
+            v = matched if matched_validity else None
         else:
             vt = _domain_table(valid.astype(jnp.int8))
-            v = jnp.logical_and(jnp.take(vt, pslot) != 0, matched)
+            v = jnp.take(vt, pslot) != 0
+            if matched_validity:
+                v = jnp.logical_and(v, matched)
         out_build.append((d, v))
     return out_build, matched, dups
 

@@ -85,7 +85,9 @@ def pick_pblock(n: int) -> int | None:
 
 
 def _blockhist_kernel(nb, id_mod, pblock, gid_ref, out_ref):
-    """Per-(block, bucket) histogram row: [PSUB, nb] one-hot col sums."""
+    """Per-(block, bucket) histogram row: [PSUB, nb] one-hot col sums.
+    The output block is a full (8, nb) sublane tile (Mosaic requires
+    the last two block dims divisible by (8, 128)); only row 0 counts."""
     b = (
         gid_ref[:].astype(jnp.int32) & jnp.int32(id_mod - 1)
     ) // WINDOW
@@ -94,7 +96,7 @@ def _blockhist_kernel(nb, id_mod, pblock, gid_ref, out_ref):
     for s in range(pblock // PSUB):
         oh = (b[s * PSUB : (s + 1) * PSUB][:, None] == cols).astype(jnp.float32)
         acc = acc + jnp.sum(oh, axis=0, keepdims=True)
-    out_ref[:] = acc
+    out_ref[:] = jnp.broadcast_to(acc, (8, nb))
 
 
 def block_histogram(
@@ -106,16 +108,19 @@ def block_histogram(
     n = int(gidf.shape[0])
     assert n % pblock == 0
     nb = -(-n_buckets // 128) * 128
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_blockhist_kernel, nb, id_mod, pblock),
         grid=(n // pblock,),
         in_specs=[
             pl.BlockSpec((pblock,), lambda i: (i,), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, nb), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n // pblock, nb), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, 8, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n // pblock, 8, nb), jnp.float32),
         interpret=interpret,
     )(gidf)
+    return out[:, 0, :]
 
 
 def _partition_kernel(

@@ -640,7 +640,8 @@ class DistCompiler(PlanCompiler):
                     rk = jnp.take(remap0[1], rk)
                 build_cols = [_broadcast_col(c, rb.capacity) for c in rb.cols]
                 rcols, matched, dups = join_ops.direct_index_join(
-                    lk, lb.sel, rk, rb.sel, build_cols, kmin_d, dom_d
+                    lk, lb.sel, rk, rb.sel, build_cols, kmin_d, dom_d,
+                    matched_validity=keep_unmatched,
                 )
                 out_sel = lb.sel if keep_unmatched else jnp.logical_and(
                     lb.sel, matched

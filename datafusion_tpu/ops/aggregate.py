@@ -320,15 +320,48 @@ def dense_window_aggregate(
             _mask_cache[id(valid)] = jnp.logical_and(base_mask, valid)
         return _mask_cache[id(valid)]
 
+    _clean_cache: dict = {}  # id(data) -> (sanitized data, special mask)
+
+    def _cleaned(data):
+        # non-finite values POISON the kernels' one-hot sum products
+        # (0 * NaN = NaN spreads across the whole window/placement
+        # block): sums reduce sanitized values; a per-group special
+        # count restores NaN results for genuinely contaminated groups.
+        # (±inf data also maps to NaN — documented deviation; the sort
+        # paths keep IEEE inf sums.)
+        if id(data) not in _clean_cache:
+            finite = jnp.isfinite(data)
+            _clean_cache[id(data)] = (
+                jnp.where(finite, data, jnp.zeros((), data.dtype)),
+                jnp.logical_not(finite),
+            )
+        return _clean_cache[id(data)]
+
+    special_cnt_slot: dict = {}  # (id(data), id(mask)) -> kernel slot key
+
     for si, spec in enumerate(specs):
         data, valid = spec.arg
         data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
         mask = _mask_for(valid)
         if spec.func in ("sum", "avg"):
-            k_ops.append("sum")
-            k_vals.append(data)
-            k_masks.append(mask)
-            k_slots.append(("agg", si))
+            if jnp.issubdtype(data.dtype, jnp.floating):
+                clean, special = _cleaned(data)
+                k_ops.append("sum")
+                k_vals.append(clean)
+                k_masks.append(mask)
+                k_slots.append(("agg", si))
+                sk = (id(data), id(mask))
+                if sk not in special_cnt_slot:
+                    special_cnt_slot[sk] = ("spcnt", sk)
+                    k_ops.append("count")
+                    k_vals.append(data.astype(jnp.float32))
+                    k_masks.append(jnp.logical_and(mask, special))
+                    k_slots.append(("spcnt", sk))
+            else:
+                k_ops.append("sum")
+                k_vals.append(data)
+                k_masks.append(mask)
+                k_slots.append(("agg", si))
         elif spec.func in ("min", "max"):
             k_ops.append(spec.func)
             k_vals.append(data)
@@ -347,11 +380,14 @@ def dense_window_aggregate(
     results: dict = {}
     counts: dict = {}
     exists_cnt = None
+    spcnts: dict = {}
     for (kind, ident), o in zip(k_slots, outs):
         if kind == "exists":
             exists_cnt = o.astype(jnp.int32)
         elif kind == "agg":
             results[ident] = o
+        elif kind == "spcnt":
+            spcnts[ident] = o
         else:
             counts[ident] = o.astype(jnp.int32)
 
@@ -380,6 +416,11 @@ def dense_window_aggregate(
             out_aggs.append((cnt.astype(physical_np(spec.out_dtype)), None))
             continue
         r = results[si]
+        if spec.func in ("sum", "avg"):
+            sp = spcnts.get((id(data), id(mask)))
+            if sp is not None:
+                # groups with non-finite contributions sum to NaN
+                r = jnp.where(sp > 0, jnp.asarray(jnp.nan, r.dtype), r)
         if spec.func == "avg":
             r = r / jnp.maximum(cnt, 1).astype(r.dtype)
         validity = None if valid is None and spec.func != "avg" else cnt > 0
@@ -457,27 +498,35 @@ def grouped_aggregate_bigdense(
     key_offset=0,
 ):
     """Sort-free GROUP BY for probed int/dict key domains PAST the dense
-    window (2047 < nslots <= BIGDENSE_MAX_GROUPS): rows are radix-
-    partitioned into 2048-slot window buckets (ops/pallas/partition.py —
-    one MXU permutation + chunked DMA appends instead of the multi-
-    operand lax.sort), then reduced by the segmented-reduce kernel in
-    windowed mode with full-table VMEM accumulators. Validity masks ride
-    packed into the gid's high bits; i32 aggregate args ride as two
-    16-bit f32 halves (the partition moves f32 exactly; the reassembled
-    i32 reduces natively). No lax.sort anywhere (VERDICT r2 next #3).
+    window (2047 < nslots <= BIGDENSE_MAX_GROUPS): rows are compacted
+    bucket-major into per-block slabs by an MXU one-hot permutation
+    (ops/pallas/partition.py slab_partition — no lax.sort, no data-
+    dependent DMA), then reduced by the windowed kernel with full-table
+    VMEM accumulators (every 256-row slab chunk touches one 2048-slot
+    window). VERDICT r2 next #3.
+
+    Payload encoding: validity masks pack into the gid's high bits (one
+    bit per distinct mask — including the special-count masks
+    dense_window_aggregate adds for NaN-exact float sums, whose values
+    arrive pre-sanitized). f32 MIN/MAX columns ride SANITIZED (a non-
+    finite operand in the one-hot placement product would poison its
+    whole 128-destination block) with a 2-bit special-class code; the
+    exact value (specials restored) is rebuilt post-slab and feeds the
+    order-preserving int image, so MIN/MAX keep the packed path's exact
+    NaN/inf ordering. i32 args ride as two exact-f32 16-bit halves.
 
     Caller contract (checked by the compiler gate): specs limited to
-    SUM/AVG (f32), MIN/MAX (f32/i32), COUNT; capacity % 1024 == 0;
-    (nslots+1 rounded to a power of two) << n_distinct_masks <= 2^23;
-    accumulators fit VMEM (segreduce.accum_fits_vmem)."""
+    SUM/AVG (f32), MIN/MAX (f32/i32), COUNT; capacity % 1024 == 0; id
+    bits + mask bits + special bits stay below 2^23; accumulators fit
+    VMEM (segreduce.accum_fits_vmem)."""
     from datafusion_tpu.ops.pallas.partition import (
         SENTINEL,
         WINDOW,
         pick_pblock,
-        radix_partition,
+        slab_partition,
+        windowed_reduce,
     )
 
-    segred = segmented_reduce_sorted_import()
     interp = jax.devices()[0].platform not in ("tpu", "axon")
 
     def run_kernel(gid, sel_, k_ops, k_vals, k_masks, nslots):
@@ -485,67 +534,69 @@ def grouped_aggregate_bigdense(
         pblock = pick_pblock(n)
         gcap = nslots + 1  # slot nslots holds unselected rows
         id_mod = 1 << (gcap - 1).bit_length()
-        id_shift = id_mod.bit_length() - 1
+        nbits = id_mod.bit_length() - 1
         gid_routed = jnp.where(sel_, gid, jnp.asarray(nslots, jnp.int32))
+        packed = gid_routed
+
+        def take_bit():
+            nonlocal nbits
+            b = nbits
+            nbits += 1
+            return b
 
         # mask bits: ops whose mask IS the base selection need no bit
-        # (unselected rows route to the dropped slot); distinct validity
-        # masks pack above the id bits
         mask_bit: dict[int, int] = {}
-        uniq_masks: list = []
         for m in k_masks:
             if m is sel_ or id(m) in mask_bit:
                 continue
-            mask_bit[id(m)] = len(uniq_masks)
-            uniq_masks.append(m)
-        assert id_mod << len(uniq_masks) <= SENTINEL
+            mask_bit[id(m)] = take_bit()
+            packed = packed + (m.astype(jnp.int32) << mask_bit[id(m)])
 
-        packed = gid_routed
-        for i, m in enumerate(uniq_masks):
-            packed = packed + (m.astype(jnp.int32) << (id_shift + i))
-
-        # payload columns: dedupe by array identity; COUNT slots read
-        # only their mask in-kernel, so they ship no value column at
-        # all; i32 values split into two exact-f32 16-bit halves. f32
-        # MIN/MAX values ride their order-preserving int image and
-        # reduce as i32 — matching the packed sort path's NaN ordering
-        # (NaN sorts past +inf: MIN skips NaNs, MAX surfaces them; a
-        # raw jnp.minimum cell reduce would poison MIN with NaN).
-        col_plan: list = []  # per op: ("none",)|("f32",i)|("i32",hi,lo)|("img",hi,lo)
+        # payload columns: dedupe by array identity; COUNT slots ship no
+        # value; min/max f32 ships sanitized + a 2-bit special code
+        # (bit0: NaN or -inf; bit1: any inf); other f32 ships as-is
+        # (sum values arrive pre-sanitized); i32 ships split in halves
+        col_plan: list = []  # ("none",)|("f32", i)|("mmx", i, bit)|("i32", hi, lo)
         cols: list = []
         seen: dict[tuple, tuple] = {}
-
-        def _split_i32(vi):
-            hi = (vi >> 16).astype(jnp.float32)
-            lo = (vi & 0xFFFF).astype(jnp.float32)
-            i = len(cols)
-            cols.append(hi)
-            cols.append(lo)
-            return i, i + 1
-
         for op, v in zip(k_ops, k_vals):
             if op == "count":
                 col_plan.append(("none",))
                 continue
-            minmax = op in ("min", "max")
-            key = (id(v), minmax and v.dtype == jnp.float32)
+            minmax = op in ("min", "max") and v.dtype == jnp.float32
+            key = (id(v), minmax)
             if key in seen:
                 col_plan.append(seen[key])
                 continue
-            if v.dtype == jnp.float32 and minmax:
-                plan = ("img", *_split_i32(to_sortable_int(v)))
+            if minmax:
+                b0 = take_bit()
+                b1 = take_bit()
+                isnan = jnp.isnan(v)
+                isinf = jnp.isinf(v)
+                code0 = jnp.logical_or(isnan, jnp.logical_and(isinf, v < 0))
+                packed = packed + (code0.astype(jnp.int32) << b0)
+                packed = packed + (isinf.astype(jnp.int32) << b1)
+                plan = ("mmx", len(cols), b0)
+                cols.append(
+                    jnp.where(jnp.isfinite(v), v, jnp.zeros((), v.dtype))
+                )
             elif v.dtype == jnp.float32:
                 plan = ("f32", len(cols))
                 cols.append(v)
             else:
-                plan = ("i32", *_split_i32(v.astype(jnp.int32)))
+                vi = v.astype(jnp.int32)
+                plan = ("i32", len(cols), len(cols) + 1)
+                cols.append((vi >> 16).astype(jnp.float32))
+                cols.append((vi & 0xFFFF).astype(jnp.float32))
             seen[key] = plan
             col_plan.append(plan)
+        assert 1 << nbits <= SENTINEL, "gid+mask+special bits exceed 2^23"
 
-        parts = radix_partition(
+        n_buckets = -(-gcap // WINDOW)
+        parts = slab_partition(
             packed.astype(jnp.float32),
             tuple(cols),
-            n_buckets=-(-gcap // WINDOW),
+            n_buckets=n_buckets,
             id_mod=id_mod,
             pblock=pblock,
             interpret=interp,
@@ -554,48 +605,65 @@ def grouped_aggregate_bigdense(
         is_sent = pg >= jnp.int32(SENTINEL)
         gid_k = jnp.where(is_sent, jnp.int32(SENTINEL), pg & (id_mod - 1))
         base_mask = jnp.logical_not(is_sent)
-        pm = [
-            jnp.logical_and(
-                base_mask, ((pg >> (id_shift + i)) & 1).astype(jnp.bool_)
-            )
-            for i in range(len(uniq_masks))
-        ]
 
+        def bit_of(b):
+            return ((pg >> b) & 1).astype(jnp.bool_)
+
+        pm = {
+            mid: jnp.logical_and(base_mask, bit_of(b))
+            for mid, b in mask_bit.items()
+        }
+
+        # post-slab value prep (XLA fuses into one pass over the slab)
         vals_k: list = []
         masks_k: list = []
-        reassembled: dict[tuple, jax.Array] = {}
-        for (op, v, m), plan in zip(zip(k_ops, k_vals, k_masks), col_plan):
+        img_ops: list[bool] = []
+        prepared: dict[tuple, jax.Array] = {}
+        ninf = jnp.float32(jnp.inf)
+        for (op, m), plan in zip(zip(k_ops, k_masks), col_plan):
             if plan[0] == "none":
-                vals_k.append(parts[0])  # count reads only its mask
-            elif plan[0] == "f32":
-                vals_k.append(parts[1 + plan[1]])
+                vals_k.append(pg)  # count reads only its mask
+                img_ops.append(False)
             else:
-                pk = plan[1:]
-                if pk not in reassembled:
-                    hi = parts[1 + plan[1]].astype(jnp.int32)
-                    lo = parts[1 + plan[2]].astype(jnp.int32)
-                    reassembled[pk] = hi * 65536 + lo
-                vals_k.append(reassembled[pk])
+                if plan not in prepared:
+                    if plan[0] == "f32":
+                        prepared[plan] = parts[1 + plan[1]]
+                    elif plan[0] == "mmx":
+                        clean = parts[1 + plan[1]]
+                        b0 = bit_of(plan[2])
+                        b1 = bit_of(plan[2] + 1)
+                        exact = jnp.where(
+                            b1, jnp.where(b0, -ninf, ninf), clean
+                        )
+                        exact = jnp.where(
+                            jnp.logical_and(b0, jnp.logical_not(b1)),
+                            jnp.float32(jnp.nan),
+                            exact,
+                        )
+                        prepared[plan] = to_sortable_int(exact)
+                    else:
+                        hi = parts[1 + plan[1]].astype(jnp.int32)
+                        lo = parts[1 + plan[2]].astype(jnp.int32)
+                        prepared[plan] = hi * 65536 + lo
+                vals_k.append(prepared[plan])
+                img_ops.append(plan[0] == "mmx")
             if m is sel_:
                 masks_k.append(base_mask)
             else:
-                masks_k.append(pm[mask_bit[id(m)]])
+                masks_k.append(pm[id(m)])
 
-        outs = segred(
+        outs = windowed_reduce(
             gid_k,
             tuple(vals_k),
             tuple(masks_k),
             ops=tuple(k_ops),
             num_groups=gcap,
             interpret=interp,
-            windowed=True,
         )
-        # f32 min/max rode as sortable images: un-image the outputs
-        outs = list(outs)
-        for a, plan in enumerate(col_plan):
-            if plan[0] == "img":
-                outs[a] = from_sortable_int(outs[a], jnp.float32)
-        return tuple(outs)
+        return tuple(
+            from_sortable_int(o, jnp.float32) if im else o
+            for o, im in zip(outs, img_ops)
+        )
 
     return dense_window_aggregate(
         key_cols, specs, sel, domain_size, key_offset, run_kernel
@@ -832,6 +900,8 @@ def grouped_aggregate(
     if use_pallas:
         counted: dict[int, int] = {}  # id(mask) -> kernel slot (counts are
         # value-independent, so every op sharing a mask shares one slot)
+        sp_counted: dict = {}  # (id(data), id(mask)) -> special-count slot
+        sp_of: dict[int, tuple] = {}  # spec idx -> special-count key
         zeros_src = sel_sorted.astype(jnp.float32)
 
         def _ensure_count(mask) -> None:
@@ -857,10 +927,31 @@ def grouped_aggregate(
                 continue
             eligible = d_sorted.dtype in (jnp.float32, jnp.int32)
             if spec.func in ("sum", "avg") and d_sorted.dtype == jnp.float32:
+                # non-finite values POISON the kernel's one-hot sum dot
+                # (0 * NaN = NaN spreads across the whole W-window,
+                # contaminating NEIGHBORING groups): reduce sanitized
+                # values; a per-group special count restores NaN for the
+                # genuinely contaminated groups (±inf data also maps to
+                # NaN — documented deviation)
+                finite = jnp.isfinite(d_sorted)
                 k_ops.append("sum")
-                k_vals.append(d_sorted)
+                k_vals.append(
+                    jnp.where(finite, d_sorted, jnp.zeros((), d_sorted.dtype))
+                )
                 k_masks.append(_spec_mask(vpi))
                 k_slots.append(("agg", si))
+                spk = (id(d_sorted), id(_spec_mask(vpi)))
+                if spk not in sp_counted:
+                    sp_counted[spk] = True
+                    k_ops.append("count")
+                    k_vals.append(zeros_src)
+                    k_masks.append(
+                        jnp.logical_and(
+                            _spec_mask(vpi), jnp.logical_not(finite)
+                        )
+                    )
+                    k_slots.append(("spcnt", spk))
+                sp_of[si] = spk
             elif spec.func in ("min", "max") and eligible:
                 k_ops.append(spec.func)
                 if d_sorted.dtype == jnp.float32:
@@ -901,13 +992,23 @@ def grouped_aggregate(
                 interpret=interp,
             )
             cnt_by_mask = {}
+            sp_cnts = {}
             for (kind, ident), o in zip(k_slots, outs):
                 if kind == "agg":
                     if ident in img_slots:
                         o = from_sortable_int(o, jnp.float32)
                     pallas_results[ident] = o
+                elif kind == "spcnt":
+                    sp_cnts[ident] = o
                 else:
                     cnt_by_mask[ident] = o.astype(jnp.int32)
+            # groups with non-finite sum contributions produce NaN
+            for si_sp, spk in sp_of.items():
+                if si_sp in pallas_results and spk in sp_cnts:
+                    r_sp = pallas_results[si_sp]
+                    pallas_results[si_sp] = jnp.where(
+                        sp_cnts[spk] > 0, jnp.asarray(jnp.nan, r_sp.dtype), r_sp
+                    )
             for si, (spec, pi, vpi) in enumerate(
                 zip(specs, payload_plan, vpayload_plan)
             ):

@@ -1,56 +1,47 @@
-"""Pallas TPU kernels: radix partition of rows into dense-window buckets.
+"""Pallas TPU kernels: slab partition + windowed reduce — the sort-free
+GROUP BY past the 2047-slot dense window (VERDICT r2 next #3).
 
-The sort-free GROUP BY past the 2047-slot dense window (VERDICT r2 next
-#3) without paying `lax.sort`: rows with packed group ids in [0, nslots)
-are physically partitioned into B = ceil((nslots+1)/WINDOW) buckets by
-`bucket = gid // WINDOW` (WINDOW = 2048 slots), with every bucket region
-CHUNK-row-aligned in the output — after which every CHUNK block of the
-output touches ONE 2048-slot window, and the segmented-reduce kernel
-(segreduce.py, windowed-dense mode) accumulates with full-table VMEM
-accumulators and NO sort at all.
+Replaces the dominant multi-operand `lax.sort` of the packed-gid GROUP
+BY (~148 ms for 3 operands at 33.5M rows on v5e) with two sort-free
+passes over the data:
 
-Design (measured rationale in PERFLOG.md):
-  * the dominant cost of the packed-gid GROUP BY is the multi-operand
-    `lax.sort` (~148 ms for 3 operands at 33.5M rows on v5e); a radix
-    partition moves each row once (HBM-bound) plus an MXU permutation
-    whose cost is PBLOCK MACs/row — far less device time.
-  * ALL ragged bookkeeping is precomputed OUTSIDE the kernel (the
-    ragged_shuffle.py idiom: scalars ride SMEM): a per-(block, bucket)
-    histogram kernel feeds XLA cumsums that yield each block's exact
-    write base per bucket, so the partition kernel is stateless — no
-    cross-step pointer state, every DMA offset a pure function of its
-    SMEM block row.
-  * block-local bucket-major compaction runs on the MXU: destination
-    index d = seg_start[bucket] + rank packs rows bucket-contiguously
-    inside the block; the placement is a factored one-hot matmul
-    (hi = d//128 rows, lo = d%128 cols), a permutation product that is
-    EXACT for f32 payloads at Precision.HIGHEST (bf16x3 recovers the
-    full mantissa; exactly one contributor per output cell).
-  * appends to each bucket's HBM region use fixed CHUNK-row DMA chunks
-    at the block's precomputed base (arbitrary element-granular DMA
-    offsets on both sides — DMA descriptors are not vector ISA; the
-    1024-alignment constraint applies to vector loads/stores; verified
-    by the on-chip probes logged in PERFLOG). A chunk's tail beyond the
-    block's contribution carries neighbouring rows ("garbage"): the
-    NEXT append to the same bucket starts exactly at the garbage start
-    and overwrites it. Only the FINAL tail of each region survives — a
-    wipe pass overwrites it with SENTINEL gids, which the windowed
-    reduce drops via its in-window mask.
-  * consecutive appends to one bucket overlap in memory and separate
-    async copies are NOT ordered, and the VMEM staging buffers are
-    reused every grid step — all of a block's appends are drained at
-    the end of its step (DMA semaphores count BYTES, CLAUDE.md; every
-    chunk moves the same fixed byte count per column, so the wait value
-    is chunks * bytes with no extra state).
+  KERNEL 1 — slab partition (`slab_partition`): each PBLOCK input block
+  is compacted BUCKET-MAJOR (bucket = gid // WINDOW) into its own slab
+  of the output, with every bucket segment aligned to SLAB_CHUNK rows.
+  The compaction is an MXU one-hot permutation: destination
+  d = aligned_seg_start[bucket] + rank_within_bucket, built from a
+  [PSUB, B] one-hot cumsum (ranks) and placed with a factored one-hot
+  matmul (hi = d//128 rows, lo = d%128 cols) at Precision.HIGHEST —
+  bf16x3 recovers the full f32 mantissa and each output cell has
+  exactly one contributor, so the permutation is EXACT for any f32.
+  Alignment gaps hold SENTINEL group ids: the gid column is placed as
+  (gid - SENTINEL) and the whole slab shifted by +SENTINEL, so
+  positions with no contributor decode to SENTINEL with no extra pass.
+
+  KERNEL 2 — windowed reduce (`windowed_reduce`): because every
+  SLAB_CHUNK-aligned chunk of the slab holds rows of ONE bucket, each
+  256-row chunk touches one WINDOW-wide span of the accumulator table:
+  the kernel keeps the FULL table VMEM-resident (the caller checks
+  segreduce.accum_fits_vmem) and updates one dynamic W-window per
+  chunk — sum/count as factored one-hot MXU dots, min/max as masked
+  [PSUB, W] VPU cell reduces. No ordering assumptions anywhere.
+
+Everything is static BlockSpec I/O — no DMAs, no semaphores. An earlier
+design appended ragged segments to globally bucket-contiguous regions
+with chunked DMAs at precomputed offsets; it is unimplementable on this
+toolchain: Mosaic (jax 0.9.0, remote-compile) crashes on any DMA whose
+offset derives from an SMEM-read value (probed on chip: loop-induction
+offsets compile, SMEM-value offsets HTTP-500 — PERFLOG r3). The slab
+layout needs no cross-block coordination at all, so the histogram /
+prefix-base / wipe machinery disappears with the DMAs.
 
 Payload encoding (caller contract, see ops/aggregate.py bigdense):
-  * every payload column rides as f32; values must be exactly
-    representable (f32 naturally; int32 split by the caller into two
-    16-bit halves when it can exceed 2^24).
+  * every payload column rides the placement as f32; values must be
+    exactly representable (f32 raw is — HIGHEST placement is exact;
+    int32 splits into two 16-bit halves when it can exceed 2^24).
   * the gid column packs selection/validity mask bits above the group
-    id: gid_packed = gid + mask_bits * id_mod, everything < 2^23 so the
-    f32 ride stays exact. Buckets come from gid_packed % id_mod
-    (id_mod a power of two).
+    id: gid_packed = gid + mask_bits * id_mod, everything < 2^23 so
+    the f32 ride stays exact (id_mod a power of two).
 
 The reference's aggregate hash map (aggregate.rs:548-952 FnvHashMap) is
 the role model: this is its TPU realization for wide key domains.
@@ -66,103 +57,70 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WINDOW = 2048  # slots per bucket = the dense-reduce window width
-PBLOCK = 8192  # default input rows per partition grid step (see pick_pblock)
-CHUNK = 1024  # rows per append DMA (and the region alignment unit)
-PSUB = 256  # rows per in-kernel chunk for one-hot construction
-# sentinel gid written into final region tails: outside every real
-# window (caller guarantees id_mod * 2^n_masks <= SENTINEL)
-SENTINEL = 1 << 23
+WINDOW = 2048  # slots per bucket = the reduce window width
+PBLOCK = 8192  # input rows per partition grid step
+SLAB_CHUNK = 256  # bucket-segment alignment inside a block slab
+PSUB = 256  # rows per in-kernel chunk
+ALIGN = 1024  # f32 VMEM tile alignment (dynamic-offset granularity)
+SENTINEL = 1 << 23  # gid for alignment gaps; > any id_mod << masks
+
+
+def slab_capacity(pblock: int, n_buckets: int) -> int:
+    """Static slab rows per input block: data + per-bucket alignment,
+    rounded to ALIGN so 1-D blocks match XLA's T(1024) layout."""
+    cap = pblock + n_buckets * SLAB_CHUNK
+    return -(-cap // ALIGN) * ALIGN
 
 
 def pick_pblock(n: int) -> int | None:
     """Largest supported grid block dividing the row count (capacities
-    are 1024-padded engine-wide; larger blocks amortize DMA issue)."""
+    are 1024-padded engine-wide)."""
     for p in (8192, 4096, 2048, 1024):
         if n % p == 0:
             return p
     return None
 
 
-def _blockhist_kernel(nb, id_mod, pblock, gid_ref, out_ref):
-    """Per-(block, bucket) histogram row: [PSUB, nb] one-hot col sums.
-    The output block is a full (8, nb) sublane tile (Mosaic requires
-    the last two block dims divisible by (8, 128)); only row 0 counts."""
-    b = (
-        gid_ref[:].astype(jnp.int32) & jnp.int32(id_mod - 1)
-    ) // WINDOW
-    cols = lax.broadcasted_iota(jnp.int32, (PSUB, nb), 1)
-    acc = jnp.zeros((1, nb), jnp.float32)
-    for s in range(pblock // PSUB):
-        oh = (b[s * PSUB : (s + 1) * PSUB][:, None] == cols).astype(jnp.float32)
-        acc = acc + jnp.sum(oh, axis=0, keepdims=True)
-    out_ref[:] = jnp.broadcast_to(acc, (8, nb))
-
-
-def block_histogram(
-    gidf: jax.Array, n_buckets: int, id_mod: int, pblock: int = PBLOCK,
-    interpret: bool = False,
-):
-    """f32[n_blocks, nb_padded] counts of bucket ((gid & (id_mod-1)) //
-    WINDOW) per pblock input block."""
-    n = int(gidf.shape[0])
-    assert n % pblock == 0
-    nb = -(-n_buckets // 128) * 128
-    out = pl.pallas_call(
-        functools.partial(_blockhist_kernel, nb, id_mod, pblock),
-        grid=(n // pblock,),
-        in_specs=[
-            pl.BlockSpec((pblock,), lambda i: (i,), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 8, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n // pblock, 8, nb), jnp.float32),
-        interpret=interpret,
-    )(gidf)
-    return out[:, 0, :]
-
-
-def _partition_kernel(
-    n_buckets, n_cols, id_mod, out_cap, pblock,
-    base_ref, cnt_ref, segi_ref, fin_ref, ends_ref, *refs
-):
-    """Grid step: compact PBLOCK rows bucket-major on the MXU, then
-    append each bucket's segment to its HBM region in fixed CHUNK-row
-    DMAs at the precomputed per-(block, bucket) base. The final grid
-    step wipes region tails and the trailing slack with SENTINEL."""
-    val_refs = refs[:n_cols]  # f32 payload columns (gidf is col 0)
-    seg_vec_ref = refs[n_cols]  # VMEM [1, nbp] within-block seg starts
-    out_refs = refs[n_cols + 1 : 2 * n_cols + 1]  # [out_cap] f32, DMA-only
-    staged_refs = refs[2 * n_cols + 1 : 3 * n_cols + 1]  # VMEM [PBLOCK]
-    sems = refs[3 * n_cols + 1]  # DMA sems [n_buckets]
-    chunk_bytes = n_cols * CHUNK * 4  # all columns share one bucket sem
+def _slab_kernel(n_buckets, n_cols, id_mod, pblock, scap, *refs):
+    """One grid step: compact a PBLOCK input block bucket-major into its
+    slab with SLAB_CHUNK-aligned segments."""
+    val_refs = refs[:n_cols]  # f32 columns; col 0 is the packed gid
+    out_refs = refs[n_cols : 2 * n_cols]  # [scap] slab per column
 
     gid = (
         val_refs[0][:].astype(jnp.int32) & jnp.int32(id_mod - 1)
     ) // WINDOW  # bucket per row
 
-    # ---- within-block rank + destination ------------------------------
-    # [PSUB, B] one-hot cumsum gives the within-chunk rank; a running
-    # per-bucket base carries across chunks. B pads to 128 lanes.
+    # ---- within-block rank + aligned segment starts -------------------
     nbp = -(-n_buckets // 128) * 128
     cols = lax.broadcasted_iota(jnp.int32, (PSUB, nbp), 1)
     running = jnp.zeros((1, nbp), jnp.float32)
-    seg2d = seg_vec_ref[:]  # [1, nbp] exclusive cumsum of block counts
-    ds = []
+    ohs = []
+    ranks = []
     for s in range(pblock // PSUB):
         sl = slice(s * PSUB, (s + 1) * PSUB)
         oh = (gid[sl][:, None] == cols).astype(jnp.float32)
-        cum = jnp.cumsum(oh, axis=0) + running  # inclusive rank
-        d = jnp.sum(oh * (cum - 1.0 + seg2d), axis=1).astype(jnp.int32)
-        ds.append(d)
+        cum = jnp.cumsum(oh, axis=0) + running  # inclusive per-bucket rank
+        ranks.append(jnp.sum(oh * cum, axis=1) - 1.0)
         running = running + jnp.sum(oh, axis=0, keepdims=True)
+        ohs.append(oh)
+    counts = running  # [1, nbp]
+    aligned = (
+        jnp.ceil(counts / SLAB_CHUNK) * SLAB_CHUNK
+    )  # exact in f32 (counts <= pblock << 2^24)
+    seg2d = jnp.cumsum(aligned, axis=1) - aligned  # exclusive, [1, nbp]
 
-    # ---- MXU placement: staged[c][d[r]] = col_c[r] --------------------
-    HI, LO = pblock // 128, 128
+    ds = []
+    for s in range(pblock // PSUB):
+        seg = jnp.sum(ohs[s] * seg2d, axis=1)
+        ds.append((seg + ranks[s]).astype(jnp.int32))
+
+    # ---- MXU placement ------------------------------------------------
+    HI, LO = scap // 128, 128
     hi_rows = lax.broadcasted_iota(jnp.int32, (HI, PSUB), 0)
     lo_cols = lax.broadcasted_iota(jnp.int32, (PSUB, LO), 1)
     accs = [jnp.zeros((HI, LO), jnp.float32) for _ in range(n_cols)]
+    sent = jnp.float32(SENTINEL)
     for s in range(pblock // PSUB):
         sl = slice(s * PSUB, (s + 1) * PSUB)
         dd = ds[s]
@@ -170,202 +128,63 @@ def _partition_kernel(
         lo_oh = ((dd % LO)[:, None] == lo_cols).astype(jnp.float32)
         for c in range(n_cols):
             v = val_refs[c][sl]
+            if c == 0:
+                # gid rides shifted by -SENTINEL: positions with no
+                # contributor stay 0 and decode to SENTINEL after the
+                # +SENTINEL below — gaps need no separate wipe
+                v = v - sent
             accs[c] = accs[c] + jnp.dot(
                 hi_ohT * v[None, :],
                 lo_oh,
                 preferred_element_type=jnp.float32,
                 precision=lax.Precision.HIGHEST,  # exact f32 permutation
             )
-    # staging carries CHUNK rows of slack: the last bucket's chunked
-    # append may read up to CHUNK-1 rows past the block's data (the
-    # resulting region garbage is overwritten by the next append or the
-    # final wipe; an unpadded read would clamp/wrap and corrupt rows)
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _():
-        for c in range(n_cols):
-            staged_refs[c][pblock : pblock + CHUNK] = jnp.full(
-                (CHUNK,), jnp.float32(SENTINEL)
-            )
-
     for c in range(n_cols):
-        staged_refs[c][0:pblock] = accs[c].reshape(pblock)
-
-    # ---- ragged appends: fixed-size chunks at precomputed bases -------
-    for b in range(n_buckets):
-        cnt = cnt_ref[0, b]
-        base = base_ref[0, b]
-        seg0 = segi_ref[0, b]
-        for c_i in range(pblock // CHUNK):
-            off = c_i * CHUNK
-
-            @pl.when(off < cnt)
-            def _(base=base, off=off, seg0=seg0, b=b):
-                for c in range(n_cols):
-                    pltpu.make_async_copy(
-                        staged_refs[c].at[pl.ds(seg0 + off, CHUNK)],
-                        out_refs[c].at[pl.ds(base + off, CHUNK)],
-                        sems.at[b],
-                    ).start()
-
-    # ---- drain: the staging buffers are reused next step --------------
-    # waits ride mirror descriptors (ragged_shuffle.py idiom: a wait
-    # consumes exactly its descriptor's byte count from the semaphore)
-    for b in range(n_buckets):
-        cnt = cnt_ref[0, b]
-        nch = (cnt + (CHUNK - 1)) // CHUNK
-
-        def drain_one(_k, _carry, b=b):
-            for c in range(n_cols):
-                pltpu.make_async_copy(
-                    staged_refs[c].at[pl.ds(0, CHUNK)],
-                    out_refs[c].at[pl.ds(0, CHUNK)],
-                    sems.at[b],
-                ).wait()
-            return 0
-
-        lax.fori_loop(0, nch, drain_one, 0)
-
-    # ---- final step: wipe region tails + trailing slack ---------------
-    # Each region's final garbage tail [fin[b], ends[b]) (the last
-    # append's CHUNK overhang) and the never-written slack past the last
-    # region get SENTINEL rows. CHUNK <= ends-fin <= 2*CHUNK, so writes
-    # at fin and ends-CHUNK cover the tail without crossing the region
-    # end. Runs after every append has drained (program order above).
-    step = pl.program_id(0)
-
-    @pl.when(step == pl.num_programs(0) - 1)
-    def _():
-        for c in range(n_cols):
-            staged_refs[c][0:CHUNK] = jnp.full(
-                (CHUNK,), jnp.float32(SENTINEL)
-            )
-
-        def issue(b, start):
-            for c in range(n_cols):
-                pltpu.make_async_copy(
-                    staged_refs[c].at[pl.ds(0, CHUNK)],
-                    out_refs[c].at[pl.ds(start, CHUNK)],
-                    sems.at[b],
-                ).start()
-
-        def wait_one(b):
-            for c in range(n_cols):
-                pltpu.make_async_copy(
-                    staged_refs[c].at[pl.ds(0, CHUNK)],
-                    out_refs[c].at[pl.ds(0, CHUNK)],
-                    sems.at[b],
-                ).wait()
-
-        for b in range(n_buckets):
-            p = fin_ref[0, b]
-            e = ends_ref[0, b]
-            issue(b, p)  # tail is always >= CHUNK long (region slack)
-
-            @pl.when(e - p > CHUNK)
-            def _(b=b, e=e):
-                issue(b, e - CHUNK)
-
-        e_last = ends_ref[0, n_buckets - 1]
-        n_sweep = jnp.int32(0)
-        for k in range(out_cap // CHUNK):
-            @pl.when(k * CHUNK >= e_last)
-            def _(k=k):
-                issue(0, k * CHUNK)
-
-            n_sweep = n_sweep + jnp.where(k * CHUNK >= e_last, 1, 0)
-
-        for b in range(n_buckets):
-            p = fin_ref[0, b]
-            e = ends_ref[0, b]
-            nch = jnp.where(e - p > CHUNK, 2, 1)
-            if b == 0:
-                nch = nch + n_sweep
-
-            def drain_b(_k, _carry, b=b):
-                wait_one(b)
-                return 0
-
-            lax.fori_loop(0, nch, drain_b, 0)
-
-
-def out_capacity(n: int, n_buckets: int) -> int:
-    """Static output capacity: data + per-region alignment + slack."""
-    return n + n_buckets * 2 * CHUNK
+        flat = accs[c].reshape(scap)
+        out_refs[c][:] = flat + sent if c == 0 else flat
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_buckets", "n_cols", "id_mod", "pblock", "interpret"),
 )
-def _radix_partition(
+def _slab_partition(
     gidf: jax.Array,
     cols: tuple,
     *,
     n_buckets: int,
     n_cols: int,
     id_mod: int,
-    pblock: int = PBLOCK,
+    pblock: int,
     interpret: bool = False,
 ):
     n = int(gidf.shape[0])
-    out_cap = out_capacity(n, n_buckets)
-
-    # per-(block, bucket) histogram -> exact write base for every append
-    bh = block_histogram(gidf, n_buckets, id_mod, pblock, interpret=interpret)
-    bh_i = bh.astype(jnp.int32)  # [nblocks, nbp]
-    counts = jnp.sum(bh_i, axis=0)  # [nbp] total per bucket
-    # region sizes: data rounded up to CHUNK + CHUNK slack (the overlap
-    # append and the wipe always stay within the region)
-    sizes = (counts + CHUNK - 1) // CHUNK * CHUNK + CHUNK
-    starts = jnp.cumsum(sizes) - sizes  # [nbp]
-    ends = starts + sizes
-    # base[i, b] = starts[b] + rows of bucket b in earlier blocks
-    prior = jnp.cumsum(bh_i, axis=0) - bh_i
-    bases = starts[None, :] + prior  # [nblocks, nbp]
-    # within-block exclusive bucket cumsum (seg starts), as f32 vectors
-    segs = (jnp.cumsum(bh, axis=1) - bh)  # [nblocks, nbp] f32
-
+    scap = slab_capacity(pblock, n_buckets)
+    nblocks = n // pblock
     ins = [gidf] + list(cols)
-    grid = (n // pblock,)
-    segs_i = segs.astype(jnp.int32)
-    fin = (starts + counts)[None, :]  # [1, nbp] final write pointers
-    ends2 = ends[None, :]
-    in_specs = [
-        pl.BlockSpec((1, bases.shape[1]), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, bh.shape[1]), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, segs_i.shape[1]), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, fin.shape[1]), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, ends2.shape[1]), lambda i: (0, 0), memory_space=pltpu.SMEM),
-    ] + [
-        pl.BlockSpec((pblock,), lambda i: (i,), memory_space=pltpu.VMEM)
-        for _ in ins
-    ] + [
-        pl.BlockSpec((1, segs.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ]
     outs = pl.pallas_call(
         functools.partial(
-            _partition_kernel, n_buckets, n_cols, id_mod, out_cap, pblock
+            _slab_kernel, n_buckets, n_cols, id_mod, pblock, scap
         ),
-        grid=grid,
-        in_specs=in_specs,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((pblock,), lambda i: (i,), memory_space=pltpu.VMEM)
+            for _ in ins
+        ],
         out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_cols)
-        ),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((out_cap,), jnp.float32)
+            pl.BlockSpec((scap,), lambda i: (i,), memory_space=pltpu.VMEM)
             for _ in range(n_cols)
         ),
-        scratch_shapes=[pltpu.VMEM((pblock + CHUNK,), jnp.float32)] * n_cols
-        + [pltpu.SemaphoreType.DMA((n_buckets,))],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nblocks * scap,), jnp.float32)
+            for _ in range(n_cols)
+        ),
         interpret=interpret,
-    )(bases, bh_i, segs_i, fin, ends2, *ins, segs)
+    )(*ins)
     return outs
 
 
-def radix_partition(
+def slab_partition(
     gidf: jax.Array,
     cols: tuple,
     *,
@@ -374,15 +193,14 @@ def radix_partition(
     pblock: int = PBLOCK,
     interpret: bool = False,
 ):
-    """Partition rows by bucket = (int(gidf) & (id_mod-1)) // WINDOW.
+    """Bucket-major slab compaction (kernel 1 above).
 
-    Returns a tuple of [out_cap] f32 arrays: index 0 the partitioned
-    (mask-packed) gid column — final region tails hold SENTINEL — and
-    1.. the payload columns. Every CHUNK-aligned block of the output
-    intersects exactly one bucket region, so all its non-sentinel gids
-    share one WINDOW."""
+    Returns a tuple of [n_blocks * slab_capacity] f32 arrays: index 0
+    the slab-ordered (mask-packed) gid column — alignment gaps hold
+    SENTINEL — and 1.. the payload columns. Every SLAB_CHUNK-aligned
+    chunk of the output holds rows of ONE bucket."""
     assert id_mod & (id_mod - 1) == 0, "id_mod must be a power of two"
-    return _radix_partition(
+    return _slab_partition(
         gidf,
         tuple(cols),
         n_buckets=n_buckets,
@@ -391,3 +209,180 @@ def radix_partition(
         pblock=pblock,
         interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: windowed reduce over the slab
+# ---------------------------------------------------------------------------
+
+RBLOCK = 1024  # slab rows per reduce grid step
+W = WINDOW  # update-window width (multiple of ALIGN)
+
+
+def _identity(op: str, dtype):
+    if op in ("sum", "count"):
+        return jnp.zeros((), dtype)
+    if op == "min":
+        return (
+            jnp.asarray(jnp.inf, dtype)
+            if jnp.issubdtype(dtype, jnp.floating)
+            else jnp.asarray(jnp.iinfo(dtype).max, dtype)
+        )
+    return (
+        jnp.asarray(-jnp.inf, dtype)
+        if jnp.issubdtype(dtype, jnp.floating)
+        else jnp.asarray(jnp.iinfo(dtype).min, dtype)
+    )
+
+
+def _windowed_kernel(ops, mask_map, n_masks, out_pad, gid_ref, *refs):
+    nags = len(ops)
+    val_refs = refs[:nags]
+    umask_refs = refs[nags : nags + n_masks]
+    out_refs = refs[nags + n_masks :]
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        for a, op in enumerate(ops):
+            out_refs[a][:] = jnp.full(
+                out_refs[a].shape, _identity(op, out_refs[a].dtype)
+            )
+
+    # every PSUB chunk holds one bucket (slab contract): reduce it into
+    # its own dynamically-based W-window of the full accumulator table
+    for s in range(RBLOCK // PSUB):
+        sl = slice(s * PSUB, (s + 1) * PSUB)
+        gid = gid_ref[sl]  # [PSUB] int32 (SENTINEL for gaps)
+        gmin = jnp.min(gid)
+        abase = (gmin // W) * W
+        abase = jnp.minimum(abase, out_pad - W)  # all-sentinel chunks clamp
+        abase = pl.multiple_of(abase, ALIGN)
+        local = gid - abase
+        in_window = jnp.logical_and(local >= 0, local < W)
+        cols = lax.broadcasted_iota(jnp.int32, (PSUB, W), 1)
+
+        lmasks = []
+        ms = []
+        for u in range(n_masks):
+            m = jnp.logical_and(
+                umask_refs[u][sl].astype(jnp.int32) != 0, in_window
+            )
+            lmasks.append(jnp.where(m, local, W))
+            ms.append(m)
+
+        # sum/count: ONE factored one-hot dot per mask group (the MXU
+        # pads M to a sublane tile, so stacking ops that share a mask
+        # costs the same as one row — see segreduce.py)
+        HI, LO = W // 128, 128
+        hi_rows = lax.broadcasted_iota(jnp.int32, (HI, PSUB), 0)
+        lo_cols = lax.broadcasted_iota(jnp.int32, (PSUB, LO), 1)
+        by_mask: dict[int, list[int]] = {}
+        for a, op in enumerate(ops):
+            if op in ("sum", "count"):
+                by_mask.setdefault(mask_map[a], []).append(a)
+        for mk, idxs in by_mask.items():
+            lm = lmasks[mk]  # masked rows hold W: hi = W/128 matches nothing
+            hi_ohT = (hi_rows == (lm // LO)[None, :]).astype(jnp.float32)
+            lo_oh = ((lm % LO)[:, None] == lo_cols).astype(jnp.float32)
+            for a in idxs:
+                if ops[a] == "count":
+                    row = ms[mask_map[a]].astype(jnp.float32)
+                    prec = None  # 0/1 operands exact at default
+                else:
+                    v = val_refs[a][sl]
+                    row = jnp.where(
+                        ms[mask_map[a]], v, jnp.zeros((), v.dtype)
+                    ).astype(jnp.float32)
+                    prec = lax.Precision.HIGHEST
+                prod = jnp.dot(
+                    hi_ohT * row[None, :],
+                    lo_oh,
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                ).reshape(W)
+                win = out_refs[a][pl.ds(abase, W)]
+                out_refs[a][pl.ds(abase, W)] = win + prod
+
+        # min/max: masked [PSUB, W] cell reduce on the VPU
+        for a, op in enumerate(ops):
+            if op in ("sum", "count"):
+                continue
+            v = val_refs[a][sl]
+            big = _identity(op, v.dtype)
+            oh = lmasks[mask_map[a]][:, None] == cols
+            cell = jnp.where(oh, v[:, None], big)
+            red = (
+                jnp.min(cell, axis=0) if op == "min" else jnp.max(cell, axis=0)
+            )
+            win = out_refs[a][pl.ds(abase, W)]
+            out_refs[a][pl.ds(abase, W)] = (
+                jnp.minimum(win, red) if op == "min" else jnp.maximum(win, red)
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ops", "num_groups", "interpret")
+)
+def windowed_reduce(
+    gid: jax.Array,
+    values: tuple[jax.Array, ...],
+    masks: tuple[jax.Array, ...],
+    *,
+    ops: tuple[str, ...],
+    num_groups: int,
+    interpret: bool = False,
+):
+    """Reduce slab rows into per-group slots (kernel 2 above).
+
+    gid: [N] int32; rows may arrive in ANY order, but every PSUB-aligned
+         chunk must share one WINDOW (slab_partition's contract); gap /
+         invalid rows hold an id >= num_groups whose window lies outside
+         every real group (SENTINEL).
+    Returns tuple of [num_groups] arrays (f32 for sum/count; value dtype
+    for min/max)."""
+    n = int(gid.shape[0])
+    assert n % RBLOCK == 0
+    out_pad = ((num_groups + W) + ALIGN - 1) // ALIGN * ALIGN
+
+    umasks: list = []
+    mask_map: list[int] = []
+    seen: dict[int, int] = {}
+    for m in masks:
+        if id(m) not in seen:
+            seen[id(m)] = len(umasks)
+            umasks.append(m)
+        mask_map.append(seen[id(m)])
+
+    in_specs = [
+        pl.BlockSpec((RBLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
+    ]
+    for _ in values:
+        in_specs.append(
+            pl.BlockSpec((RBLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
+        )
+    for _ in umasks:
+        in_specs.append(
+            pl.BlockSpec((RBLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
+        )
+
+    out_shapes = []
+    out_specs = []
+    for a, op in enumerate(ops):
+        dt = jnp.float32 if op in ("sum", "count") else values[a].dtype
+        out_shapes.append(jax.ShapeDtypeStruct((out_pad,), dt))
+        out_specs.append(
+            pl.BlockSpec((out_pad,), lambda i: (0,), memory_space=pltpu.VMEM)
+        )
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _windowed_kernel, ops, tuple(mask_map), len(umasks), out_pad
+        ),
+        grid=(n // RBLOCK,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(gid, *values, *[m.astype(jnp.int8) for m in umasks])
+    return tuple(o[:num_groups] for o in outs)

@@ -73,8 +73,7 @@ def _identity(op: str, dtype):
     )
 
 
-def _kernel(ops, mask_map, n_masks, dense, has_ends, windowed, out_pad,
-            gid_ref, *refs):
+def _kernel(ops, mask_map, n_masks, dense, has_ends, gid_ref, *refs):
     nags = len(ops)
     val_refs = refs[:nags]
     umask_refs = refs[nags : nags + n_masks]
@@ -90,24 +89,12 @@ def _kernel(ops, mask_map, n_masks, dense, has_ends, windowed, out_pad,
                 out_refs[a].shape, _identity(op, out_refs[a].dtype)
             )
 
-    gid = gid_ref[:]  # [BLOCK] int32; ascending unless dense/windowed
+    gid = gid_ref[:]  # [BLOCK] int32; ascending unless dense mode
     if dense:
         # dense mode: every group id fits the [0, W) window — no sort
         # needed upstream, ids may arrive in any order
         abase = 0
         local = gid
-    elif windowed:
-        # windowed mode (radix-partitioned input, partition.py): rows
-        # arrive in ANY order but each BLOCK's real rows share one
-        # W-aligned window (region starts are CHUNK-aligned and W =
-        # 2*CHUNK... the partition guarantees one bucket per block).
-        # Sentinel rows (huge gid) never win the min; an all-sentinel
-        # block clamps abase into range and masks everything out.
-        gmin = jnp.min(gid)
-        abase = (gmin // W) * W
-        abase = jnp.minimum(abase, out_pad - W)
-        abase = pl.multiple_of(abase, ALIGN)
-        local = gid - abase
     else:
         base = gid[0]
         abase = pl.multiple_of((base // ALIGN) * ALIGN, ALIGN)
@@ -336,7 +323,6 @@ def segmented_reduce_sorted(
     num_groups: int,
     interpret: bool = False,
     dense: bool = False,
-    windowed: bool = False,
 ):
     return _segmented_reduce_sorted(
         gid,
@@ -346,16 +332,13 @@ def segmented_reduce_sorted(
         num_groups=num_groups,
         interpret=interpret,
         dense=dense,
-        windowed=windowed,
         segscan=_segscan_enabled(),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "ops", "num_groups", "interpret", "dense", "windowed", "segscan"
-    ),
+    static_argnames=("ops", "num_groups", "interpret", "dense", "segscan"),
 )
 def _segmented_reduce_sorted(
     gid: jax.Array,
@@ -366,7 +349,6 @@ def _segmented_reduce_sorted(
     num_groups: int,
     interpret: bool = False,
     dense: bool = False,
-    windowed: bool = False,
     segscan: bool = False,
 ):
     """Reduce `values[a]` into per-group slots according to sorted `gid`.
@@ -401,7 +383,7 @@ def _segmented_reduce_sorted(
     # The segmented-scan min/max path needs per-block run-end flags; they
     # use shifts Mosaic can't lower on 1-D vectors, so XLA computes them
     # here (outside the kernel) and ships them in as one extra i8 input.
-    has_ends = segscan and not dense and not windowed and any(
+    has_ends = segscan and not dense and any(
         op in ("min", "max") and values[a].dtype == jnp.float32
         for a, op in enumerate(ops)
     )
@@ -431,8 +413,7 @@ def _segmented_reduce_sorted(
         )
 
     kernel = functools.partial(
-        _kernel, ops, tuple(mask_map), len(umasks), dense, has_ends,
-        windowed, out_pad,
+        _kernel, ops, tuple(mask_map), len(umasks), dense, has_ends
     )
     outs = pl.pallas_call(
         kernel,

@@ -1122,6 +1122,7 @@ class DistCompiler(PlanCompiler):
         from datafusion_tpu.types import physical_np as _phys
 
         n = self.n_dev
+        strategy = os.environ.get("DFTPU_AGG_STRATEGY", "auto")
 
         def decline(why: str):
             # EXPLAIN VERBOSE shows why the flagship fold path did not
@@ -1172,6 +1173,30 @@ class DistCompiler(PlanCompiler):
                 f"domain {nslots} needs {num_local} slots/device > 2048"
             )
 
+        # engage only when pipelining can pay: the fused kernel hides
+        # min(exchange, fold), so it wins when the exchange leg is
+        # comparable to or dominates the fold, and is a wash when the
+        # fold dominates (measured surface: benchmarks/overlap_sweep.py
+        # + PERFLOG 08-20/r3 — overlap efficiency ~0.6 of the hideable
+        # time at exchange-comparable shapes). Cost proxies: exchange ∝
+        # exchanged columns x per-byte ICI cost (~10x the single-chip
+        # HBM emulation, "How to Scale Your Model" ICI:HBM ratio on
+        # v5e); fold ∝ kernel op slots. Under the explicit fold
+        # strategy the estimate is advisory only.
+        n_exch_cols = 1 + sum(
+            1 for (nm, _a, _rt) in agg_meta if nm in ("sum", "avg", "min", "max")
+        ) + 1  # routed window ids + value columns + ~1 mask column
+        n_fold_ops = 1 + len(agg_meta)
+        ici_factor = float(os.environ.get("DFTPU_ICI_BYTE_FACTOR", "10"))
+        min_ratio = float(os.environ.get("DFTPU_FOLD_MIN_RATIO", "0.5"))
+        ratio = n_exch_cols * ici_factor / max(n_fold_ops, 1)
+        if strategy == "auto" and ratio < min_ratio:
+            return decline(
+                f"fold-dominated shape: est exchange:fold {ratio:.2f} < "
+                f"{min_ratio} (cols={n_exch_cols}, ops={n_fold_ops}; "
+                "pipelining would hide nothing — overlap_sweep.py)"
+            )
+
         def grow_1024(t):
             return -(-int(t) // 1024) * 1024
 
@@ -1180,7 +1205,8 @@ class DistCompiler(PlanCompiler):
         )
         self.notes.append(
             f"aggregate: fused ragged-exchange fold (global slots={nslots}, "
-            f"{num_local}/device, split_cap={s_cap})"
+            f"{num_local}/device, split_cap={s_cap}, "
+            f"est exchange:fold {ratio:.1f})"
         )
 
         def fn(env) -> Batch:

@@ -133,3 +133,23 @@ def test_fold_decline_reason_in_explain():
         "EXPLAIN VERBOSE SELECT k, SUM(d) FROM t GROUP BY k ORDER BY k LIMIT 3"
     ).result_str()
     assert "exchange-fold declined (SUM arg is float64" in txt, txt
+
+
+def test_fold_selection_heuristic(monkeypatch):
+    # auto strategy consults the exchange:fold cost estimate (calibrated
+    # by benchmarks/overlap_sweep.py): with the ICI byte factor forced
+    # tiny (a fold-dominated shape), the fused kernel declines with an
+    # explanation; at the real-ICI default it engages
+    monkeypatch.setenv("DFTPU_AGG_STRATEGY", "auto")
+    data = _data()
+    dist = ExecutionContext(mesh=make_mesh())
+    dist.register_table("t", Table.from_pydict(dict(data)))
+    sql = "EXPLAIN VERBOSE SELECT k, SUM(v) FROM t GROUP BY k ORDER BY k LIMIT 3"
+    monkeypatch.setenv("DFTPU_ICI_BYTE_FACTOR", "0.01")
+    txt = dist.sql(sql).result_str()
+    assert "exchange-fold declined (fold-dominated shape" in txt, txt
+    monkeypatch.delenv("DFTPU_ICI_BYTE_FACTOR")
+    dist2 = ExecutionContext(mesh=make_mesh())
+    dist2.register_table("t", Table.from_pydict(dict(data)))
+    txt = dist2.sql(sql).result_str()
+    assert "fused ragged-exchange fold" in txt, txt

@@ -81,6 +81,35 @@ def pick_pblock(n: int) -> int | None:
     return None
 
 
+def _prefix_rows(x):
+    """Inclusive prefix sum along axis 0 via log-shift pad+slice
+    (jnp.cumsum does not lower in Mosaic on this toolchain)."""
+    rows = x.shape[0]
+    out = x
+    shift = 1
+    while shift < rows:
+        prev = lax.slice(
+            jnp.pad(out, ((shift, 0), (0, 0))), (0, 0), (rows, x.shape[1])
+        )
+        out = out + prev
+        shift *= 2
+    return out
+
+
+def _prefix_lanes(x):
+    """Inclusive prefix sum along axis 1 via log-shift pad+slice."""
+    lanes = x.shape[1]
+    out = x
+    shift = 1
+    while shift < lanes:
+        prev = lax.slice(
+            jnp.pad(out, ((0, 0), (shift, 0))), (0, 0), (x.shape[0], lanes)
+        )
+        out = out + prev
+        shift *= 2
+    return out
+
+
 def _slab_kernel(n_buckets, n_cols, id_mod, pblock, scap, *refs):
     """One grid step: compact a PBLOCK input block bucket-major into its
     slab with SLAB_CHUNK-aligned segments."""
@@ -100,7 +129,7 @@ def _slab_kernel(n_buckets, n_cols, id_mod, pblock, scap, *refs):
     for s in range(pblock // PSUB):
         sl = slice(s * PSUB, (s + 1) * PSUB)
         oh = (gid[sl][:, None] == cols).astype(jnp.float32)
-        cum = jnp.cumsum(oh, axis=0) + running  # inclusive per-bucket rank
+        cum = _prefix_rows(oh) + running  # inclusive per-bucket rank
         ranks.append(jnp.sum(oh * cum, axis=1) - 1.0)
         running = running + jnp.sum(oh, axis=0, keepdims=True)
         ohs.append(oh)
@@ -108,7 +137,7 @@ def _slab_kernel(n_buckets, n_cols, id_mod, pblock, scap, *refs):
     aligned = (
         jnp.ceil(counts / SLAB_CHUNK) * SLAB_CHUNK
     )  # exact in f32 (counts <= pblock << 2^24)
-    seg2d = jnp.cumsum(aligned, axis=1) - aligned  # exclusive, [1, nbp]
+    seg2d = _prefix_lanes(aligned) - aligned  # exclusive, [1, nbp]
 
     ds = []
     for s in range(pblock // PSUB):

@@ -1114,11 +1114,19 @@ class PlanCompiler:
                     p = _physb(arg.dtype)
                     if name in ("sum", "avg") and p != np.dtype(np.float32):
                         bigdense_ok = False
-                    elif name in ("min", "max") and p not in (
-                        np.dtype(np.float32), np.dtype(np.int32),
-                    ):
-                        bigdense_ok = False
-                    elif name not in ("sum", "avg", "min", "max", "count"):
+                    elif name in ("min", "max"):
+                        # measured on v5e (PERFLOG r3): the windowed
+                        # reduce's MIN/MAX path is a [256, 2048] VPU
+                        # cell reduce at ~2.8 ns/row/op — the packed
+                        # co-sort amortizes min/max across ops far
+                        # better (one sort, value-order gathers), so
+                        # min/max shapes stay on the sort. Opt-in via
+                        # DFTPU_BIGDENSE=force for experiments.
+                        if os.environ.get("DFTPU_BIGDENSE") != "force" or p not in (
+                            np.dtype(np.float32), np.dtype(np.int32),
+                        ):
+                            bigdense_ok = False
+                    elif name not in ("sum", "avg", "count"):
                         bigdense_ok = False
             if bigdense_ok:
                 self.notes.append(

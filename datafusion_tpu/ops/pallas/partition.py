@@ -229,15 +229,24 @@ def slab_partition(
     SENTINEL — and 1.. the payload columns. Every SLAB_CHUNK-aligned
     chunk of the output holds rows of ONE bucket."""
     assert id_mod & (id_mod - 1) == 0, "id_mod must be a power of two"
-    return _slab_partition(
+    cols = tuple(cols)
+    pad = 1 + len(cols) == 3
+    if pad:
+        # the remote Mosaic compiler crashes (opaque HTTP 500) on this
+        # kernel at EXACTLY three in/out columns — 1, 2, 4 and 5 all
+        # compile (probed on chip, PERFLOG r3). Pad with a dummy column
+        # and drop its output.
+        cols = cols + (gidf,)
+    outs = _slab_partition(
         gidf,
-        tuple(cols),
+        cols,
         n_buckets=n_buckets,
         n_cols=1 + len(cols),
         id_mod=id_mod,
         pblock=pblock,
         interpret=interpret,
     )
+    return outs[:-1] if pad else outs
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,9 @@ def _data(n=6 * 1024, kdom=5000, seed=5):
 
 def _run(sql, data, bigdense, expect_engaged=None):
     env = dict(os.environ)
-    os.environ["DFTPU_BIGDENSE"] = "1" if bigdense else "0"
+    # "force" lifts the min/max shape gate (the default keeps min/max
+    # shapes on the packed sort — measured faster on chip, PERFLOG r3)
+    os.environ["DFTPU_BIGDENSE"] = "force" if bigdense else "0"
     try:
         ctx = df.ExecutionContext()
         ctx.register_table("t", df.Table.from_pydict(dict(data)))
@@ -131,3 +133,26 @@ def test_bigdense_median_falls_back():
         bigdense=False,
     )
     _assert_match(a, b)
+
+
+def test_bigdense_default_gates_minmax_shapes():
+    # default (=1): sum/count/avg shapes engage; min/max shapes stay on
+    # the packed co-sort (the windowed VPU cell reduce loses to the
+    # sort-amortized min/max on chip — PERFLOG r3)
+    data = _data()
+    env = dict(os.environ)
+    os.environ["DFTPU_BIGDENSE"] = "1"
+    try:
+        ctx = df.ExecutionContext()
+        ctx.register_table("t", df.Table.from_pydict(dict(data)))
+        t1 = ctx.sql(
+            "EXPLAIN VERBOSE SELECT k, SUM(v), COUNT(v) FROM t GROUP BY k LIMIT 3"
+        ).raw_text or ""
+        assert "bigdense radix-partition" in t1, t1
+        t2 = ctx.sql(
+            "EXPLAIN VERBOSE SELECT k, MIN(v) FROM t GROUP BY k LIMIT 3"
+        ).raw_text or ""
+        assert "bigdense" not in t2 and "packed-gid co-sort" in t2, t2
+    finally:
+        os.environ.clear()
+        os.environ.update(env)

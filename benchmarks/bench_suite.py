@@ -198,20 +198,13 @@ def run_suite(
             {"big": big},
         )
         # floor tracks the SHIPPING formulation (VERDICT r2 weak #2):
-        # the packed-gid path sorts one packed i32 key + the min/max
-        # value image + the sum payload (iota/notsel/per-key operands
-        # all dropped); bigdense replaces even that with matmul
-        # histograms + a 2-op (gid, value-image) sort for min/max.
-        strat = os.environ.get("DFTPU_AGG_STRATEGY", "auto")
-        if os.environ.get("DFTPU_BIGDENSE", "1") != "0":
-            # min/max ride the narrow 2-operand co-sort; sum/count are
-            # one elementwise-pass matmul histogram over unsorted rows
-            floor = sort_floor_time(n, (np.int32, np.int32), 2) + \
-                elementwise_floor_time(n, 8, 0)
-            note = "bigdense: matmul hist + 2-op minmax sort"
-        else:
-            floor = sort_floor_time(n, (np.int32, np.int32, np.float32), 2)
-            note = "packed-gid co-sort + pallas segreduce"
+        # c2's MIN/MAX shape ships the packed-gid path, whose main sort
+        # carries one packed i32 key + the min/max value image + the
+        # sum payload (iota/notsel/per-key operands all dropped; the
+        # bigdense slab path is measured slower for min/max shapes and
+        # declines them by default — PERFLOG r3)
+        floor = sort_floor_time(n, (np.int32, np.int32, np.float32), 2)
+        note = "packed-gid co-sort + pallas segreduce"
         report("c2_hash_aggregate", slope_time(fn, env), 12 + 5, note, floor_s=floor)
 
     if "c3" in configs and not over_deadline("c3_sort"):

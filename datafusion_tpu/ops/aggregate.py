@@ -484,10 +484,15 @@ def grouped_aggregate_dense(
 
 PACKED_MAX_GROUPS = 1 << 19  # packed-gid sort path cap (VMEM accumulators)
 
-# bigdense (radix-partition) path: domains past the dense window but
-# small enough that the windowed reduce's full accumulator tables fit
-# VMEM (the compiler also checks accum_fits_vmem per query)
-BIGDENSE_MAX_GROUPS = 1 << 19
+# bigdense (slab-partition) path: domains past the dense window, up to
+# the largest bucket count the remote Mosaic compiler accepts for the
+# slab kernel — probed on chip (PERFLOG r3): n_buckets <= 8 compiles,
+# >= 16 crashes the remote tpu_compile_helper (opaque HTTP 500; the
+# placement sub-kernel alone compiles at every size, so the trigger is
+# the combined kernel — unresolvable through this toolchain's opaque
+# remote compile). 8 windows = 16384 slots, an 8x extension of the
+# dense cap; the windowed reduce itself compiles to 64k+.
+BIGDENSE_MAX_GROUPS = 8 * 2048 - 1
 
 
 def grouped_aggregate_bigdense(

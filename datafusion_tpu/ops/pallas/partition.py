@@ -121,18 +121,15 @@ def _slab_kernel(n_buckets, n_cols, id_mod, pblock, scap, *refs):
     ) // WINDOW  # bucket per row
 
     # ---- within-block rank + aligned segment starts -------------------
+    # two passes, the one-hots recomputed in pass 2 rather than retained
+    # (keeping 32 x [PSUB, nbp] one-hots live was ~4 MB of VMEM pressure)
     nbp = -(-n_buckets // 128) * 128
     cols = lax.broadcasted_iota(jnp.int32, (PSUB, nbp), 1)
     running = jnp.zeros((1, nbp), jnp.float32)
-    ohs = []
-    ranks = []
     for s in range(pblock // PSUB):
         sl = slice(s * PSUB, (s + 1) * PSUB)
         oh = (gid[sl][:, None] == cols).astype(jnp.float32)
-        cum = _prefix_rows(oh) + running  # inclusive per-bucket rank
-        ranks.append(jnp.sum(oh * cum, axis=1) - 1.0)
         running = running + jnp.sum(oh, axis=0, keepdims=True)
-        ohs.append(oh)
     counts = running  # [1, nbp]
     aligned = (
         jnp.ceil(counts / SLAB_CHUNK) * SLAB_CHUNK
@@ -140,9 +137,15 @@ def _slab_kernel(n_buckets, n_cols, id_mod, pblock, scap, *refs):
     seg2d = _prefix_lanes(aligned) - aligned  # exclusive, [1, nbp]
 
     ds = []
+    running2 = jnp.zeros((1, nbp), jnp.float32)
     for s in range(pblock // PSUB):
-        seg = jnp.sum(ohs[s] * seg2d, axis=1)
-        ds.append((seg + ranks[s]).astype(jnp.int32))
+        sl = slice(s * PSUB, (s + 1) * PSUB)
+        oh = (gid[sl][:, None] == cols).astype(jnp.float32)
+        cum = _prefix_rows(oh) + running2  # inclusive per-bucket rank
+        rank = jnp.sum(oh * cum, axis=1) - 1.0
+        seg = jnp.sum(oh * seg2d, axis=1)
+        ds.append((seg + rank).astype(jnp.int32))
+        running2 = running2 + jnp.sum(oh, axis=0, keepdims=True)
 
     # ---- MXU placement ------------------------------------------------
     HI, LO = scap // 128, 128

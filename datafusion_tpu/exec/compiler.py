@@ -1101,8 +1101,22 @@ class PlanCompiler:
                 n_arg_exprs = len(
                     {repr(e.args[0]) for e in plan.aggr_exprs}
                 )
+                # one distinct SUM/AVG argument only: the slab then
+                # carries exactly 2 columns (gid + the value), the one
+                # per-(cols, buckets) combination the remote Mosaic
+                # compiler reliably accepts at every probed bucket count
+                # (3 cols crashes at any nb; 4 crashes at nb=8 —
+                # PERFLOG r3; opaque HTTP 500s, untraceable further)
+                n_sum_args = len(
+                    {
+                        repr(e.args[0])
+                        for e in plan.aggr_exprs
+                        if e.name.lower() in ("sum", "avg")
+                    }
+                )
                 bigdense_ok = (
                     agg_ops.DENSE_MAX_GROUPS < prodb <= agg_ops.BIGDENSE_MAX_GROUPS
+                    and n_sum_args <= 1
                     and id_mod_b << n_arg_exprs <= (1 << 23)
                     # exists-count + one slot per spec + per-mask counts
                     and _fits(prodb + 1, 2 * len(agg_meta) + 1)

@@ -1079,7 +1079,7 @@ class PlanCompiler:
             # and reduced windowed with NO lax.sort (the sort is the
             # dominant cost of the packed path below; VERDICT r2 next #3)
             bigdense_ok = (
-                os.environ.get("DFTPU_BIGDENSE", "1") != "0"
+                os.environ.get("DFTPU_BIGDENSE", "0") != "0"
                 and len(doms) == len(group_c)
                 and doms
                 and child.capacity % 1024 == 0

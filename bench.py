@@ -73,7 +73,7 @@ def main() -> None:
         "SELECT k, lat, lng, lat + lng FROM big WHERE lat > 51.0 AND lat < 53",
         {"big": big},
     )
-    dt, spread = _time_pipeline(fn, env, repeats=7, with_spread=True)
+    dt, spread = _time_pipeline(fn, env, repeats=9, with_spread=True)
     rows_per_s = n / dt
 
     # True data movement of the compiled pipeline: pass-through columns

@@ -353,9 +353,10 @@ def dense_window_aggregate(
                 sk = (id(data), id(mask))
                 if sk not in special_cnt_slot:
                     special_cnt_slot[sk] = ("spcnt", sk)
-                    k_ops.append("count")
-                    k_vals.append(data.astype(jnp.float32))
-                    k_masks.append(jnp.logical_and(mask, special))
+                    # 0/1 SUM sharing the sum's mask (stacked dot: ~free)
+                    k_ops.append("sum")
+                    k_vals.append(special.astype(jnp.float32))
+                    k_masks.append(mask)
                     k_slots.append(("spcnt", sk))
             else:
                 k_ops.append("sum")
@@ -376,7 +377,15 @@ def dense_window_aggregate(
                 k_masks.append(mask)
                 k_slots.append(("cnt", id(mask)))
 
-    outs = run_kernel(gid, sel, k_ops, k_vals, k_masks, nslots)
+    kinds = tuple(slot[0] for slot in k_slots)
+    try:
+        # implementations that understand slot kinds (bigdense: 0/1
+        # special indicators ride gid bits, not slab columns)
+        outs = run_kernel(
+            gid, sel, k_ops, k_vals, k_masks, nslots, k_kinds=kinds
+        )
+    except TypeError:
+        outs = run_kernel(gid, sel, k_ops, k_vals, k_masks, nslots)
     results: dict = {}
     counts: dict = {}
     exists_cnt = None
@@ -534,8 +543,9 @@ def grouped_aggregate_bigdense(
 
     interp = jax.devices()[0].platform not in ("tpu", "axon")
 
-    def run_kernel(gid, sel_, k_ops, k_vals, k_masks, nslots):
+    def run_kernel(gid, sel_, k_ops, k_vals, k_masks, nslots, k_kinds=None):
         n = int(sel_.shape[0])
+        kinds = k_kinds or ("",) * len(k_ops)
         pblock = pick_pblock(n)
         gcap = nslots + 1  # slot nslots holds unselected rows
         id_mod = 1 << (gcap - 1).bit_length()
@@ -561,12 +571,18 @@ def grouped_aggregate_bigdense(
         # value; min/max f32 ships sanitized + a 2-bit special code
         # (bit0: NaN or -inf; bit1: any inf); other f32 ships as-is
         # (sum values arrive pre-sanitized); i32 ships split in halves
-        col_plan: list = []  # ("none",)|("f32", i)|("mmx", i, bit)|("i32", hi, lo)
+        col_plan: list = []  # ("none",)|("bit", b)|("f32", i)|("mmx", i, bit)|("i32", hi, lo)
         cols: list = []
         seen: dict[tuple, tuple] = {}
-        for op, v in zip(k_ops, k_vals):
+        for op, v, kind in zip(k_ops, k_vals, kinds):
             if op == "count":
                 col_plan.append(("none",))
+                continue
+            if kind == "spcnt":
+                # 0/1 non-finite indicator: one gid bit, not a column
+                b = take_bit()
+                packed = packed + (v.astype(jnp.int32) << b)
+                col_plan.append(("bit", b))
                 continue
             minmax = op in ("min", "max") and v.dtype == jnp.float32
             key = (id(v), minmax)
@@ -628,6 +644,9 @@ def grouped_aggregate_bigdense(
         for (op, m), plan in zip(zip(k_ops, k_masks), col_plan):
             if plan[0] == "none":
                 vals_k.append(pg)  # count reads only its mask
+                img_ops.append(False)
+            elif plan[0] == "bit":
+                vals_k.append(bit_of(plan[1]).astype(jnp.float32))
                 img_ops.append(False)
             else:
                 if plan not in prepared:
@@ -948,13 +967,15 @@ def grouped_aggregate(
                 spk = (id(d_sorted), id(_spec_mask(vpi)))
                 if spk not in sp_counted:
                     sp_counted[spk] = True
-                    k_ops.append("count")
-                    k_vals.append(zeros_src)
-                    k_masks.append(
-                        jnp.logical_and(
-                            _spec_mask(vpi), jnp.logical_not(finite)
-                        )
+                    # rides as a 0/1 SUM sharing the sum's mask: ops
+                    # stacking on one mask share one [A, SUB] @ [SUB, W]
+                    # dot, so the special count is ~free (a fresh count
+                    # mask would build its own [SUB, W] one-hot)
+                    k_ops.append("sum")
+                    k_vals.append(
+                        jnp.logical_not(finite).astype(jnp.float32)
                     )
+                    k_masks.append(_spec_mask(vpi))
                     k_slots.append(("spcnt", spk))
                 sp_of[si] = spk
             elif spec.func in ("min", "max") and eligible:

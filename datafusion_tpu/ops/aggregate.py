@@ -26,6 +26,7 @@ tests/sql.rs:47).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -71,6 +72,29 @@ class AggSpec:
     arg: ColVal
     out_dtype: DataType
     q: float = 0.5  # percentile fraction (median = 0.5)
+
+
+# Non-finite float SUM inputs ride the kernels as NANSAFE_K: exactly
+# representable in f32, far above any legitimate f32-data sum, and a
+# single occurrence pushes its group's |sum| past NANSAFE_T so the
+# decode maps it to NaN (kernel one-hot products cannot carry NaN/inf:
+# 0 * NaN = NaN poisons whole windows — PERFLOG r3.4).
+NANSAFE_K = float(2.0 ** 96)
+NANSAFE_T = float(2.0 ** 95)
+
+
+def nansafe_encode(data: jax.Array) -> jax.Array:
+    return jnp.where(
+        jnp.isfinite(data), data, jnp.asarray(NANSAFE_K, data.dtype)
+    )
+
+
+def nansafe_decode(summed: jax.Array) -> jax.Array:
+    return jnp.where(
+        jnp.abs(summed) >= jnp.asarray(NANSAFE_T, summed.dtype),
+        jnp.asarray(jnp.nan, summed.dtype),
+        summed,
+    )
 
 
 def _sentinel(dtype, minimum: bool):
@@ -320,24 +344,20 @@ def dense_window_aggregate(
             _mask_cache[id(valid)] = jnp.logical_and(base_mask, valid)
         return _mask_cache[id(valid)]
 
-    _clean_cache: dict = {}  # id(data) -> (sanitized data, special mask)
+    _enc_cache: dict = {}  # id(data) -> NANSAFE_K-encoded values
 
-    def _cleaned(data):
+    def _encoded(data):
         # non-finite values POISON the kernels' one-hot sum products
         # (0 * NaN = NaN spreads across the whole window/placement
-        # block): sums reduce sanitized values; a per-group special
-        # count restores NaN results for genuinely contaminated groups.
-        # (±inf data also maps to NaN — documented deviation; the sort
-        # paths keep IEEE inf sums.)
-        if id(data) not in _clean_cache:
-            finite = jnp.isfinite(data)
-            _clean_cache[id(data)] = (
-                jnp.where(finite, data, jnp.zeros((), data.dtype)),
-                jnp.logical_not(finite),
-            )
-        return _clean_cache[id(data)]
+        # block): they ride as NANSAFE_K instead; contaminated groups
+        # cross NANSAFE_T and decode to NaN (±inf data also maps to
+        # NaN — documented deviation; the XLA fallback paths keep
+        # IEEE inf sums)
+        if id(data) not in _enc_cache:
+            _enc_cache[id(data)] = nansafe_encode(data)
+        return _enc_cache[id(data)]
 
-    special_cnt_slot: dict = {}  # (id(data), id(mask)) -> kernel slot key
+    nansafe_sums: set = set()  # spec indices whose sum rode NANSAFE_K
 
     for si, spec in enumerate(specs):
         data, valid = spec.arg
@@ -345,24 +365,13 @@ def dense_window_aggregate(
         mask = _mask_for(valid)
         if spec.func in ("sum", "avg"):
             if jnp.issubdtype(data.dtype, jnp.floating):
-                clean, special = _cleaned(data)
-                k_ops.append("sum")
-                k_vals.append(clean)
-                k_masks.append(mask)
-                k_slots.append(("agg", si))
-                sk = (id(data), id(mask))
-                if sk not in special_cnt_slot:
-                    special_cnt_slot[sk] = ("spcnt", sk)
-                    # 0/1 SUM sharing the sum's mask (stacked dot: ~free)
-                    k_ops.append("sum")
-                    k_vals.append(special.astype(jnp.float32))
-                    k_masks.append(mask)
-                    k_slots.append(("spcnt", sk))
+                k_vals.append(_encoded(data))
+                nansafe_sums.add(si)
             else:
-                k_ops.append("sum")
                 k_vals.append(data)
-                k_masks.append(mask)
-                k_slots.append(("agg", si))
+            k_ops.append("sum")
+            k_masks.append(mask)
+            k_slots.append(("agg", si))
         elif spec.func in ("min", "max"):
             k_ops.append(spec.func)
             k_vals.append(data)
@@ -389,14 +398,13 @@ def dense_window_aggregate(
     results: dict = {}
     counts: dict = {}
     exists_cnt = None
-    spcnts: dict = {}
     for (kind, ident), o in zip(k_slots, outs):
         if kind == "exists":
             exists_cnt = o.astype(jnp.int32)
         elif kind == "agg":
+            if ident in nansafe_sums:
+                o = nansafe_decode(o)
             results[ident] = o
-        elif kind == "spcnt":
-            spcnts[ident] = o
         else:
             counts[ident] = o.astype(jnp.int32)
 
@@ -425,11 +433,6 @@ def dense_window_aggregate(
             out_aggs.append((cnt.astype(physical_np(spec.out_dtype)), None))
             continue
         r = results[si]
-        if spec.func in ("sum", "avg"):
-            sp = spcnts.get((id(data), id(mask)))
-            if sp is not None:
-                # groups with non-finite contributions sum to NaN
-                r = jnp.where(sp > 0, jnp.asarray(jnp.nan, r.dtype), r)
         if spec.func == "avg":
             r = r / jnp.maximum(cnt, 1).astype(r.dtype)
         validity = None if valid is None and spec.func != "avg" else cnt > 0
@@ -924,8 +927,7 @@ def grouped_aggregate(
     if use_pallas:
         counted: dict[int, int] = {}  # id(mask) -> kernel slot (counts are
         # value-independent, so every op sharing a mask shares one slot)
-        sp_counted: dict = {}  # (id(data), id(mask)) -> special-count slot
-        sp_of: dict[int, tuple] = {}  # spec idx -> special-count key
+        sp_of: dict[int, bool] = {}  # spec idx -> sum rode NANSAFE_K
         zeros_src = sel_sorted.astype(jnp.float32)
 
         def _ensure_count(mask) -> None:
@@ -953,31 +955,17 @@ def grouped_aggregate(
             if spec.func in ("sum", "avg") and d_sorted.dtype == jnp.float32:
                 # non-finite values POISON the kernel's one-hot sum dot
                 # (0 * NaN = NaN spreads across the whole W-window,
-                # contaminating NEIGHBORING groups): reduce sanitized
-                # values; a per-group special count restores NaN for the
-                # genuinely contaminated groups (±inf data also maps to
-                # NaN — documented deviation)
-                finite = jnp.isfinite(d_sorted)
+                # contaminating NEIGHBORING groups). They ride as
+                # NANSAFE_K instead: uncontaminated groups sum exactly;
+                # any group whose |sum| crosses NANSAFE_T decodes to
+                # NaN. Zero extra kernel work (the earlier special-
+                # count slot cost a full extra factored HIGHEST dot,
+                # ~20 ms on c2 — PERFLOG r3.6).
                 k_ops.append("sum")
-                k_vals.append(
-                    jnp.where(finite, d_sorted, jnp.zeros((), d_sorted.dtype))
-                )
+                k_vals.append(nansafe_encode(d_sorted))
                 k_masks.append(_spec_mask(vpi))
                 k_slots.append(("agg", si))
-                spk = (id(d_sorted), id(_spec_mask(vpi)))
-                if spk not in sp_counted:
-                    sp_counted[spk] = True
-                    # rides as a 0/1 SUM sharing the sum's mask: ops
-                    # stacking on one mask share one [A, SUB] @ [SUB, W]
-                    # dot, so the special count is ~free (a fresh count
-                    # mask would build its own [SUB, W] one-hot)
-                    k_ops.append("sum")
-                    k_vals.append(
-                        jnp.logical_not(finite).astype(jnp.float32)
-                    )
-                    k_masks.append(_spec_mask(vpi))
-                    k_slots.append(("spcnt", spk))
-                sp_of[si] = spk
+                sp_of[si] = True
             elif spec.func in ("min", "max") and eligible:
                 k_ops.append(spec.func)
                 if d_sorted.dtype == jnp.float32:
@@ -1018,23 +1006,15 @@ def grouped_aggregate(
                 interpret=interp,
             )
             cnt_by_mask = {}
-            sp_cnts = {}
             for (kind, ident), o in zip(k_slots, outs):
                 if kind == "agg":
                     if ident in img_slots:
                         o = from_sortable_int(o, jnp.float32)
+                    elif ident in sp_of:
+                        o = nansafe_decode(o)
                     pallas_results[ident] = o
-                elif kind == "spcnt":
-                    sp_cnts[ident] = o
                 else:
                     cnt_by_mask[ident] = o.astype(jnp.int32)
-            # groups with non-finite sum contributions produce NaN
-            for si_sp, spk in sp_of.items():
-                if si_sp in pallas_results and spk in sp_cnts:
-                    r_sp = pallas_results[si_sp]
-                    pallas_results[si_sp] = jnp.where(
-                        sp_cnts[spk] > 0, jnp.asarray(jnp.nan, r_sp.dtype), r_sp
-                    )
             for si, (spec, pi, vpi) in enumerate(
                 zip(specs, payload_plan, vpayload_plan)
             ):

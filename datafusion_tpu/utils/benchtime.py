@@ -43,7 +43,7 @@ def _fence(out) -> None:
 
 
 def time_pipeline(
-    fn, env, depths=(6, 24), repeats: int = 1, trials: int = 4,
+    fn, env, depths=(6, 24), repeats: int = 1, trials: int = None,
     with_spread: bool = False,
 ):
     """Per-iteration device time of `fn(env)` in seconds.
@@ -58,6 +58,12 @@ def time_pipeline(
     if len(depths) > 2:  # legacy callers passed 3 depths
         depths = (depths[0], depths[-1])
     d1, d2 = depths
+    if trials is None:
+        # multi-repeat calls are the round-artifact numbers: spend more
+        # trials per repeat so both min-envelopes converge (an
+        # under-converged shallow envelope inflates the slope-derived
+        # throughput — observed as impossible >roofline headlines)
+        trials = 8 if repeats > 1 else 4
 
     def run(k: int) -> None:
         out = None

@@ -40,3 +40,31 @@ def test_pallas_groupby_matches_xla(monkeypatch):
         for x, y in zip(ra.split("\t"), rb.split("\t")):
             if x != y:
                 assert abs(float(x) - float(y)) < 1e-5 * max(1, abs(float(x)))
+
+
+def test_nan_data_sums_do_not_poison_neighbor_groups(monkeypatch):
+    """A NaN in one group's SUM input must not contaminate OTHER groups
+    sharing its accumulator window (0 * NaN = NaN used to spread across
+    the whole one-hot product — PERFLOG r3.4/r3.6: non-finite inputs now
+    ride as NANSAFE_K and only their own group decodes to NaN)."""
+    import numpy as np
+    import os
+
+    monkeypatch.setenv("DFTPU_PALLAS", "1")
+    from datafusion_tpu import ExecutionContext, Table
+
+    n = 2048
+    rng = np.random.default_rng(11)
+    k = rng.integers(0, 50, n).astype(np.int32)
+    v = rng.random(n).astype(np.float32)
+    v[k == 7] = np.nan  # exactly group 7 contaminated
+    ctx = ExecutionContext()
+    ctx.register_table("t", Table.from_pydict({"k": k, "v": v}))
+    rows = ctx.sql("SELECT k, SUM(v) FROM t GROUP BY k ORDER BY k").to_pylist()
+    for r in rows:
+        kk, s = r["k"], float(r["SUM"])
+        if kk == 7:
+            assert np.isnan(s), rows
+        else:
+            want = v[(k == kk)].sum()
+            assert not np.isnan(s) and abs(s - want) < 1e-2, (kk, s, want)

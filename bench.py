@@ -45,7 +45,8 @@ def _hbm_bandwidth_gbps() -> float:
     return 819.0  # conservative default (also used on CPU dev runs)
 
 
-def _time_pipeline(fn, env, repeats: int = 1, with_spread: bool = False):
+def _time_pipeline(fn, env, repeats: int = 1, with_spread: bool = False,
+                   depths=(6, 24)):
     """Readback-fenced slope timing, minimized over queue depths — see
     datafusion_tpu/utils/benchtime.py for the methodology (and why
     block_until_ready and deep dispatch queues both mislead through this
@@ -55,7 +56,9 @@ def _time_pipeline(fn, env, repeats: int = 1, with_spread: bool = False):
     what the driver records per round."""
     from datafusion_tpu.utils.benchtime import time_pipeline
 
-    return time_pipeline(fn, env, repeats=repeats, with_spread=with_spread)
+    return time_pipeline(
+        fn, env, repeats=repeats, with_spread=with_spread, depths=depths
+    )
 
 
 def main() -> None:
@@ -73,7 +76,12 @@ def main() -> None:
         "SELECT k, lat, lng, lat + lng FROM big WHERE lat > 51.0 AND lat < 53",
         {"big": big},
     )
-    dt, spread = _time_pipeline(fn, env, repeats=9, with_spread=True)
+    # deep batches for the sub-ms headline: the slope over 56 extra
+    # dispatches has ~4x the SNR of the default (6, 24) sweep through
+    # this tunnel, tightening the reported spread
+    dt, spread = _time_pipeline(
+        fn, env, repeats=9, with_spread=True, depths=(8, 64)
+    )
     rows_per_s = n / dt
 
     # True data movement of the compiled pipeline: pass-through columns

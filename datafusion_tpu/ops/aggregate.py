@@ -494,7 +494,15 @@ def grouped_aggregate_dense(
     )
 
 
-PACKED_MAX_GROUPS = 1 << 19  # packed-gid sort path cap (VMEM accumulators)
+# packed-gid sort path cap. The packed SORT pays at any domain size
+# (the packed id is one i32 operand regardless); the only size-bound
+# resource is the reduce kernel's VMEM accumulator tables, and those
+# now self-gate per query (segreduce.accum_fits_vmem — the XLA segment
+# ops take over past the budget while the sort keeps its packed head).
+# Raised 2^19 -> 2^22 so TPC-H-Q3-scale post-join GROUP BYs (1.5M order
+# keys at SF1) stay packed instead of falling to the 5-operand generic
+# co-sort (r3).
+PACKED_MAX_GROUPS = 1 << 22
 
 # bigdense (slab-partition) path: domains past the dense window, up to
 # the largest bucket count the remote Mosaic compiler accepts for the

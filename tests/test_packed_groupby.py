@@ -184,3 +184,27 @@ def test_packed_distributed_repartition_parity():
     finally:
         os.environ.clear()
         os.environ.update(env)
+
+
+def test_packed_engages_past_vmem_budget_domains():
+    """Domains past the reduce kernel's VMEM budget still take the
+    packed SORT (the kernel self-gates via accum_fits_vmem and the XLA
+    segment ops take over — r3: PACKED_MAX_GROUPS raised to 2^22 so
+    TPC-H-Q3-scale post-join GROUP BYs keep the packed head)."""
+    rng = np.random.default_rng(3)
+    n = 8192
+    t = df.Table.from_pydict({
+        "k": rng.integers(0, 1 << 21, n).astype(np.int32),
+        "v": rng.random(n).astype(np.float32),
+    })
+    got, ctx = _run("SELECT k, SUM(v), COUNT(v) FROM t GROUP BY k ORDER BY k LIMIT 20", {"t": t}, packed=True)
+    want, _ = _run("SELECT k, SUM(v), COUNT(v) FROM t GROUP BY k ORDER BY k LIMIT 20", {"t": t}, packed=False)
+    assert len(got) == len(want)
+    for ra, rb in zip(got, want):
+        va, vb = list(ra.values()), list(rb.values())
+        assert va[0] == vb[0] and va[2] == vb[2]
+        assert abs(va[1] - vb[1]) < 1e-3 * (1 + abs(vb[1]))
+    txt = ctx.sql(
+        "EXPLAIN VERBOSE SELECT k, SUM(v) FROM t GROUP BY k LIMIT 3"
+    ).raw_text or ""
+    assert "packed-gid co-sort" in txt, txt

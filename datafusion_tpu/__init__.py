@@ -17,6 +17,12 @@ Key design departures from the reference (see SURVEY.md §7):
 """
 
 import os as _os
+import sys as _sys
+
+# Whole-plan tracing nests query lowering inside pallas kernel traces;
+# the combined Python call depth can exceed the default 1000-frame limit
+# (observed as RecursionError mid-trace on the TPU backend).
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
 
 # Float64 columns require x64 (parity with the reference's Arrow Float64
 # arrays). Benches on real TPU hardware use f32 columns; set DFTPU_X64=0

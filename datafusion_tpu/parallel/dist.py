@@ -1034,14 +1034,19 @@ class DistCompiler(PlanCompiler):
             k_masks = [base_mask]
             k_slots: list = [("exists", None)]
             counted: dict = {}
+            sum_raw: dict = {}  # si -> (raw data, mask) for the IEEE fix
             for si, (name, argc, rt) in enumerate(agg_meta):
                 data, valid = _broadcast_col(argc.fn(b.cols), local_cap)
                 mask = base_mask if valid is None else jnp.logical_and(base_mask, valid)
                 if name in ("sum", "avg"):
+                    # zero-sanitized: a NaN/±inf would poison the whole
+                    # one-hot window (aggregate.py sanitize_nonfinite);
+                    # IEEE restored post-merge below
                     k_ops.append("sum")
-                    k_vals.append(data)
+                    k_vals.append(agg_ops.sanitize_nonfinite(data))
                     k_masks.append(mask)
                     k_slots.append(("agg", si))
+                    sum_raw[si] = (data, mask)
                 elif name in ("min", "max"):
                     k_ops.append(name)
                     k_vals.append(data)
@@ -1085,6 +1090,28 @@ class DistCompiler(PlanCompiler):
                     results[ident] = merged
                 else:
                     counts[ident] = merged.astype(jnp.int32)
+
+            for si, (data, mask) in sum_raw.items():
+                # IEEE float-SUM restore (collectives outside the cond,
+                # same pattern as the fold path's ieee_fix)
+                has_l = jnp.any(
+                    jnp.logical_and(mask, jnp.logical_not(jnp.isfinite(data)))
+                )
+                has_g = lax.pmax(has_l.astype(jnp.int32), AXIS) > 0
+                loc = lax.cond(
+                    has_g,
+                    lambda d=data, m=mask: jax.ops.segment_sum(
+                        jnp.where(m, d, jnp.zeros((), d.dtype)),
+                        gid,
+                        num_segments=dom + 2,
+                    ).astype(jnp.float32),
+                    lambda: jnp.zeros((dom + 2,), jnp.float32),
+                )
+                glob = lax.psum(loc, AXIS)
+                r = results[si]
+                results[si] = jnp.where(
+                    has_g, glob[: dom + 1].astype(r.dtype), r
+                )
 
             giota = lax.broadcasted_iota(jnp.int32, (dom + 1,), 0)
             out_sel = exists_cnt > 0
@@ -1273,9 +1300,34 @@ class DistCompiler(PlanCompiler):
 
             giota = lax.broadcasted_iota(jnp.int32, (num_local,), 0)
             slot_gid = giota * n + me
+
+            def ieee_fix(kernel_sum, data, mask, gid_routed):
+                # IEEE float-SUM restore across the fold: the predicate
+                # and the [nslots+1] partial-sum psum are collectives,
+                # so they run UNCONDITIONALLY (devices must agree on
+                # control flow); only the local scatter segment_sum
+                # hides behind the cond. Slot s on this device is
+                # global group slot_gid[s].
+                has_l = jnp.any(
+                    jnp.logical_and(mask, jnp.logical_not(jnp.isfinite(data)))
+                )
+                has_g = lax.pmax(has_l.astype(jnp.int32), AXIS) > 0
+                loc = lax.cond(
+                    has_g,
+                    lambda: jax.ops.segment_sum(
+                        jnp.where(mask, data, jnp.zeros((), data.dtype)),
+                        gid_routed,
+                        num_segments=nslots + 1,
+                    ).astype(jnp.float32),
+                    lambda: jnp.zeros((nslots + 1,), jnp.float32),
+                )
+                glob = lax.psum(loc, AXIS)
+                fixed = jnp.take(glob, jnp.clip(slot_gid, 0, nslots))
+                return jnp.where(has_g, fixed.astype(kernel_sum.dtype), kernel_sum)
+
             okeys, oaggs, osel, _ = agg_ops.dense_window_aggregate(
                 keys, specs, b.sel, doms, offs, run_kernel,
-                slot_gid=slot_gid, out_slots=num_local,
+                slot_gid=slot_gid, out_slots=num_local, ieee_fix=ieee_fix,
             )
             return Batch(list(okeys) + list(oaggs), osel)
 

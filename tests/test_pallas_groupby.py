@@ -46,7 +46,8 @@ def test_nan_data_sums_do_not_poison_neighbor_groups(monkeypatch):
     """A NaN in one group's SUM input must not contaminate OTHER groups
     sharing its accumulator window (0 * NaN = NaN used to spread across
     the whole one-hot product — PERFLOG r3.4/r3.6: non-finite inputs now
-    ride as NANSAFE_K and only their own group decodes to NaN)."""
+    ride zero-sanitized and ieee_sum_cond's exact path restores the IEEE
+    per-group result, NaN only for the contaminated group)."""
     import numpy as np
     import os
 

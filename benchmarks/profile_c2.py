@@ -95,9 +95,40 @@ def main():
         )
         return outs, ng
 
+    def s4b(env):
+        # two COUNT slots (value-independent rows): isolates "any second
+        # op" cost from sum-specific cost
+        so = head(env)
+        gid, ng = gid_of(so)
+        sel = jnp.ones((n,), jnp.bool_)
+        sel2 = so[2] > 0
+        outs = segmented_reduce_sorted(
+            gid,
+            (so[0].astype(jnp.float32), so[0].astype(jnp.float32)),
+            (sel, sel2),
+            ops=("count", "count"),
+            num_groups=gcap,
+        )
+        return outs, ng
+
+    def s4c(env):
+        # sum WITHOUT the count slot
+        so = head(env)
+        gid, ng = gid_of(so)
+        sel = jnp.ones((n,), jnp.bool_)
+        outs = segmented_reduce_sorted(
+            gid,
+            (sanitize_nonfinite(so[2]),),
+            (sel,),
+            ops=("sum",),
+            num_groups=gcap,
+        )
+        return outs, ng
+
     results = {}
     for name, fn in [("s1_sort", s1), ("s2_gid", s2), ("s3_count", s3),
-                     ("s4_count_sum", s4)]:
+                     ("s4_count_sum", s4), ("s4b_two_counts", s4b),
+                     ("s4c_sum_only", s4c)]:
         t, spread = time_pipeline(
             jax.jit(fn), (k, lat, lng), repeats=3, with_spread=True
         )

@@ -104,6 +104,10 @@ class ExecutionContext:
         roadmapped (ROADMAP.md 0.8.0)."""
         self.mesh = mesh
         self._tables: dict[str, Table] = {}
+        # table name -> {file_type, path, has_header} for file-backed
+        # tables: stamped onto serialized plans (serialize_plan) so they
+        # are executable without pre-registered tables
+        self._table_sources: dict[str, dict] = {}
         self._functions: dict[str, tuple[FunctionMeta, Optional[Callable]]] = {}
         self._compile_cache: dict = {}
         self._catalog = _Catalog(self)
@@ -144,6 +148,9 @@ class ExecutionContext:
         self, name: str, path: str, schema: Schema, *, has_header: bool = True
     ) -> None:
         self.register_table(name, read_csv(path, schema, has_header=has_header))
+        self._table_sources[name] = {
+            "file_type": "csv", "path": path, "has_header": has_header,
+        }
 
     def register_parquet(self, name: str, path: str, schema=None) -> None:
         """Load a Parquet file (the reference parsed STORED AS PARQUET but
@@ -151,6 +158,9 @@ class ExecutionContext:
         from datafusion_tpu.columnar.parquet import read_parquet
 
         self.register_table(name, read_parquet(path, schema))
+        self._table_sources[name] = {
+            "file_type": "parquet", "path": path, "has_header": True,
+        }
 
     def register_function(self, meta: FunctionMeta, fn: Optional[Callable] = None) -> None:
         """Register a UDF (reference: get_function_meta was
@@ -216,9 +226,12 @@ class ExecutionContext:
             if isinstance(inner, _DDL_NODES):
                 raise PlanError("cannot EXPLAIN a DDL statement")
             plan = SqlToRel(self._catalog).sql_to_rel(inner)
-            from datafusion_tpu.plan.optimizer import push_down_projection
+            from datafusion_tpu.plan.optimizer import (
+                push_down_filters,
+                push_down_projection,
+            )
 
-            plan = push_down_projection(plan)
+            plan = push_down_projection(push_down_filters(plan))
             text = repr(plan) + "\n"
             if node.verbose:
                 # EXPLAIN VERBOSE: lower (no execution) to record the
@@ -262,6 +275,7 @@ class ExecutionContext:
                     return ResultTable(Schema.empty(), [], [])
                 raise PlanError(f"no table named {node.name} to drop")
             del self._tables[node.name]
+            self._table_sources.pop(node.name, None)
             return ResultTable(Schema.empty(), [], [])
         if isinstance(node, A.SQLShowTables):
             names = sorted(self._tables)
@@ -310,13 +324,86 @@ class ExecutionContext:
         }
         return result
 
-    def execute(self, plan: LogicalPlan) -> ResultTable:
-        """Compile (with caching) and run a logical plan. The projection
-        push-down optimizer runs here (the reference disabled its
-        optimizer at this exact point, context.rs:89)."""
-        from datafusion_tpu.plan.optimizer import push_down_projection
+    def serialize_plan(self, sql_or_plan) -> str:
+        """JSON-serialize a plan with SELF-CONTAINED source metadata
+        stamped onto every TableScan of a file-backed table, so the
+        result is executable by a context with no pre-registered tables
+        (execute_plan_json). Realizes the reference's plan-shipping
+        groundwork: DataSourceMeta::{CsvFile,ParquetFile} and
+        PhysicalPlan were serde-serializable but never constructed
+        (datasource.rs:78-93, physicalplan.rs:18-34)."""
+        import copy as _copy
+        import json as _json
 
-        plan = push_down_projection(plan)
+        from datafusion_tpu.plan.logical import TableScan, plan_to_json
+
+        plan = (
+            self.plan(sql_or_plan)
+            if isinstance(sql_or_plan, str)
+            else sql_or_plan
+        )
+        plan = _copy.deepcopy(plan)
+
+        def stamp(p) -> None:
+            if isinstance(p, TableScan) and p.source is None:
+                p.source = self._table_sources.get(p.table_name)
+            for c in p.children():
+                stamp(c)
+
+        stamp(plan)
+        return _json.dumps(plan_to_json(plan))
+
+    def execute_plan_json(self, text: str) -> ResultTable:
+        """Execute a serialized plan. TableScans naming unregistered
+        tables load from their embedded source metadata first — a
+        shipped plan runs in a fresh context (VERDICT r3 next #7)."""
+        import json as _json
+
+        from datafusion_tpu.plan.logical import TableScan, plan_from_json
+
+        plan = plan_from_json(_json.loads(text))
+
+        def load(p) -> None:
+            if isinstance(p, TableScan):
+                src = p.source
+                if p.table_name not in self._tables and src is not None:
+                    ft = src.get("file_type")
+                    if ft == "csv":
+                        self.register_csv(
+                            p.table_name, src["path"], p.schema,
+                            has_header=bool(src.get("has_header", True)),
+                        )
+                    elif ft == "parquet":
+                        self.register_parquet(
+                            p.table_name, src["path"], p.schema
+                        )
+                    elif ft == "ndjson":
+                        from datafusion_tpu.columnar.ndjson import read_ndjson
+
+                        self.register_table(
+                            p.table_name, read_ndjson(src["path"], p.schema)
+                        )
+                    else:
+                        raise ExecutionError(
+                            f"serialized TableScan of '{p.table_name}' has "
+                            f"unknown source file_type {ft!r}"
+                        )
+            for c in p.children():
+                load(c)
+
+        load(plan)
+        return self.execute(plan)
+
+    def execute(self, plan: LogicalPlan) -> ResultTable:
+        """Compile (with caching) and run a logical plan. The filter and
+        projection push-down optimizers run here (the reference disabled
+        its optimizer at this exact point, context.rs:89)."""
+        from datafusion_tpu.plan.optimizer import (
+            push_down_filters,
+            push_down_projection,
+        )
+
+        plan = push_down_projection(push_down_filters(plan))
         key = (
             repr(plan),
             tuple(sorted((n, id(t)) for n, t in self._tables.items())),
@@ -399,6 +486,10 @@ class ExecutionContext:
             from datafusion_tpu.columnar.ndjson import read_ndjson
 
             self.register_table(node.name, read_ndjson(node.location, schema))
+            self._table_sources[node.name] = {
+                "file_type": "ndjson", "path": node.location,
+                "has_header": False,
+            }
         elif node.file_type is A.FileType.Parquet:
             from datafusion_tpu.columnar.parquet import read_parquet
 
@@ -406,6 +497,10 @@ class ExecutionContext:
                 node.name,
                 read_parquet(node.location, schema if node.columns else None),
             )
+            self._table_sources[node.name] = {
+                "file_type": "parquet", "path": node.location,
+                "has_header": True,
+            }
         else:
             raise NotImplementedError_(
                 f"STORED AS {node.file_type.value} is not supported"

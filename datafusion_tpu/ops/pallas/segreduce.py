@@ -204,51 +204,84 @@ def _kernel(ops, mask_map, n_masks, dense, has_ends, gid_ref, *refs):
         for a, op in enumerate(ops):
             if op in ("sum", "count"):
                 by_mask.setdefault(mask_key_of[a], []).append(a)
+        # Exact sum rows WITHOUT Precision.HIGHEST: split each f32 value
+        # row into three bf16-exact parts (Veltkamp-style: r0 = bf16(v),
+        # r1 = bf16(v - r0), r2 = the 8-bit tail — all three round-trip
+        # bf16 losslessly, and the one-hot side is 0/1 which is bf16-
+        # exact too), so THREE default-precision MXU passes reproduce
+        # HIGHEST bit-for-bit while fusing into the same stacked dot as
+        # the count rows. HIGHEST costs 6 passes because XLA must split
+        # BOTH operands; we know one side is exact. Measured on v5e:
+        # the c2 sum dot was 53 ms of the 58 ms above the sort floor
+        # (benchmarks/profile_c2.py, PERFLOG r4.1).
+        def _sum_parts(row):
+            r0 = row.astype(jnp.bfloat16).astype(jnp.float32)
+            rem = row - r0
+            r1 = rem.astype(jnp.bfloat16).astype(jnp.float32)
+            r2 = rem - r1
+            return (r0, r1, r2)
+
         for mk, idxs in by_mask.items():
             m = ms[mk]
             if factored:
                 lm = lmasks[mk][sl]  # masked rows hold W: hi = W/128 matches nothing
                 hi_ohT = (hi_rows == (lm // LO)[None, :]).astype(jnp.float32)
                 lo_oh = ((lm % LO)[:, None] == lo_cols).astype(jnp.float32)
+                blocks = []
+                plan = []  # (op index, number of stacked parts)
                 for a in idxs:
                     if ops[a] == "count":
                         row = m.astype(jnp.float32)[sl]
-                        prec = None  # 0/1 operands are exact at default
+                        blocks.append(hi_ohT * row[None, :])
+                        plan.append((a, 1))
                     else:
                         v = val_refs[a][:]
                         row = jnp.where(
                             m, v, jnp.zeros((), v.dtype)
                         ).astype(jnp.float32)[sl]
-                        prec = lax.Precision.HIGHEST
-                    prod = jnp.dot(
-                        hi_ohT * row[None, :],
-                        lo_oh,
-                        preferred_element_type=jnp.float32,
-                        precision=prec,
-                    )  # [HI, LO]
-                    contribs[a] = contribs[a] + prod.reshape(W)
+                        for rr in _sum_parts(row):
+                            blocks.append(hi_ohT * rr[None, :])
+                        plan.append((a, 3))
+                stacked = (
+                    jnp.concatenate(blocks, axis=0)
+                    if len(blocks) > 1
+                    else blocks[0]
+                )  # [P*HI, SUB]
+                prod = jnp.dot(
+                    stacked, lo_oh, preferred_element_type=jnp.float32
+                )  # [P*HI, LO]
+                off = 0
+                for a, nparts in plan:
+                    part = prod[off * HI : (off + nparts) * HI]
+                    if nparts == 3:
+                        p3 = part.reshape(3, HI, LO)
+                        part = p3[0] + p3[1] + p3[2]
+                    contribs[a] = contribs[a] + part.reshape(W)
+                    off += nparts
                 continue
             oh = onehots[mk]
             rows = []
-            any_sum = False
+            plan = []
             for a in idxs:
                 if ops[a] == "count":
                     rows.append(m.astype(jnp.float32)[sl])
+                    plan.append((a, 1))
                 else:
-                    any_sum = True
                     v = val_refs[a][:]
-                    rows.append(
-                        jnp.where(m, v, jnp.zeros((), v.dtype)).astype(jnp.float32)[sl]
-                    )
-            stacked = jnp.stack(rows, axis=0)  # [A, SUB]
+                    row = jnp.where(m, v, jnp.zeros((), v.dtype)).astype(
+                        jnp.float32
+                    )[sl]
+                    rows.extend(_sum_parts(row))
+                    plan.append((a, 3))
+            stacked = jnp.stack(rows, axis=0)  # [P, SUB]
             prod = jnp.dot(
-                stacked,
-                oh,
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST if any_sum else None,
-            )  # [A, W]
-            for r, a in enumerate(idxs):
-                contribs[a] = contribs[a] + prod[r]
+                stacked, oh, preferred_element_type=jnp.float32
+            )  # [P, W]
+            r = 0
+            for a, nparts in plan:
+                part = prod[r] if nparts == 1 else prod[r] + prod[r + 1] + prod[r + 2]
+                contribs[a] = contribs[a] + part
+                r += nparts
 
         for a, op in enumerate(ops):
             m = ms[mask_key_of[a]]

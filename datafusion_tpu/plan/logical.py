@@ -389,6 +389,12 @@ class TableScan(LogicalPlan):
     table_name: str
     schema: Schema
     projection: Optional[list[int]] = None
+    # self-contained source description {file_type, path, has_header} —
+    # stamped by ExecutionContext.serialize_plan so a shipped plan JSON
+    # is executable by a context with no pre-registered tables (the
+    # reference's serializable-but-never-constructed groundwork:
+    # datasource.rs:78-93 DataSourceMeta, physicalplan.rs:18-34)
+    source: Optional[dict] = None
 
     def _fmt(self, indent: int) -> str:
         proj = "None" if self.projection is None else f"Some({self.projection})"
@@ -704,6 +710,7 @@ def plan_to_json(p: LogicalPlan):
                 "table_name": p.table_name,
                 "schema": _schema_to_json(p.schema),
                 "projection": p.projection,
+                "source": p.source,
             }
         }
     if isinstance(p, Projection):
@@ -780,6 +787,7 @@ def plan_from_json(d) -> LogicalPlan:
             body["table_name"],
             _schema_from_json(body["schema"]),
             body["projection"],
+            body.get("source"),
         )
     if kind == "Projection":
         return Projection(

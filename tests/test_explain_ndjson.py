@@ -113,3 +113,44 @@ def test_explain_verbose_physical_notes(data_dir):
         "EXPLAIN SELECT p.k FROM p ORDER BY k LIMIT 3"
     ).result_str()
     assert "physical:" not in plain
+
+
+def test_parquet_string_ingest_vectorized(tmp_path):
+    # r4 (VERDICT r3 next #8): string columns dictionary-encode in Arrow
+    # C++ — only the vocab crosses into Python. Parity between the
+    # pyarrow path and the pandas fallback on a dictionary-heavy file.
+    import numpy as np
+    import pytest
+
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    import jax
+
+    from datafusion_tpu.columnar.parquet import (
+        _read_parquet_pandas,
+        read_parquet,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    t = pa.table(
+        {
+            "s": pa.array([f"name_{i:04d}" for i in rng.integers(0, 700, n)]),
+            "v": pa.array(rng.random(n)),
+            "i": pa.array(rng.integers(0, 1000, n)),
+        }
+    )
+    p = str(tmp_path / "strings.parquet")
+    pq.write_table(t, p)
+    ta = read_parquet(p)
+    tb = _read_parquet_pandas(p)
+    assert ta.schema.to_string() == tb.schema.to_string()
+    ca, cb = ta.columns[0], tb.columns[0]
+    da = np.asarray(jax.device_get(ca.data))[:n]
+    db = np.asarray(jax.device_get(cb.data))[:n]
+    va = np.asarray(ca.dictionary, dtype=object)
+    vb = np.asarray(cb.dictionary, dtype=object)
+    assert (va[da] == vb[db]).all()
+    # order-preserving dictionary: codes sort like the strings
+    assert list(va) == sorted(va)

@@ -125,10 +125,28 @@ def main():
         )
         return outs, ng
 
+    def s4_at(gc):
+        def fn(env):
+            so = head(env)
+            gid, ng = gid_of(so)
+            sel = jnp.ones((n,), jnp.bool_)
+            outs = segmented_reduce_sorted(
+                gid,
+                (so[0].astype(jnp.float32), sanitize_nonfinite(so[2])),
+                (sel, sel),
+                ops=("count", "sum"),
+                num_groups=gc,
+            )
+            return outs, ng
+        return fn
+
     results = {}
     for name, fn in [("s1_sort", s1), ("s2_gid", s2), ("s3_count", s3),
                      ("s4_count_sum", s4), ("s4b_two_counts", s4b),
-                     ("s4c_sum_only", s4c)]:
+                     ("s4c_sum_only", s4c),
+                     ("s4_gcap4k", s4_at(4096)),
+                     ("s4_gcap16k", s4_at(16384)),
+                     ("s4_gcap256k", s4_at(1 << 18))]:
         t, spread = time_pipeline(
             jax.jit(fn), (k, lat, lng), repeats=3, with_spread=True
         )

@@ -1336,12 +1336,13 @@ class PlanCompiler:
     DIRECT_JOIN_DOM_FACTOR = 4
     DIRECT_JOIN_DOM_MAX = 1 << 26
 
-    def _direct_join_domain(self, plan: L.Join, left: Lowered, right: Lowered):
+    def _direct_join_domain(self, li: int, ri: int, left: Lowered, right: Lowered):
         """(kmin, domain) for the direct-index join when the single build
         key's value domain is statically known and small: dictionary-coded
         keys (domain = merged vocab size) or a scanned integer column
-        (min/max probed like the dense GROUP BY path). None otherwise."""
-        li, ri = plan.on[0]
+        (min/max probed like the dense GROUP BY path). None otherwise.
+        `left`/`ri` name the probe/build roles, not the plan sides — the
+        caller may pass a swapped orientation."""
         ld, rd = left.dicts[li], right.dicts[ri]
         if ld is not None and rd is not None:
             dom = len(ld) if ld == rd else len(set(ld) | set(rd))
@@ -1574,12 +1575,17 @@ class PlanCompiler:
             if is_full
             else max(left.capacity, right.capacity)
         )
-        # optimistic strategy slot: budget 0 duplicate-matched probes. The
-        # compact (one-output-row-per-probe, FK/star-schema) join runs
-        # first; if the data has multi-match probes the dup count
-        # overflows this slot and the standard retry recompiles with the
-        # general expand strategy (see ops/join.py join_columns).
+        # optimistic strategy slots: budget 0 duplicate-matched probes.
+        # dup_cap guards attempt 1 (direct-unswapped or compact); dup_cap2
+        # guards the SWAPPED direct orientation, so the retry ladder is
+        #   direct(unswapped) -> direct(swapped) -> compact/expand
+        # — INNER joins are side-symmetric, and TPC-H-Q3-shaped chains
+        # (fact table joining a prior join's unique-key output) only
+        # have a unique build side in the swapped orientation (VERDICT
+        # r3 next #3). Each failed attempt overflows its slot and the
+        # standard retry recompiles (see ops/join.py join_columns).
         dup_cap = self._alloc_cap(0)
+        dup_cap2 = self._alloc_cap(0)
         strategy = "expand" if dup_cap > 0 else "compact"
         import os
 
@@ -1594,21 +1600,33 @@ class PlanCompiler:
         # dense-build-key direct-index path: single key with a statically
         # known small build domain (dictionary vocab or probed scanned-int
         # min/max, same probe as the dense GROUP BY) joins with ONE small
-        # scatter + ONE gather per output column — no sorts. Build-key
-        # duplicates fall back through the dup-overflow retry exactly like
-        # compact → expand.
+        # scatter + ONE gather per output column — no sorts.
         direct_dom: Optional[tuple[int, int]] = None  # (kmin, domain)
+        direct_swap = False  # probe/build roles flipped vs plan sides
         if (
-            strategy == "compact"
-            and not is_full
+            not is_full
+            and not cross
             and len(plan.on) == 1
-            and override != "compact"
+            and override not in ("compact", "expand")
         ):
-            direct_dom = self._direct_join_domain(plan, left, right)
+            dom_u = self._direct_join_domain(
+                plan.on[0][0], plan.on[0][1], left, right
+            )
+            dom_s = (
+                self._direct_join_domain(
+                    plan.on[0][1], plan.on[0][0], right, left
+                )
+                if plan.join_type is L.JoinType.Inner
+                else None
+            )
+            if dup_cap == 0 and dom_u is not None:
+                direct_dom = dom_u
+            elif dup_cap2 == 0 and dom_s is not None:
+                direct_dom, direct_swap = dom_s, True
         if direct_dom is not None:
             strategy = "direct"
         self.notes.append(
-            f"join: {strategy} "
+            f"join: {strategy}{' (swapped: build=left side)' if direct_swap else ''} "
             + (
                 f"(dense build domain [{direct_dom[0]}, {direct_dom[0] + direct_dom[1]}), "
                 "one scatter + per-column gather, dup fallback armed), "
@@ -1651,26 +1669,40 @@ class PlanCompiler:
             kmin_d, dom_d = direct_dom
             li0, ri0 = plan.on[0]
             remap0 = remaps[0]
+            # probe/build roles (direct_swap flips them; inner-only, so
+            # keep_unmatched is False whenever swapped)
+            probe_low, build_low = (right, left) if direct_swap else (left, right)
+            pk_i, bk_i = (ri0, li0) if direct_swap else (li0, ri0)
 
             def fn_direct(env) -> Batch:
-                lb = left.fn(env)
-                rb = right.fn(env)
-                lk, _ = _broadcast_col(lb.cols[li0], lb.capacity)
-                rk, _ = _broadcast_col(rb.cols[ri0], rb.capacity)
+                pb = probe_low.fn(env)
+                bb = build_low.fn(env)
+                pk, _ = _broadcast_col(pb.cols[pk_i], pb.capacity)
+                bk, _ = _broadcast_col(bb.cols[bk_i], bb.capacity)
                 if remap0 is not None:
-                    lk = jnp.take(remap0[0], lk)
-                    rk = jnp.take(remap0[1], rk)
-                build_cols = [_broadcast_col(c, rb.capacity) for c in rb.cols]
-                rcols, matched, dups = join_ops.direct_index_join(
-                    lk, lb.sel, rk, rb.sel, build_cols, kmin_d, dom_d,
+                    pmap, bmap = (
+                        (remap0[1], remap0[0]) if direct_swap else remap0
+                    )
+                    pk = jnp.take(pmap, pk)
+                    bk = jnp.take(bmap, bk)
+                build_cols = [_broadcast_col(c, bb.capacity) for c in bb.cols]
+                bcols, matched, dups = join_ops.direct_index_join(
+                    pk, pb.sel, bk, bb.sel, build_cols, kmin_d, dom_d,
                     matched_validity=keep_unmatched,
                 )
-                out_sel = lb.sel if keep_unmatched else jnp.logical_and(
-                    lb.sel, matched
+                out_sel = pb.sel if keep_unmatched else jnp.logical_and(
+                    pb.sel, matched
                 )
                 self.totals.append(jnp.sum(out_sel.astype(jnp.int32)))
-                self.totals.append(dups)
-                return Batch(list(lb.cols) + rcols, out_sel)
+                zero = jnp.zeros((), jnp.int32)
+                # dup budget slots: A = unswapped attempt, B = swapped
+                self.totals.append(zero if direct_swap else dups)
+                self.totals.append(dups if direct_swap else zero)
+                # output column order is ALWAYS (plan.left..., plan.right...)
+                cols = (
+                    bcols + list(pb.cols) if direct_swap else list(pb.cols) + bcols
+                )
+                return Batch(cols, out_sel)
 
             # INNER join: surviving keys are a subset of the build
             # domain — publish it as a static value bound on both key
@@ -1678,24 +1710,36 @@ class PlanCompiler:
             # probes the POST-join domain (typically the small dimension
             # PK range), not the scan's (VERDICT r2 next #1a). LEFT join
             # keeps unmatched probe keys, so no narrowing there.
-            bounds = left.bnd() + [None] * len(right.schema)
+            bounds = left.bnd() + (
+                # inner: build outputs are gathers of (selected) build
+                # values, so the build side's bounds carry over
+                right.bnd()
+                if plan.join_type is L.JoinType.Inner
+                else [None] * len(right.schema)
+            )
             if plan.join_type is L.JoinType.Inner and remap0 is None:
                 kb = (kmin_d, kmin_d + dom_d - 1)
-                lb = bounds[li0]
+                lb0 = bounds[li0]
                 bounds[li0] = (
-                    kb if lb is None else (max(kb[0], lb[0]), min(kb[1], lb[1]))
+                    kb if lb0 is None else (max(kb[0], lb0[0]), min(kb[1], lb0[1]))
                 )
                 bounds[len(left.schema) + ri0] = kb
+            # probe rows stay in place (mask-only selection), so the
+            # probe-side columns remain scan pass-throughs — which also
+            # lets the dense GROUP BY probe see through the join
+            probe_src = probe_low.src()
+            sources = (
+                [None] * len(left.schema) + probe_src
+                if direct_swap
+                else probe_src + [None] * len(right.schema)
+            )
             return Lowered(
                 plan.schema,
                 left.dicts + right.dicts,
                 fn_direct,
-                left.capacity,
-                left.layout,
-                # probe rows stay in place (mask-only selection), so the
-                # probe-side columns remain scan pass-throughs — which
-                # also lets the dense GROUP BY probe see through the join
-                sources=left.src() + [None] * len(right.schema),
+                probe_low.capacity,
+                probe_low.layout,
+                sources=sources,
                 bounds=bounds,
             )
 
@@ -1742,10 +1786,43 @@ class PlanCompiler:
                     for d, v in rcols
                 ]
             self.totals.append(total)
-            self.totals.append(dups if strategy == "compact" else jnp.zeros((), jnp.int32))
+            self.totals.append(
+                dups if strategy == "compact" else jnp.zeros((), jnp.int32)
+            )
+            self.totals.append(jnp.zeros((), jnp.int32))  # swapped-dup slot B
             return Batch(lcols + rcols, out_sel)
 
-        return Lowered(plan.schema, left.dicts + right.dicts, fn, out_cap, left.layout)
+        # INNER sort-strategy joins publish static value bounds too
+        # (VERDICT r3 next #3: bound propagation used to die at the
+        # first sort join, so the rest of a join chain could never
+        # upgrade to direct/packed paths). Output rows are a SUBSET of
+        # each side's selected rows, so each side's bounds carry over;
+        # key columns additionally satisfy BOTH sides' constraints, so
+        # their bound is the intersection of the sides' probed scanned
+        # ranges. Bounds hold on selected+valid rows only — consumers
+        # mask by sel/validity (clip + NULL radix on the packed GROUP
+        # BY; sel on the direct join). LEFT/FULL joins keep no bounds:
+        # unmatched slots carry stale build values.
+        bounds = None
+        if plan.join_type is L.JoinType.Inner and not cross:
+            bounds = left.bnd() + right.bnd()
+            for li, ri in plan.on:
+                lrng = self._scanned_int_range(left, li)
+                rrng = self._scanned_int_range(right, ri)
+                if lrng is None:
+                    cand = rrng
+                elif rrng is None:
+                    cand = lrng
+                else:
+                    cand = (max(lrng[0], rrng[0]), min(lrng[1], rrng[1]))
+                if cand is not None and cand[0] <= cand[1]:
+                    bounds[li] = cand
+                    bounds[len(left.schema) + ri] = cand
+
+        return Lowered(
+            plan.schema, left.dicts + right.dicts, fn, out_cap, left.layout,
+            bounds=bounds,
+        )
 
 
 def compile_plan(

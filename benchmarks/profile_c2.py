@@ -140,10 +140,20 @@ def main():
             return outs, ng
         return fn
 
+    def s4f(env):
+        # count+sum with the bf16x3 split DISABLED (DFTPU_SUM_SPLIT=0):
+        # one lossy single-pass dot row per sum — isolates the split's
+        # 3x M-rows + concat + recombine cost (perf probe, inexact)
+        os.environ["DFTPU_SUM_SPLIT"] = "0"
+        try:
+            return s4(env)
+        finally:
+            os.environ["DFTPU_SUM_SPLIT"] = "1"
+
     results = {}
     for name, fn in [("s1_sort", s1), ("s2_gid", s2), ("s3_count", s3),
                      ("s4_count_sum", s4), ("s4b_two_counts", s4b),
-                     ("s4c_sum_only", s4c),
+                     ("s4c_sum_only", s4c), ("s4f_nosplit", s4f),
                      ("s4_gcap4k", s4_at(4096)),
                      ("s4_gcap16k", s4_at(16384)),
                      ("s4_gcap256k", s4_at(1 << 18))]:

@@ -120,6 +120,11 @@ class CompiledQuery:
     # (the session cache replaces this entry with it, so the next
     # execution skips the small pipeline + recompile entirely)
     _final: Optional["CompiledQuery"] = None
+    # per scan slot: table column indices the pipeline reads. Unused
+    # columns ship as (None, None) env entries — never touched by the
+    # trace, never transferred, and (for lazy file-backed tables) never
+    # parsed. None = ship everything (legacy callers).
+    _used_cols: Optional[list[set]] = None
 
     def run(self):
         """Execute; on capacity overflow (join matches or group count
@@ -129,9 +134,19 @@ class CompiledQuery:
         from datafusion_tpu.exec.result import ResultTable
         from datafusion_tpu.parallel.multihost import to_host
 
-        env = [
-            [(c.data, c.validity) for c in t.columns] for t in self._scan_tables
-        ]
+        env = []
+        for slot, t in enumerate(self._scan_tables):
+            used = (
+                None
+                if self._used_cols is None or slot >= len(self._used_cols)
+                else self._used_cols[slot]
+            )
+            env.append(
+                [
+                    (c.data, c.validity) if used is None or i in used else (None, None)
+                    for i, c in enumerate(t.columns)
+                ]
+            )
         datas, valids, sel, totals = self._jitted(env)
         totals = [int(to_host(t)) for t in totals] if totals else []
         grows = self._grows or {}
@@ -391,6 +406,9 @@ class PlanCompiler:
         self.tables = tables
         self.fn_registry = fn_registry or {}
         self.scan_tables: list[Table] = []
+        self.scan_used: list[set] = []  # per scan slot: table col indices
+        # the compiled pipeline reads (lazy sources parse only these;
+        # CompiledQuery.run ships only these as jit inputs)
         self.caps_in = list(caps) if caps else []
         self.caps: list[int] = []
         self.totals: list = []  # traced counts, parallel to caps
@@ -419,6 +437,7 @@ class PlanCompiler:
                 del self.grows[k]
             del self.notes[marks[1]:]
             del self.scan_tables[marks[2]:]
+            del self.scan_used[marks[2]:]
         return res
 
     def _alloc_cap(self, default: int, grow=None) -> int:
@@ -616,6 +635,12 @@ class PlanCompiler:
         self.scan_tables.append(table)
         proj = plan.projection
         indices = list(range(len(table.schema))) if proj is None else list(proj)
+        # lazy file-backed tables (columnar/csv.py LazyCsvTable) parse
+        # only the projected columns, in one pass, at compile time
+        ensure = getattr(table, "ensure_columns", None)
+        if ensure is not None:
+            ensure(indices)
+        self.scan_used.append(set(indices))
         schema = table.schema.project(indices)
         dicts = [table.columns[i].dictionary for i in indices]
         n, cap = table.num_rows, table.capacity
@@ -1869,4 +1894,5 @@ def compile_plan(
         _sources=sources,
         _grows=dict(pc.grows),
         _host_post=host_post,
+        _used_cols=pc.scan_used,
     )

@@ -117,10 +117,42 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
-def parse_csv_native(path: str, schema: Schema, has_header: bool):
+def count_csv_rows_native(path: str, has_header: bool):
+    """Data-row count via the native index pass alone (no field parsing)
+    — the cheap metadata pass lazy tables take at registration. None if
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import mmap
+
+    with open(path, "rb") as f:
+        size = os.fstat(f.fileno()).st_size
+        if size == 0:
+            return 0
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            buf_ptr = ctypes.c_void_p(np.frombuffer(mm, dtype=np.uint8).ctypes.data)
+            nrows_out = ctypes.c_int64(0)
+            idx = lib.dftpu_csv_index(
+                buf_ptr, size, int(has_header), 0, ctypes.byref(nrows_out)
+            )
+            lib.dftpu_csv_index_free(idx)
+            n = int(nrows_out.value)
+            return n if n >= 0 else None
+        finally:
+            mm.close()
+
+
+def parse_csv_native(path: str, schema: Schema, has_header: bool, columns=None):
     """Parse a CSV with the native loader. Returns (arrays, validity) in
     the format Table.from_arrays expects, or None if the native path is
-    unavailable (caller falls back to the Python parser)."""
+    unavailable (caller falls back to the Python parser).
+
+    columns: optional collection of column indices to materialize —
+    others are SKIPPED in C++ (dtype code -1 matches no switch case: no
+    conversion, no buffer writes; the field scan still walks the row)
+    and return None entries."""
     lib = get_lib()
     if lib is None:
         return None
@@ -149,14 +181,25 @@ def parse_csv_native(path: str, schema: Schema, has_header: bool):
         if n < 0:
             return None
         ncols = len(schema)
+        want = None if columns is None else set(columns)
         dtypes = np.array(
-            [_DTYPE_CODE[f.dtype] for f in schema.fields], dtype=np.int32
+            [
+                _DTYPE_CODE[f.dtype] if want is None or j in want else -1
+                for j, f in enumerate(schema.fields)
+            ],
+            dtype=np.int32,
         )
         bufs = []
         valids = []
         out_ptrs = (ctypes.c_void_p * ncols)()
         valid_ptrs = (ctypes.c_void_p * ncols)()
         for j, field in enumerate(schema.fields):
+            if want is not None and j not in want:
+                bufs.append(None)
+                valids.append(None)
+                out_ptrs[j] = None
+                valid_ptrs[j] = None
+                continue
             if field.dtype is DataType.Utf8:
                 arr = np.zeros((n, 2), dtype=np.int64)  # (offset, length)
             elif field.dtype is DataType.Boolean:
@@ -197,6 +240,10 @@ def _finish_columns(lib, buf_ptr, data, n, schema, bufs, valids):
     arrays = []
     validity = []
     for j, field in enumerate(schema.fields):
+        if bufs[j] is None:  # skipped (column-subset parse)
+            arrays.append(None)
+            validity.append(None)
+            continue
         if field.dtype is DataType.Utf8:
             # dictionary-encode in C++ (sorted byte-order vocab == Python
             # str order); only the small vocab is decoded in Python —

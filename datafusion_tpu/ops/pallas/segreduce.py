@@ -73,7 +73,7 @@ def _identity(op: str, dtype):
     )
 
 
-def _kernel(ops, mask_map, n_masks, dense, has_ends, gid_ref, *refs):
+def _kernel(ops, mask_map, n_masks, dense, has_ends, sum_split, gid_ref, *refs):
     nags = len(ops)
     val_refs = refs[:nags]
     umask_refs = refs[nags : nags + n_masks]
@@ -215,6 +215,9 @@ def _kernel(ops, mask_map, n_masks, dense, has_ends, gid_ref, *refs):
         # the c2 sum dot was 53 ms of the 58 ms above the sort floor
         # (benchmarks/profile_c2.py, PERFLOG r4.1).
         def _sum_parts(row):
+            if not sum_split:  # DFTPU_SUM_SPLIT=0: single pass, value
+                return (row,)  # operand rounds to bf16 in the MXU (perf
+                # probe / lossy fast mode — NOT parity-safe)
             r0 = row.astype(jnp.bfloat16).astype(jnp.float32)
             rem = row - r0
             r1 = rem.astype(jnp.bfloat16).astype(jnp.float32)
@@ -239,9 +242,10 @@ def _kernel(ops, mask_map, n_masks, dense, has_ends, gid_ref, *refs):
                         row = jnp.where(
                             m, v, jnp.zeros((), v.dtype)
                         ).astype(jnp.float32)[sl]
-                        for rr in _sum_parts(row):
+                        parts = _sum_parts(row)
+                        for rr in parts:
                             blocks.append(hi_ohT * rr[None, :])
-                        plan.append((a, 3))
+                        plan.append((a, len(parts)))
                 stacked = (
                     jnp.concatenate(blocks, axis=0)
                     if len(blocks) > 1
@@ -253,8 +257,8 @@ def _kernel(ops, mask_map, n_masks, dense, has_ends, gid_ref, *refs):
                 off = 0
                 for a, nparts in plan:
                     part = prod[off * HI : (off + nparts) * HI]
-                    if nparts == 3:
-                        p3 = part.reshape(3, HI, LO)
+                    if nparts > 1:
+                        p3 = part.reshape(nparts, HI, LO)
                         part = p3[0] + p3[1] + p3[2]
                     contribs[a] = contribs[a] + part.reshape(W)
                     off += nparts
@@ -271,8 +275,9 @@ def _kernel(ops, mask_map, n_masks, dense, has_ends, gid_ref, *refs):
                     row = jnp.where(m, v, jnp.zeros((), v.dtype)).astype(
                         jnp.float32
                     )[sl]
-                    rows.extend(_sum_parts(row))
-                    plan.append((a, 3))
+                    parts = _sum_parts(row)
+                    rows.extend(parts)
+                    plan.append((a, len(parts)))
             stacked = jnp.stack(rows, axis=0)  # [P, SUB]
             prod = jnp.dot(
                 stacked, oh, preferred_element_type=jnp.float32
@@ -357,6 +362,8 @@ def segmented_reduce_sorted(
     interpret: bool = False,
     dense: bool = False,
 ):
+    import os
+
     return _segmented_reduce_sorted(
         gid,
         values,
@@ -366,12 +373,15 @@ def segmented_reduce_sorted(
         interpret=interpret,
         dense=dense,
         segscan=_segscan_enabled(),
+        sum_split=os.environ.get("DFTPU_SUM_SPLIT", "1") != "0",
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ops", "num_groups", "interpret", "dense", "segscan"),
+    static_argnames=(
+        "ops", "num_groups", "interpret", "dense", "segscan", "sum_split"
+    ),
 )
 def _segmented_reduce_sorted(
     gid: jax.Array,
@@ -383,6 +393,7 @@ def _segmented_reduce_sorted(
     interpret: bool = False,
     dense: bool = False,
     segscan: bool = False,
+    sum_split: bool = True,
 ):
     """Reduce `values[a]` into per-group slots according to sorted `gid`.
 
@@ -446,7 +457,8 @@ def _segmented_reduce_sorted(
         )
 
     kernel = functools.partial(
-        _kernel, ops, tuple(mask_map), len(umasks), dense, has_ends
+        _kernel, ops, tuple(mask_map), len(umasks), dense, has_ends,
+        sum_split,
     )
     outs = pl.pallas_call(
         kernel,

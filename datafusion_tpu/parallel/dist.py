@@ -1628,4 +1628,5 @@ def compile_plan_distributed(
         _caps=list(pc.caps),
         _recompile=recompile,
         _grows=dict(pc.grows),
+        _used_cols=pc.scan_used,
     )

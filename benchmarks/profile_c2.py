@@ -126,9 +126,17 @@ def main():
         return outs, ng
 
     def s4_at(gc):
+        # NOTE: gc must be >= the true group count — the kernel's
+        # dynamic accumulator-window write is unguarded past num_groups
+        # (feeding 65536 groups into a 4096-slot table crashed the TPU
+        # worker, r4). Scale the key domain WITH the table instead.
         def fn(env):
-            so = head(env)
-            gid, ng = gid_of(so)
+            kk, la, ln = env
+            kk = jnp.remainder(kk, jnp.int32(gc))  # shrink the domain
+            so = lax.sort([kk, to_sortable_int(la), ln], num_keys=2)
+            iota = lax.broadcasted_iota(jnp.int32, (n,), 0)
+            boundary = jnp.logical_or(iota == 0, so[0] != jnp.roll(so[0], 1))
+            gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
             sel = jnp.ones((n,), jnp.bool_)
             outs = segmented_reduce_sorted(
                 gid,
@@ -137,7 +145,7 @@ def main():
                 ops=("count", "sum"),
                 num_groups=gc,
             )
-            return outs, ng
+            return outs, jnp.sum(boundary.astype(jnp.int32))
         return fn
 
     def s4f(env):

@@ -913,7 +913,14 @@ def grouped_aggregate(
         jnp.logical_or(first, jnp.logical_or(changed, jnp.logical_not(prev_sel))),
     )
     gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    gid = jnp.where(sel_sorted, gid, gcap)  # out-of-range ids are dropped
+    # clamp BOTH branches to gcap: unselected rows route to the drop
+    # slot, and selected rows past the compiled capacity collapse onto
+    # it too. The surplus groups are dropped either way (the overflow
+    # retry recompiles bigger), but an UNclamped id would push the
+    # pallas kernel's dynamic accumulator-window write past its padded
+    # table — observed as a TPU worker crash, not a graceful overflow
+    # (PERFLOG r4.4).
+    gid = jnp.where(sel_sorted, jnp.minimum(gid, gcap), gcap)
     n_groups = jnp.sum(boundary.astype(jnp.int32))
     n_sel = jnp.sum(sel_sorted.astype(jnp.int32))
 

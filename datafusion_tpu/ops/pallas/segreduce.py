@@ -35,8 +35,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 1024  # rows per grid step (matches XLA's 1-D tile layout T(1024))
-SUB = 256  # rows per in-kernel chunk
+import os as _os
+
+# rows per grid step. The grid is SEQUENTIAL (accumulator carry), so
+# per-step latency multiplies by n/BLOCK — DFTPU_SEG_BLOCK for on-chip
+# amortization experiments (callers gate on capacity % BLOCK == 0).
+BLOCK = int(_os.environ.get("DFTPU_SEG_BLOCK", "1024"))
+# rows per in-kernel chunk: bounds the [SUB, W]-scale intermediates and
+# the per-chunk VREG working set (DFTPU_SEG_SUB for on-chip experiments)
+SUB = int(_os.environ.get("DFTPU_SEG_SUB", "256"))
 ALIGN = 1024  # f32 VMEM tile alignment, elements
 W = ALIGN + BLOCK  # update-window width (multiple of ALIGN)
 

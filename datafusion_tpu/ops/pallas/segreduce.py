@@ -231,45 +231,58 @@ def _kernel(ops, mask_map, n_masks, dense, has_ends, sum_split, gid_ref, *refs):
             r2 = rem - r1
             return (r0, r1, r2)
 
+        if factored:
+            # ONE mask-free one-hot pair per chunk, shared by EVERY
+            # sum/count op: zero-neutral reductions fold the mask into
+            # the ROW (a masked row scatters 0 into its real slot —
+            # harmless), so per-mask one-hot pipelines — and their VMEM
+            # traffic, the kernel's measured bottleneck (PERFLOG r4.4:
+            # cost flat in SUB, weak in BLOCK, linear in op/mask count)
+            # — collapse into one. Every dot operand is bf16-EXACT (0/1
+            # one-hots; the bf16x3-split value parts), halving the
+            # materialized bytes again; MXU accumulation stays f32.
+            # Out-of-window rows carry local_w = W: hi = W//128 == HI
+            # matches no hi_rows row, zeroing the product.
+            lw = local_w[sl]
+            hi_ohT = (hi_rows == (lw // LO)[None, :]).astype(jnp.bfloat16)
+            lo_oh = ((lw % LO)[:, None] == lo_cols).astype(jnp.bfloat16)
+            blocks = []
+            plan = []  # (op index, number of stacked parts)
+            for a, op in enumerate(ops):
+                m = ms[mask_key_of[a]]
+                if op == "count":
+                    row = m.astype(jnp.bfloat16)[sl]
+                    blocks.append(hi_ohT * row[None, :])
+                    plan.append((a, 1))
+                else:
+                    v = val_refs[a][:]
+                    row = jnp.where(
+                        m, v, jnp.zeros((), v.dtype)
+                    ).astype(jnp.float32)[sl]
+                    parts = _sum_parts(row)
+                    for rr in parts:
+                        blocks.append(hi_ohT * rr.astype(jnp.bfloat16)[None, :])
+                    plan.append((a, len(parts)))
+            stacked = (
+                jnp.concatenate(blocks, axis=0)
+                if len(blocks) > 1
+                else blocks[0]
+            )  # [P*HI, SUB] bf16
+            prod = jnp.dot(
+                stacked, lo_oh, preferred_element_type=jnp.float32
+            )  # [P*HI, LO] f32
+            off = 0
+            for a, nparts in plan:
+                part = prod[off * HI : (off + nparts) * HI]
+                if nparts > 1:
+                    p3 = part.reshape(nparts, HI, LO)
+                    part = p3[0] + p3[1] + p3[2]
+                contribs[a] = contribs[a] + part.reshape(W)
+                off += nparts
+            continue
+
         for mk, idxs in by_mask.items():
             m = ms[mk]
-            if factored:
-                lm = lmasks[mk][sl]  # masked rows hold W: hi = W/128 matches nothing
-                hi_ohT = (hi_rows == (lm // LO)[None, :]).astype(jnp.float32)
-                lo_oh = ((lm % LO)[:, None] == lo_cols).astype(jnp.float32)
-                blocks = []
-                plan = []  # (op index, number of stacked parts)
-                for a in idxs:
-                    if ops[a] == "count":
-                        row = m.astype(jnp.float32)[sl]
-                        blocks.append(hi_ohT * row[None, :])
-                        plan.append((a, 1))
-                    else:
-                        v = val_refs[a][:]
-                        row = jnp.where(
-                            m, v, jnp.zeros((), v.dtype)
-                        ).astype(jnp.float32)[sl]
-                        parts = _sum_parts(row)
-                        for rr in parts:
-                            blocks.append(hi_ohT * rr[None, :])
-                        plan.append((a, len(parts)))
-                stacked = (
-                    jnp.concatenate(blocks, axis=0)
-                    if len(blocks) > 1
-                    else blocks[0]
-                )  # [P*HI, SUB]
-                prod = jnp.dot(
-                    stacked, lo_oh, preferred_element_type=jnp.float32
-                )  # [P*HI, LO]
-                off = 0
-                for a, nparts in plan:
-                    part = prod[off * HI : (off + nparts) * HI]
-                    if nparts > 1:
-                        p3 = part.reshape(nparts, HI, LO)
-                        part = p3[0] + p3[1] + p3[2]
-                    contribs[a] = contribs[a] + part.reshape(W)
-                    off += nparts
-                continue
             oh = onehots[mk]
             rows = []
             plan = []

@@ -295,3 +295,62 @@ def test_direct_distributed_matches_single_chip():
         for name in ("p", "b"):
             dctx.register_table(name, rng_ctx._tables[name])
         assert _rows(dctx.sql(sql)) == single
+
+
+def test_swapped_direct_ladder_on_retry():
+    """Retry ladder (r4): attempt 1 = direct with build on the plan's
+    right side; when that overflows its dup slot (build keys not
+    unique), attempt 2 = direct with build on the LEFT side (unique-key
+    output); only then compact/expand. TPC-H Q3's second join shape."""
+    import numpy as np
+
+    import datafusion_tpu as df
+    from datafusion_tpu.exec.compiler import PlanCompiler
+
+    rng = np.random.default_rng(8)
+    n_fact, n_dim = 4000, 500
+    # left: unique bounded key; right: dup-heavy key over the same domain
+    left = df.Table.from_pydict(
+        {"ok": np.arange(n_dim, dtype=np.int32), "w": rng.random(n_dim)}
+    )
+    right = df.Table.from_pydict(
+        {
+            "fk": rng.integers(0, n_dim, n_fact).astype(np.int32),
+            "v": rng.random(n_fact),
+        }
+    )
+    ctx = df.ExecutionContext()
+    ctx.register_table("l", left)
+    ctx.register_table("r", right)
+    sql = "SELECT w, v FROM l JOIN r ON l.ok = r.fk"
+    plan = ctx.plan(sql)
+
+    # attempt 1 (all caps fresh): direct, build = right (fk has a
+    # bounded scanned domain too)
+    pc1 = PlanCompiler(ctx._tables)
+    pc1.lower(plan)
+    n1 = [x for x in pc1.notes if x.startswith("join:")]
+    assert "direct" in n1[0] and "swapped" not in n1[0], n1
+
+    # attempt 2: dup slot A overflowed -> swapped direct
+    pc2 = PlanCompiler(ctx._tables, caps=list(pc1.caps))
+    # find the dup slots: the two zero-valued caps after the join out_cap
+    caps2 = list(pc1.caps)
+    zi = [i for i, c in enumerate(caps2) if c == 0]
+    caps2[zi[0]] = 1024  # dup overflow on slot A
+    pc2 = PlanCompiler(ctx._tables, caps=caps2)
+    pc2.lower(plan)
+    n2 = [x for x in pc2.notes if x.startswith("join:")]
+    assert "direct (swapped" in n2[0], n2
+
+    # attempt 3: both dup slots overflowed -> expand
+    caps3 = list(caps2)
+    caps3[zi[1]] = 1024
+    pc3 = PlanCompiler(ctx._tables, caps=caps3)
+    pc3.lower(plan)
+    n3 = [x for x in pc3.notes if x.startswith("join:")]
+    assert "expand" in n3[0], n3
+
+    # end-to-end: results correct through whatever the ladder lands on
+    res = ctx.sql(sql + " ORDER BY v LIMIT 5").to_pylist()
+    assert len(res) == 5

@@ -107,9 +107,13 @@ def ieee_sum_cond(
     has = jnp.any(jnp.logical_and(mask, jnp.logical_not(jnp.isfinite(data))))
 
     def exact():
+        # seg_ids may be a zero-arg thunk: tracing it HERE keeps its
+        # cumsum inside the rarely-executed branch (the packed pallas
+        # path derives ids in-kernel and never pays it otherwise)
+        ids = seg_ids() if callable(seg_ids) else seg_ids
         return jax.ops.segment_sum(
             jnp.where(mask, data, jnp.zeros((), data.dtype)),
-            seg_ids,
+            ids,
             num_segments=int(kernel_sum.shape[0]),
         ).astype(kernel_sum.dtype)
 
@@ -912,15 +916,25 @@ def grouped_aggregate(
         sel_sorted,
         jnp.logical_or(first, jnp.logical_or(changed, jnp.logical_not(prev_sel))),
     )
-    gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    # clamp BOTH branches to gcap: unselected rows route to the drop
-    # slot, and selected rows past the compiled capacity collapse onto
-    # it too. The surplus groups are dropped either way (the overflow
-    # retry recompiles bigger), but an UNclamped id would push the
-    # pallas kernel's dynamic accumulator-window write past its padded
-    # table — observed as a TPU worker crash, not a graceful overflow
-    # (PERFLOG r4.4).
-    gid = jnp.where(sel_sorted, jnp.minimum(gid, gcap), gcap)
+    def gid_arr() -> jax.Array:
+        """Compacted group ids — cumsum of boundaries, LAZY: the pallas
+        path derives ids IN-KERNEL from the boundary flags (prefix
+        mode), so the full-length cumsum only materializes for the XLA
+        consumers (ieee exact branch, var/stddev, *_distinct, fallback
+        segment ops) that actually reference it (~7 ms at 33.5M rows,
+        PERFLOG r4.6). NOT memoized: callers sit in different trace
+        scopes (the ieee cond branch vs the main pipeline) and a cached
+        tracer would leak across them; XLA CSE dedups same-scope
+        copies. Both branches clamp to gcap: unselected rows route to
+        the drop slot, and selected rows past the compiled capacity
+        collapse onto it too — the surplus groups drop either way (the
+        overflow retry recompiles bigger), but an UNclamped id would
+        push the pallas kernel's dynamic accumulator-window write past
+        its padded table: a TPU worker crash, not a graceful overflow
+        (PERFLOG r4.4)."""
+        g = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+        return jnp.where(sel_sorted, jnp.minimum(g, gcap), gcap)
+
     n_groups = jnp.sum(boundary.astype(jnp.int32))
     n_sel = jnp.sum(sel_sorted.astype(jnp.int32))
 
@@ -1056,13 +1070,38 @@ def grouped_aggregate(
         # ops below (ADVICE r2: invisible to interpret-mode CPU tests).
         if k_ops and accum_fits_vmem(gcap, len(k_ops)):
             interp = jax.devices()[0].platform not in ("tpu", "axon")
+            # PREFIX mode (DFTPU_SEG_PREFIX=1, default OFF): ship the
+            # boundary flags with each block's global base count encoded
+            # into element 0; the kernel materializes group ids itself.
+            # Measured NEGATIVE on v5e (c2 186.9 -> 198.7 ms: the
+            # in-kernel [8,128] shift-prefix costs more per step than
+            # the XLA cumsum it removes — PERFLOG r4.7), kept as a
+            # validated ablation surface.
+            if os.environ.get("DFTPU_SEG_PREFIX", "0") == "1":
+                from datafusion_tpu.ops.pallas.segreduce import BLOCK as _BK
+
+                nblocks = capacity // _BK
+                b2 = boundary.astype(jnp.int32).reshape(nblocks, _BK)
+                bsum = jnp.sum(b2, axis=1)
+                block_base = jnp.cumsum(bsum) - bsum
+                first_col = (block_base[:, None] << 1) | lax.slice(
+                    b2, (0, 0), (nblocks, 1)
+                )
+                kernel_gid = jnp.concatenate(
+                    [first_col, lax.slice(b2, (0, 1), (nblocks, _BK))], axis=1
+                ).reshape(capacity)
+                use_prefix = True
+            else:
+                kernel_gid = gid_arr()
+                use_prefix = False
             outs = segmented_reduce_sorted_import()(
-                gid,
+                kernel_gid,
                 tuple(k_vals),
                 tuple(k_masks),
                 ops=tuple(k_ops),
                 num_groups=gcap,
                 interpret=interp,
+                prefix=use_prefix,
             )
             cnt_by_mask = {}
             for (kind, ident), o in zip(k_slots, outs):
@@ -1074,7 +1113,7 @@ def grouped_aggregate(
                             o,
                             sorted_ops[payload_plan[ident]],
                             _spec_mask(vpayload_plan[ident]),
-                            gid,
+                            gid_arr,
                         )
                     pallas_results[ident] = o
                 else:
@@ -1149,7 +1188,8 @@ def grouped_aggregate(
                 cnt = pallas_counts[si]
             else:
                 cnt = jax.ops.segment_sum(
-                    _spec_mask(vpi).astype(jnp.int32), gid, num_segments=gcap
+                    _spec_mask(vpi).astype(jnp.int32), gid_arr(),
+                    num_segments=gcap,
                 )
             f64 = physical_np(DataType.Float64)
             starts = extents()["starts"]
@@ -1190,7 +1230,8 @@ def grouped_aggregate(
                 cnt = pallas_counts[si]
             else:
                 cnt = jax.ops.segment_sum(
-                    _spec_mask(vpi).astype(jnp.int32), gid, num_segments=gcap
+                    _spec_mask(vpi).astype(jnp.int32), gid_arr(),
+                    num_segments=gcap,
                 )
             pos = extents()["starts"] if spec.func == "min" else (
                 extents()["starts"] + cnt - 1
@@ -1215,7 +1256,7 @@ def grouped_aggregate(
         else:
             mask = jnp.logical_and(sel_sorted, sorted_ops[vpi].astype(jnp.bool_))
             valid_cnt = jax.ops.segment_sum(
-                mask.astype(jnp.int32), gid, num_segments=gcap
+                mask.astype(jnp.int32), gid_arr(), num_segments=gcap
             )
         if spec.func == "count":
             out_aggs.append((valid_cnt.astype(physical_np(spec.out_dtype)), None))
@@ -1229,14 +1270,14 @@ def grouped_aggregate(
                     sel_sorted, sorted_ops[vpi].astype(jnp.bool_)
                 )
             xm = jnp.where(mask, d_sorted, jnp.zeros((), d_sorted.dtype))
-            gsum = jax.ops.segment_sum(xm, gid, num_segments=gcap)
+            gsum = jax.ops.segment_sum(xm, gid_arr(), num_segments=gcap)
             nn = jnp.maximum(valid_cnt, 1).astype(d_sorted.dtype)
             gmean = gsum / nn
-            mean_row = jnp.take(gmean, jnp.clip(gid, 0, gcap - 1))
+            mean_row = jnp.take(gmean, jnp.clip(gid_arr(), 0, gcap - 1))
             dev = jnp.where(
                 mask, d_sorted - mean_row, jnp.zeros((), d_sorted.dtype)
             )
-            ss = jax.ops.segment_sum(dev * dev, gid, num_segments=gcap)
+            ss = jax.ops.segment_sum(dev * dev, gid_arr(), num_segments=gcap)
             if spec.func.endswith("_pop"):
                 r = ss / nn
                 ok = valid_cnt > 0
@@ -1306,20 +1347,20 @@ def grouped_aggregate(
         elif spec.func == "min":
             r = jax.ops.segment_min(
                 jnp.where(mask, d_sorted, _sentinel(d_sorted.dtype, False)),
-                gid,
+                gid_arr(),
                 num_segments=gcap,
             )
         elif spec.func == "max":
             r = jax.ops.segment_max(
                 jnp.where(mask, d_sorted, _sentinel(d_sorted.dtype, True)),
-                gid,
+                gid_arr(),
                 num_segments=gcap,
             )
         elif spec.func in ("sum", "avg"):
             # exact row-order accumulation (parity: aggregate.rs:1126)
             s = jax.ops.segment_sum(
                 jnp.where(mask, d_sorted, jnp.zeros((), d_sorted.dtype)),
-                gid,
+                gid_arr(),
                 num_segments=gcap,
             )
             if spec.func == "avg":

@@ -80,7 +80,10 @@ def _identity(op: str, dtype):
     )
 
 
-def _kernel(ops, mask_map, n_masks, dense, has_ends, sum_split, gid_ref, *refs):
+def _kernel(
+    ops, mask_map, n_masks, dense, has_ends, sum_split, prefix, num_groups,
+    gid_ref, *refs
+):
     nags = len(ops)
     val_refs = refs[:nags]
     umask_refs = refs[nags : nags + n_masks]
@@ -96,15 +99,52 @@ def _kernel(ops, mask_map, n_masks, dense, has_ends, sum_split, gid_ref, *refs):
                 out_refs[a].shape, _identity(op, out_refs[a].dtype)
             )
 
-    gid = gid_ref[:]  # [BLOCK] int32; ascending unless dense mode
+    if prefix:
+        # gid_ref carries BOUNDARY flags with the block's global base
+        # count ENCODED into element 0 ((base << 1) | flag — no extra
+        # input, no SMEM-derived offsets); group ids materialize
+        # IN-KERNEL as base + within-block inclusive prefix, so the
+        # full-length XLA cumsum (+ its HBM materialization) drops out
+        # of the pipeline (~7 ms at 33.5M rows, PERFLOG r4.6). The
+        # prefix runs on the [BLOCK/128, 128] tile image: 7 doubling
+        # lane-shift adds (pad+static-slice; offsets < 128 lanes lower
+        # fine) + a tiny lower-triangular MXU dot for the row offsets.
+        raw = gid_ref[:]  # [BLOCK] int32
+        first = lax.broadcasted_iota(jnp.int32, (BLOCK,), 0) == 0
+        base = raw[0] >> 1
+        bnd = jnp.where(first, raw & 1, raw)
+        SL = BLOCK // 128
+        b2 = bnd.reshape(SL, 128)  # T(1024) -> T(8,128): free
+        acc = b2
+        shift = 1
+        while shift < 128:
+            acc = acc + lax.slice(
+                jnp.pad(acc, ((0, 0), (shift, 0))), (0, 0), (SL, 128)
+            )
+            shift *= 2
+        rowsum = jnp.sum(b2, axis=1, keepdims=True)  # [SL, 1]
+        r_i = lax.broadcasted_iota(jnp.int32, (SL, SL), 0)
+        c_i = lax.broadcasted_iota(jnp.int32, (SL, SL), 1)
+        lt = (c_i < r_i).astype(jnp.float32)
+        rs2 = jnp.broadcast_to(rowsum, (SL, 128)).astype(jnp.float32)
+        offs = jnp.dot(
+            lt, rs2, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)  # [SL, 128]: exclusive row prefix, exact < 2^24
+        gid2 = base + offs + acc - 1
+        # overflow clamp (r4.5): ids past the compiled capacity must not
+        # push the accumulator-window write past the padded table
+        gid2 = jnp.minimum(gid2, jnp.int32(num_groups))
+        gid = gid2.reshape(BLOCK)
+    else:
+        gid = gid_ref[:]  # [BLOCK] int32; ascending unless dense mode
     if dense:
         # dense mode: every group id fits the [0, W) window — no sort
         # needed upstream, ids may arrive in any order
         abase = 0
         local = gid
     else:
-        base = gid[0]
-        abase = pl.multiple_of((base // ALIGN) * ALIGN, ALIGN)
+        base0 = gid[0]
+        abase = pl.multiple_of((base0 // ALIGN) * ALIGN, ALIGN)
         local = gid - abase  # in [0, ALIGN + BLOCK) = [0, W) for valid rows
     in_window = jnp.logical_and(local >= 0, local < W)
     cols = lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
@@ -381,6 +421,7 @@ def segmented_reduce_sorted(
     num_groups: int,
     interpret: bool = False,
     dense: bool = False,
+    prefix: bool = False,
 ):
     import os
 
@@ -394,13 +435,15 @@ def segmented_reduce_sorted(
         dense=dense,
         segscan=_segscan_enabled(),
         sum_split=os.environ.get("DFTPU_SUM_SPLIT", "1") != "0",
+        prefix=prefix,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ops", "num_groups", "interpret", "dense", "segscan", "sum_split"
+        "ops", "num_groups", "interpret", "dense", "segscan", "sum_split",
+        "prefix",
     ),
 )
 def _segmented_reduce_sorted(
@@ -414,6 +457,7 @@ def _segmented_reduce_sorted(
     dense: bool = False,
     segscan: bool = False,
     sum_split: bool = True,
+    prefix: bool = False,
 ):
     """Reduce `values[a]` into per-group slots according to sorted `gid`.
 
@@ -478,7 +522,7 @@ def _segmented_reduce_sorted(
 
     kernel = functools.partial(
         _kernel, ops, tuple(mask_map), len(umasks), dense, has_ends,
-        sum_split,
+        sum_split, prefix, num_groups,
     )
     outs = pl.pallas_call(
         kernel,

@@ -508,11 +508,15 @@ def grouped_aggregate_dense(
         gid_routed = jnp.where(sel_, gid, gcap)
         interp = jax.devices()[0].platform not in ("tpu", "axon")
         # f32 min/max reduce on the order-preserving int image (NaN
-        # ordering consistent with the value-sort path: NaNs past +inf)
+        # ordering consistent with the value-sort path: NaNs past +inf);
+        # counts ship NO value stream
         vals = []
         img = []
         for op, v in zip(k_ops, k_vals):
-            if op in ("min", "max") and v.dtype == jnp.float32:
+            if op == "count":
+                vals.append(None)
+                img.append(False)
+            elif op in ("min", "max") and v.dtype == jnp.float32:
                 vals.append(to_sortable_int(v))
                 img.append(True)
             else:
@@ -1000,13 +1004,14 @@ def grouped_aggregate(
         counted: dict[int, int] = {}  # id(mask) -> kernel slot (counts are
         # value-independent, so every op sharing a mask shares one slot)
         sp_of: dict[int, bool] = {}  # spec idx -> sum rode zero-sanitized
-        zeros_src = sel_sorted.astype(jnp.float32)
 
         def _ensure_count(mask) -> None:
             if id(mask) not in counted:
                 counted[id(mask)] = len(k_ops)
                 k_ops.append("count")
-                k_vals.append(zeros_src)
+                k_vals.append(None)  # count reads only its mask: no
+                # value stream ships into the kernel (saves an [n] f32
+                # HBM materialization + DMA per distinct count mask)
                 k_masks.append(mask)
                 k_slots.append(("cnt", id(mask)))
 
@@ -1035,7 +1040,9 @@ def grouped_aggregate(
                 # special-count slot cost a full extra factored HIGHEST
                 # dot, ~20 ms on c2 — PERFLOG r3.6).
                 k_ops.append("sum")
-                k_vals.append(sanitize_nonfinite(d_sorted))
+                k_vals.append(d_sorted)  # RAW: the kernel zero-
+                # sanitizes f32 sum rows internally (saves the XLA
+                # sanitize pass's [n] materialization)
                 k_masks.append(_spec_mask(vpi))
                 k_slots.append(("agg", si))
                 sp_of[si] = True

@@ -81,13 +81,15 @@ def _identity(op: str, dtype):
 
 
 def _kernel(
-    ops, mask_map, n_masks, dense, has_ends, sum_split, prefix, num_groups,
-    gid_ref, *refs
+    ops, mask_map, val_map, n_vals, n_masks, dense, has_ends, sum_split,
+    prefix, num_groups, gid_ref, *refs
 ):
-    nags = len(ops)
-    val_refs = refs[:nags]
-    umask_refs = refs[nags : nags + n_masks]
-    rest = refs[nags + n_masks :]
+    uval_refs = refs[:n_vals]
+    val_refs = [
+        None if vm is None else uval_refs[vm] for vm in val_map
+    ]
+    umask_refs = refs[n_vals : n_vals + n_masks]
+    rest = refs[n_vals + n_masks :]
     end_ref = rest[0] if has_ends else None
     out_refs = rest[1 if has_ends else 0 :]
     step = pl.program_id(0)
@@ -296,8 +298,16 @@ def _kernel(
                     plan.append((a, 1))
                 else:
                     v = val_refs[a][:]
+                    # in-kernel zero-sanitize: NaN/±inf would poison the
+                    # one-hot product; doing it here (not as an XLA
+                    # pre-pass) saves an [n] f32 materialization
+                    keep = (
+                        jnp.logical_and(m, jnp.isfinite(v))
+                        if v.dtype == jnp.float32
+                        else m
+                    )
                     row = jnp.where(
-                        m, v, jnp.zeros((), v.dtype)
+                        keep, v, jnp.zeros((), v.dtype)
                     ).astype(jnp.float32)[sl]
                     parts = _sum_parts(row)
                     for rr in parts:
@@ -332,7 +342,12 @@ def _kernel(
                     plan.append((a, 1))
                 else:
                     v = val_refs[a][:]
-                    row = jnp.where(m, v, jnp.zeros((), v.dtype)).astype(
+                    keep = (
+                        jnp.logical_and(m, jnp.isfinite(v))
+                        if v.dtype == jnp.float32
+                        else m
+                    )
+                    row = jnp.where(keep, v, jnp.zeros((), v.dtype)).astype(
                         jnp.float32
                     )[sl]
                     parts = _sum_parts(row)
@@ -349,10 +364,10 @@ def _kernel(
                 r += nparts
 
         for a, op in enumerate(ops):
-            m = ms[mask_key_of[a]]
-            v = val_refs[a][:]
             if op in ("sum", "count"):
                 continue  # handled by the stacked dot above
+            m = ms[mask_key_of[a]]
+            v = val_refs[a][:]
             oh = onehots[mask_key_of[a]]
             if a in scanned:
                 big = _identity(op, v.dtype)
@@ -466,7 +481,8 @@ def _segmented_reduce_sorted(
          ids may arrive in ANY order but must satisfy num_groups <= W
          (small dense key domains, e.g. dictionary codes) — this is the
          sort-free group-by path.
-    values[a]: [N] (f32 for sum; f32/i32 for min/max)
+    values[a]: [N] (f32 for sum; f32/i32 for min/max) — None for COUNT
+         ops (count reads only its mask; a None ships no input stream)
     masks[a]: [N] bool — row contributes to aggregate a
     Returns tuple of [num_groups] arrays (f32 for sum/count).
     """
@@ -488,11 +504,27 @@ def _segmented_reduce_sorted(
             umasks.append(m)
         mask_map.append(seen[mid])
 
+    # pack value streams: Nones (count ops) and duplicates ship once
+    uvals: list = []
+    val_map: list = []
+    vseen: dict[int, int] = {}
+    for v in values:
+        if v is None:
+            val_map.append(None)
+            continue
+        vid = id(v)
+        if vid not in vseen:
+            vseen[vid] = len(uvals)
+            uvals.append(v)
+        val_map.append(vseen[vid])
+
     # The segmented-scan min/max path needs per-block run-end flags; they
     # use shifts Mosaic can't lower on 1-D vectors, so XLA computes them
     # here (outside the kernel) and ships them in as one extra i8 input.
     has_ends = segscan and not dense and any(
-        op in ("min", "max") and values[a].dtype == jnp.float32
+        op in ("min", "max")
+        and values[a] is not None
+        and values[a].dtype == jnp.float32
         for a, op in enumerate(ops)
     )
     extra = []
@@ -504,7 +536,7 @@ def _segmented_reduce_sorted(
 
     grid = (n // BLOCK,)
     in_specs = [pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)]
-    for _ in values:
+    for _ in uvals:
         in_specs.append(pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM))
     for _ in umasks:
         in_specs.append(pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM))
@@ -521,8 +553,8 @@ def _segmented_reduce_sorted(
         )
 
     kernel = functools.partial(
-        _kernel, ops, tuple(mask_map), len(umasks), dense, has_ends,
-        sum_split, prefix, num_groups,
+        _kernel, ops, tuple(mask_map), tuple(val_map), len(uvals),
+        len(umasks), dense, has_ends, sum_split, prefix, num_groups,
     )
     outs = pl.pallas_call(
         kernel,
@@ -531,5 +563,5 @@ def _segmented_reduce_sorted(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(gid, *values, *[m.astype(jnp.int8) for m in umasks], *extra)
+    )(gid, *uvals, *[m.astype(jnp.int8) for m in umasks], *extra)
     return tuple(o[:num_groups] for o in outs)

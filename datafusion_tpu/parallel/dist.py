@@ -1032,7 +1032,7 @@ class DistCompiler(PlanCompiler):
             base_mask = b.sel
 
             k_ops = ["count"]
-            k_vals = [kd.astype(jnp.float32)]
+            k_vals = [None]  # counts read only their mask (segreduce)
             k_masks = [base_mask]
             k_slots: list = [("exists", None)]
             counted: dict = {}
@@ -1059,7 +1059,7 @@ class DistCompiler(PlanCompiler):
                     if ck not in counted:
                         counted[ck] = True
                         k_ops.append("count")
-                        k_vals.append(data.astype(jnp.float32))
+                        k_vals.append(None)
                         k_masks.append(mask)
                         k_slots.append(("cnt", id(mask)))
                         # remember which mask belongs to this spec

@@ -72,12 +72,29 @@ def main() -> None:
             matched = jnp.take(occ, pslot) != 0
         return d, matched
 
+    def _fused(env):
+        # occupancy rides the SAME gather as the payload: a [nd, 2] f32
+        # table (value lane + occ lane) gathered by row — random access
+        # is latency-bound, so 8 contiguous bytes cost what 4 do, and
+        # the occupancy pass (the second full-probe gather) vanishes
+        i, ww, bk = env
+        slot = jnp.clip(bk, 0, nd - 1)
+        t2 = (
+            jnp.zeros((nd + 1, 2), ww.dtype)
+            .at[slot, 0].set(ww, mode="drop")
+            .at[slot, 1].set(jnp.ones((), ww.dtype), mode="drop")
+        )
+        pslot = jnp.clip(i, 0, nd - 1)
+        g = jnp.take(t2, pslot, axis=0)
+        return g[:, 0], g[:, 1] != 0
+
     results = {}
     for name, fn in [
         ("g1_floor_take", g1),
         ("g2_shipped", g2),
         ("g3_assume_full", lambda e: _core(e, "assume_full")),
         ("g4_forced_occ", lambda e: _core(e, "occ")),
+        ("g4f_fused_occ", _fused),
     ]:
         t, spread = time_pipeline(
             jax.jit(fn), (idx, w, bkey), repeats=3, with_spread=True

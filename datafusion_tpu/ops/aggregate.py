@@ -839,14 +839,11 @@ def grouped_aggregate(
         operands.append(vimage)
         if vimage is vdata:  # ints pass through — payloads can reuse it
             seen[id(vdata)] = vsort_idx
-    if not use_packed:
-        # iota tie-break: an explicit within-group row-order key on the
-        # reference-parity path. The packed path drops the operand
-        # because lax.sort is STABLE by default (is_stable=True), so
-        # within-group row order is preserved without it — stability is
-        # load-bearing for the CPU bit-exact row-order float sums; do
-        # not pass is_stable=False here.
-        operands.append(iota)
+    # NO iota tie-break operand on either path: lax.sort is STABLE by
+    # default (is_stable=True), so within-group row order is preserved
+    # without paying an i32 operand through every sort pass — stability
+    # is load-bearing for the CPU bit-exact row-order float sums; do not
+    # pass is_stable=False here.
     num_keys = len(operands)
     raw_payload: dict[int, jax.Array] = {}  # spec idx -> unsorted arg
     for si_, spec in enumerate(specs):

@@ -82,7 +82,7 @@ def _identity(op: str, dtype):
 
 def _kernel(
     ops, mask_map, val_map, n_vals, n_masks, dense, has_ends, sum_split,
-    prefix, num_groups, gid_ref, *refs
+    prefix, num_groups, variant, gid_ref, *refs
 ):
     uval_refs = refs[:n_vals]
     val_refs = [
@@ -285,16 +285,30 @@ def _kernel(
             # materialized bytes again; MXU accumulation stays f32.
             # Out-of-window rows carry local_w = W: hi = W//128 == HI
             # matches no hi_rows row, zeroing the product.
+            f32b = "f32b" in variant
+            perpart = "perpart" in variant
             lw = local_w[sl]
-            hi_ohT = (hi_rows == (lw // LO)[None, :]).astype(jnp.bfloat16)
+            hi_eq = hi_rows == (lw // LO)[None, :]
+            hi_ohT = hi_eq.astype(jnp.float32 if f32b else jnp.bfloat16)
             lo_oh = ((lw % LO)[:, None] == lo_cols).astype(jnp.bfloat16)
+
+            def _scaled(row):
+                # row is bf16-exact f32; the 0/1*row product is exact in
+                # f32 and round-trips the bf16 cast losslessly. f32b does
+                # the sublane broadcast in f32 (32-bit broadcasts lower
+                # better than sub-32-bit on some Mosaic versions) and
+                # pays one extra [HI, SUB] pack-cast.
+                if f32b:
+                    return (hi_ohT * row[None, :]).astype(jnp.bfloat16)
+                return hi_ohT * row.astype(jnp.bfloat16)[None, :]
+
             blocks = []
             plan = []  # (op index, number of stacked parts)
             for a, op in enumerate(ops):
                 m = ms[mask_key_of[a]]
                 if op == "count":
-                    row = m.astype(jnp.bfloat16)[sl]
-                    blocks.append(hi_ohT * row[None, :])
+                    row = m.astype(jnp.float32)[sl]
+                    blocks.append(_scaled(row))
                     plan.append((a, 1))
                 else:
                     v = val_refs[a][:]
@@ -311,8 +325,23 @@ def _kernel(
                     ).astype(jnp.float32)[sl]
                     parts = _sum_parts(row)
                     for rr in parts:
-                        blocks.append(hi_ohT * rr.astype(jnp.bfloat16)[None, :])
+                        blocks.append(_scaled(rr))
                     plan.append((a, len(parts)))
+            if perpart:
+                # one dot per stacked part — isolates the concat +
+                # tall-M cost of the single stacked dot (perf probe)
+                prods = [
+                    jnp.dot(b, lo_oh, preferred_element_type=jnp.float32)
+                    for b in blocks
+                ]
+                off = 0
+                for a, nparts in plan:
+                    part = prods[off]
+                    for extra in prods[off + 1 : off + nparts]:
+                        part = part + extra
+                    contribs[a] = contribs[a] + part.reshape(W)
+                    off += nparts
+                continue
             stacked = (
                 jnp.concatenate(blocks, axis=0)
                 if len(blocks) > 1
@@ -451,6 +480,7 @@ def segmented_reduce_sorted(
         segscan=_segscan_enabled(),
         sum_split=os.environ.get("DFTPU_SUM_SPLIT", "1") != "0",
         prefix=prefix,
+        variant=os.environ.get("DFTPU_SEG_VARIANT", ""),
     )
 
 
@@ -458,7 +488,7 @@ def segmented_reduce_sorted(
     jax.jit,
     static_argnames=(
         "ops", "num_groups", "interpret", "dense", "segscan", "sum_split",
-        "prefix",
+        "prefix", "variant",
     ),
 )
 def _segmented_reduce_sorted(
@@ -473,6 +503,7 @@ def _segmented_reduce_sorted(
     segscan: bool = False,
     sum_split: bool = True,
     prefix: bool = False,
+    variant: str = "",
 ):
     """Reduce `values[a]` into per-group slots according to sorted `gid`.
 
@@ -555,6 +586,7 @@ def _segmented_reduce_sorted(
     kernel = functools.partial(
         _kernel, ops, tuple(mask_map), tuple(val_map), len(uvals),
         len(umasks), dense, has_ends, sum_split, prefix, num_groups,
+        variant,
     )
     outs = pl.pallas_call(
         kernel,

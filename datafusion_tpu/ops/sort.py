@@ -57,18 +57,27 @@ def sort_batch(
     whole game. Returns (sorted cols, selected-row count); selected rows
     land at the front."""
     capacity = int(sel.shape[0])
-    iota = lax.broadcasted_iota(jnp.int32, (capacity,), 0)
     operands: list[jax.Array] = [jnp.logical_not(sel).astype(jnp.int8)]
+    seen: dict[int, int] = {}
     for entry in keys:
         (data, valid), asc = entry[0], entry[1]
         nf = entry[2] if len(entry) > 2 else False
         data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
-        operands.extend(_directed_key(data, valid, asc, nf))
-    operands.append(iota)  # stable tie-break by original row
+        dkeys = _directed_key(data, valid, asc, nf)
+        if asc and dkeys[-1] is data:
+            # untransformed ascending key: projected payloads of the same
+            # column reuse this operand instead of riding twice (ORDER BY
+            # lat, k projecting k, lat would otherwise sort 6 operands
+            # where 4 suffice)
+            seen.setdefault(id(data), len(operands) + len(dkeys) - 1)
+        operands.extend(dkeys)
+    # NO iota tie-break operand: lax.sort is stable (is_stable=True is
+    # the default and the grouped-aggregate packed path already relies on
+    # it), so within-equal-keys original row order is preserved without
+    # paying a full i32 operand through every pass of the sort.
     num_keys = len(operands)
 
     payload_plan: list[tuple[int, Optional[int]]] = []
-    seen: dict[int, int] = {}
     for data, valid in cols:
         data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
         kid = id(data)

@@ -1711,10 +1711,32 @@ class PlanCompiler:
                     pk = jnp.take(pmap, pk)
                     bk = jnp.take(bmap, bk)
                 build_cols = [_broadcast_col(c, bb.capacity) for c in bb.cols]
-                bcols, matched, dups = join_ops.direct_index_join(
-                    pk, pb.sel, bk, bb.sel, build_cols, kmin_d, dom_d,
+                # the build KEY column needs no table lane: on matched
+                # rows it EQUALS the probe key (pass-through, free), and
+                # unmatched rows are masked (inner) or NULL (left). The
+                # dead lane otherwise rides the packed gather — lanes
+                # can't be DCE'd out of a shared table (measured ~900 ms
+                # per lane at BASELINE c4 scale, PERFLOG r4).
+                alias_key = remap0 is None
+                lane_cols = [
+                    c for i, c in enumerate(build_cols)
+                    if not (alias_key and i == bk_i)
+                ]
+                lcols, matched, dups = join_ops.direct_index_join(
+                    pk, pb.sel, bk, bb.sel, lane_cols, kmin_d, dom_d,
                     matched_validity=keep_unmatched,
                 )
+                if alias_key:
+                    bdt = build_cols[bk_i][0].dtype
+                    ak = pk if pk.dtype == bdt else pk.astype(bdt)
+                    akey = (ak, matched if keep_unmatched else None)
+                    li = iter(lcols)
+                    bcols = [
+                        akey if i == bk_i else next(li)
+                        for i in range(len(build_cols))
+                    ]
+                else:
+                    bcols = lcols
                 out_sel = pb.sel if keep_unmatched else jnp.logical_and(
                     pb.sel, matched
                 )

@@ -380,14 +380,6 @@ def direct_index_join(
     in_dom = jnp.logical_and(slot >= 0, slot < domain)
     bsel = jnp.logical_and(build_sel, in_dom)
     slot = jnp.where(bsel, jnp.clip(slot, 0, domain - 1), domain)  # sentinel bucket
-    cnt = (
-        jnp.zeros((domain + 1,), jnp.int32)
-        .at[slot]
-        .add(jnp.ones((), jnp.int32), mode="drop")
-    )
-    cnt_dom = lax.slice(cnt, (0,), (domain,))
-    dups = jnp.sum((cnt_dom > 1).astype(jnp.int32))
-    n_occupied = jnp.sum((cnt_dom > 0).astype(jnp.int32))
 
     kmin_p = jnp.asarray(kmin, probe_key.dtype)
     poff = (probe_key - kmin_p).astype(jnp.int32)
@@ -396,33 +388,97 @@ def direct_index_join(
     )
     pslot = jnp.where(p_in, jnp.clip(poff, 0, domain - 1), domain)
 
-    # every in-domain probe matches when the whole domain is occupied —
-    # the FK → arange-PK case: lax.cond skips the occupancy gather at
-    # runtime (each random gather pass costs ~7 ns/row, PERFLOG.md)
-    def _occ_gather(_):
-        occ = jnp.zeros((domain + 1,), jnp.int8).at[slot].max(
-            jnp.ones((), jnp.int8), mode="drop"
-        )
-        return jnp.logical_and(p_in, jnp.take(occ, pslot) != 0)
+    # ---- lane-packed domain table: ONE scatter + ONE gather, total -----
+    # Lane 0 counts occupancy; every 4-byte build payload (and every
+    # validity flag) bitcasts into its own i32 lane of the SAME
+    # [domain+1, L] table. The build side scatter-ADDS whole rows (a
+    # single contributor leaves its value bit-exact; duplicate slots
+    # wrap to garbage, but dups > 0 triggers the sort-strategy fallback
+    # anyway), and the probe side gathers whole rows: random access is
+    # LATENCY-bound, so the extra lanes ride the same ~7 ns/row pass.
+    # Measured at BASELINE c4 scale (100M x 10M, v5e): fused 2-lane
+    # gather 693 ms vs 751 ms for the bare 1-lane payload take — and it
+    # replaces the occupancy lax.cond, which XLA select-converted inside
+    # full query pipelines into an unconditional SECOND probe-scale
+    # gather (+676 ms: the r4 c4 cliff, 0.46 of floor).
+    # 8-byte dtypes (CPU x64 parity path) split into two i32 lanes.
+    lane_cols: list[jax.Array] = [jnp.ones((b_cap,), jnp.int32)]  # count
+    plans: list[tuple] = []  # per build col: ("one", lane)/("two", hi, lo)
+    vplans: list[Optional[int]] = []
+    lane_of: dict[tuple[int, str], object] = {}
 
-    matched = lax.cond(
-        n_occupied == domain, lambda _: p_in, _occ_gather, operand=None
-    )
-
-    # scatter each build payload DIRECTLY into a domain-indexed table and
-    # gather it at probe scale: ONE random pass per output column, no
-    # row-id indirection (the scatter over the small build side is cheap)
-    out_build: list[ColVal] = []
-    tables: dict[int, jax.Array] = {}
-
-    def _domain_table(arr: jax.Array) -> jax.Array:
-        # duplicate slots scatter nondeterministically — irrelevant,
-        # since dups > 0 triggers the sort-strategy fallback anyway
-        if id(arr) not in tables:
-            tables[id(arr)] = (
-                jnp.zeros((domain + 1,), arr.dtype).at[slot].set(arr, mode="drop")
+    def _lanes_for(arr: jax.Array, key_kind: str):
+        ck = (id(arr), key_kind)
+        if ck in lane_of:
+            return lane_of[ck]
+        nb = jnp.dtype(arr.dtype).itemsize
+        if nb == 8:
+            wide = (
+                arr
+                if arr.dtype == jnp.int64
+                else lax.bitcast_convert_type(arr, jnp.int64)
             )
-        return tables[id(arr)]
+            hi = (wide >> 32).astype(jnp.int32)
+            lo = (wide & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+            plan = ("two", len(lane_cols), len(lane_cols) + 1)
+            lane_cols.append(hi)
+            lane_cols.append(lo)
+        else:
+            if arr.dtype == jnp.int32:
+                v32 = arr
+            elif nb == 4:  # f32 / u32: same-width bit image
+                v32 = lax.bitcast_convert_type(arr, jnp.int32)
+            else:  # bool / i8 / u8 / i16 / u16: widen by value
+                v32 = arr.astype(jnp.int32)
+            plan = ("one", len(lane_cols))
+            lane_cols.append(v32)
+        lane_of[ck] = plan
+        return plan
+
+    for data, valid in build_cols:
+        data = jnp.broadcast_to(data, (b_cap,)) if jnp.ndim(data) == 0 else data
+        plans.append((_lanes_for(data, "d"), data.dtype))
+        if valid is None:
+            vplans.append(None)
+        else:
+            # dedupe on the ORIGINAL validity array identity (the i32
+            # widening happens inside, keyed by id(valid))
+            vp = _lanes_for(valid, "v")
+            vplans.append(vp[1])
+
+    # per-lane ELEMENT scatters: .at[slot, k] lowers to a plain element
+    # scatter; a row-wise .at[slot].add(mat) lowers with
+    # update_window_dims and costs ~+500 ms at 10M build rows on v5e
+    # (measured: row-add 1196 ms vs per-lane set 691 ms end-to-end).
+    # Payload lanes SET (duplicate slots keep one value — garbage is
+    # fine, dups > 0 recompiles to the sort strategy); the count lane
+    # ADDs to detect those duplicates.
+    L = len(lane_cols)
+    table = jnp.zeros((domain + 1, L), jnp.int32)
+    table = table.at[slot, 0].add(lane_cols[0], mode="drop")
+    for k in range(1, L):
+        table = table.at[slot, k].set(lane_cols[k], mode="drop")
+    cnt_dom = lax.slice(table, (0, 0), (domain, 1)).reshape(domain)
+    dups = jnp.sum((cnt_dom > 1).astype(jnp.int32))
+
+    g = jnp.take(table, pslot, axis=0)  # [p_cap, L] — the ONE random pass
+    matched = jnp.logical_and(p_in, g[:, 0] > 0)
+
+    def _decode(plan, dtype):
+        if plan[0] == "one":
+            v32 = g[:, plan[1]]
+            if dtype == jnp.int32:
+                return v32
+            if jnp.dtype(dtype).itemsize == 4:  # f32 / u32 bit image
+                return lax.bitcast_convert_type(v32, dtype)
+            return v32.astype(dtype)  # widened-by-value narrow types
+        hi, lo = g[:, plan[1]], g[:, plan[2]]
+        wide = (hi.astype(jnp.int64) << 32) | (
+            lo.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+        )
+        if dtype == jnp.int64:
+            return wide
+        return lax.bitcast_convert_type(wide, dtype)  # f64 / u64
 
     # matched_validity=False (INNER joins): the caller's selection mask
     # already carries `matched` (out_sel = probe_sel ∧ matched), so
@@ -432,14 +488,13 @@ def direct_index_join(
     # true on selected rows (measured: 4-op vs 2-op aggregate co-sort
     # on the c5 post-join MAX, PERFLOG r3). LEFT/FULL joins keep it:
     # unmatched probe rows really are NULL on the build side.
-    for data, valid in build_cols:
-        data = jnp.broadcast_to(data, (b_cap,)) if jnp.ndim(data) == 0 else data
-        d = jnp.take(_domain_table(data), pslot)
-        if valid is None:
+    out_build: list[ColVal] = []
+    for (plan, dtype), vlane in zip(plans, vplans):
+        d = _decode(plan, dtype)
+        if vlane is None:
             v = matched if matched_validity else None
         else:
-            vt = _domain_table(valid.astype(jnp.int8))
-            v = jnp.take(vt, pslot) != 0
+            v = g[:, vlane] != 0
             if matched_validity:
                 v = jnp.logical_and(v, matched)
         out_build.append((d, v))

@@ -641,10 +641,29 @@ class DistCompiler(PlanCompiler):
                     lk = jnp.take(remap0[0], lk)
                     rk = jnp.take(remap0[1], rk)
                 build_cols = [_broadcast_col(c, rb.capacity) for c in rb.cols]
-                rcols, matched, dups = join_ops.direct_index_join(
-                    lk, lb.sel, rk, rb.sel, build_cols, kmin_d, dom_d,
+                # build KEY column aliases the probe key — no table lane
+                # (matched rows are equal; unmatched masked/NULL). Same
+                # dead-lane elision as the single-chip lowering.
+                alias_key = remap0 is None
+                lane_cols = [
+                    c for i, c in enumerate(build_cols)
+                    if not (alias_key and i == ri0)
+                ]
+                lcols, matched, dups = join_ops.direct_index_join(
+                    lk, lb.sel, rk, rb.sel, lane_cols, kmin_d, dom_d,
                     matched_validity=keep_unmatched,
                 )
+                if alias_key:
+                    bdt = build_cols[ri0][0].dtype
+                    ak = lk if lk.dtype == bdt else lk.astype(bdt)
+                    akey = (ak, matched if keep_unmatched else None)
+                    it = iter(lcols)
+                    rcols = [
+                        akey if i == ri0 else next(it)
+                        for i in range(len(build_cols))
+                    ]
+                else:
+                    rcols = lcols
                 out_sel = lb.sel if keep_unmatched else jnp.logical_and(
                     lb.sel, matched
                 )

@@ -63,7 +63,7 @@ def _time_pipeline(fn, env, repeats: int = 1, with_spread: bool = False,
 
 def main() -> None:
     _t_start = time.time()
-    budget_s = float(os.environ.get("DFTPU_BENCH_BUDGET_S", "480"))
+    budget_s = float(os.environ.get("DFTPU_BENCH_BUDGET_S", "1500"))
     import datafusion_tpu as df  # noqa: F401  (enables the compile cache)
     from bench_suite import make_tables, run_suite, compile_query
 

@@ -39,10 +39,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 
-def slope_time(fn, env):
+def slope_time(fn, env, repeats: int = 1):
     from datafusion_tpu.utils.benchtime import time_pipeline
 
-    return time_pipeline(fn, env)
+    return time_pipeline(fn, env, repeats=repeats)
 
 
 def sort_floor_time(n, dtypes, num_keys):
@@ -256,7 +256,13 @@ def run_suite(
         # declines them by default — PERFLOG r3)
         floor = sort_floor_time(n, (np.int32, np.int32, np.float32), 2)
         note = "packed-gid co-sort + pallas segreduce"
-        report("c2_hash_aggregate", slope_time(fn, env), 12 + 5, note, floor_s=floor)
+        # repeats=3: this config sits nearest its 0.80 floor bar — take
+        # the median of three slope estimates so one tunnel slow stretch
+        # can't flip the recorded ratio
+        report(
+            "c2_hash_aggregate", slope_time(fn, env, repeats=3), 12 + 5,
+            note, floor_s=floor,
+        )
 
     if "c3" in configs and not over_deadline("c3_sort"):
         # BASELINE config 3 spec scale: 100M rows, multi-column tie-break

@@ -985,10 +985,26 @@ def grouped_aggregate(
     pallas_counts: dict[int, jax.Array] = {}
     img_slots: set[int] = set()  # f32 min/max reduced on the int image
 
+    _spec_mask_cache: dict = {}
+
     def _spec_mask(vpi):
         if vpi is None:
             return sel_sorted
-        return jnp.logical_and(sel_sorted, sorted_ops[vpi].astype(jnp.bool_))
+        # memoized per validity operand: ops sharing a validity must get
+        # the SAME array object so kernel mask slots / count lookups
+        # dedupe on id() (a fresh logical_and per call silently missed)
+        if vpi not in _spec_mask_cache:
+            _spec_mask_cache[vpi] = jnp.logical_and(
+                sel_sorted, sorted_ops[vpi].astype(jnp.bool_)
+            )
+        return _spec_mask_cache[vpi]
+
+    def _kernel_mask(vpi):
+        """Mask stream for the segreduce kernel: None when the mask is
+        the base selection — that's already encoded in the id routing
+        (unselected rows carry gid == gcap, a dropped slot), so no i8
+        stream ships and the kernel skips its per-chunk mask ops."""
+        return None if vpi is None else _spec_mask(vpi)
 
     def _handled(spec) -> bool:
         return (
@@ -998,32 +1014,34 @@ def grouped_aggregate(
         )
 
     if use_pallas:
-        counted: dict[int, int] = {}  # id(mask) -> kernel slot (counts are
-        # value-independent, so every op sharing a mask shares one slot)
+        counted: dict = {}  # mask key -> kernel slot (counts are
+        # value-independent, so every op sharing a mask shares one slot;
+        # key None = the base selection, which ships NO mask stream)
         sp_of: dict[int, bool] = {}  # spec idx -> sum rode zero-sanitized
 
-        def _ensure_count(mask) -> None:
-            if id(mask) not in counted:
-                counted[id(mask)] = len(k_ops)
+        def _ensure_count(vpi) -> None:
+            ck = vpi  # None = base selection
+            if ck not in counted:
+                counted[ck] = len(k_ops)
                 k_ops.append("count")
                 k_vals.append(None)  # count reads only its mask: no
                 # value stream ships into the kernel (saves an [n] f32
                 # HBM materialization + DMA per distinct count mask)
-                k_masks.append(mask)
-                k_slots.append(("cnt", id(mask)))
+                k_masks.append(_kernel_mask(vpi))
+                k_slots.append(("cnt", ck))
 
         # group sizes drive the extents (starts = exclusive cumsum), the
         # out_sel mask, and every non-null valid count — always computed
-        _ensure_count(sel_sorted)
+        _ensure_count(None)
         for si, (spec, pi, vpi) in enumerate(zip(specs, payload_plan, vpayload_plan)):
             d_sorted = sorted_ops[pi] if pi is not None else None
             if _handled(spec):
                 if vpi is not None:
-                    _ensure_count(_spec_mask(vpi))  # max needs the valid count
+                    _ensure_count(vpi)  # max needs the valid count
                 continue
             if d_sorted is None:  # COUNT / *_distinct: no sorted payload
                 if spec.func == "count":
-                    _ensure_count(_spec_mask(vpi))
+                    _ensure_count(vpi)
                 continue
             eligible = d_sorted.dtype in (jnp.float32, jnp.int32)
             if spec.func in ("sum", "avg") and d_sorted.dtype == jnp.float32:
@@ -1040,7 +1058,7 @@ def grouped_aggregate(
                 k_vals.append(d_sorted)  # RAW: the kernel zero-
                 # sanitizes f32 sum rows internally (saves the XLA
                 # sanitize pass's [n] materialization)
-                k_masks.append(_spec_mask(vpi))
+                k_masks.append(_kernel_mask(vpi))
                 k_slots.append(("agg", si))
                 sp_of[si] = True
             elif spec.func in ("min", "max") and eligible:
@@ -1055,7 +1073,7 @@ def grouped_aggregate(
                     img_slots.add(si)
                 else:
                     k_vals.append(d_sorted)
-                k_masks.append(_spec_mask(vpi))
+                k_masks.append(_kernel_mask(vpi))
                 k_slots.append(("agg", si))
             # counts: explicit COUNT, AVG denominators, and validity for
             # NULLABLE args; non-null args are valid wherever the group
@@ -1064,7 +1082,7 @@ def grouped_aggregate(
                 vpi is not None and spec.func in ("min", "max", "sum")
             )
             if needs_cnt:
-                _ensure_count(_spec_mask(vpi))
+                _ensure_count(vpi)
 
         from datafusion_tpu.ops.pallas.segreduce import accum_fits_vmem
 
@@ -1125,12 +1143,11 @@ def grouped_aggregate(
             for si, (spec, pi, vpi) in enumerate(
                 zip(specs, payload_plan, vpayload_plan)
             ):
-                mid = id(_spec_mask(vpi))
-                if mid in cnt_by_mask:
-                    pallas_counts[si] = cnt_by_mask[mid]
+                if vpi in cnt_by_mask:
+                    pallas_counts[si] = cnt_by_mask[vpi]
             # group extents for free: sizes → exclusive-cumsum starts.
             # Replaces the boundary-compaction sort on this path.
-            sizes_p = cnt_by_mask[id(sel_sorted)]
+            sizes_p = cnt_by_mask[None]
             starts_p = jnp.cumsum(sizes_p) - sizes_p
             _extents["starts"] = starts_p
             _extents["ends"] = starts_p + sizes_p

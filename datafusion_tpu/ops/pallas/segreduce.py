@@ -90,6 +90,12 @@ def _kernel(
     ]
     umask_refs = refs[n_vals : n_vals + n_masks]
     rest = refs[n_vals + n_masks :]
+    # mask_map entries of None mean "no mask stream": every row
+    # contributes to its own slot, and invalid rows carry an id >=
+    # num_groups whose (padded-table) slot is sliced off at return —
+    # zero-neutral sum/count self-absorb there, so the i8 stream, its
+    # DMA, and the per-chunk mask ops all drop out (c2: the selection
+    # is already encoded in the packed id routing).
     end_ref = rest[0] if has_ends else None
     out_refs = rest[1 if has_ends else 0 :]
     step = pl.program_id(0)
@@ -149,6 +155,7 @@ def _kernel(
         abase = pl.multiple_of((base0 // ALIGN) * ALIGN, ALIGN)
         local = gid - abase  # in [0, ALIGN + BLOCK) = [0, W) for valid rows
     in_window = jnp.logical_and(local >= 0, local < W)
+    local_w_full = jnp.where(in_window, local, W)
     cols = lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
 
     # fold each mask into the int32 index: masked rows get local = W,
@@ -162,6 +169,14 @@ def _kernel(
         lmasks.append(jnp.where(m, local, W))
         ms.append(m)
     mask_key_of = list(mask_map)
+
+    def _m(a):
+        mk = mask_key_of[a]
+        return in_window if mk is None else ms[mk]
+
+    def _lm(a):
+        mk = mask_key_of[a]
+        return local_w_full if mk is None else lmasks[mk]
 
     # segmented scans: per-mask run-min/run-max of each f32 min/max op,
     # evaluated at run ends — placement then becomes an MXU matmul of a
@@ -204,7 +219,7 @@ def _kernel(
             and has_ends
         ):
             v = val_refs[a][:]
-            m = ms[mask_key_of[a]]
+            m = _m(a)
             big = _identity(op, v.dtype)
             vm = jnp.where(m, v, big)  # masked rows are neutral in the scan
             comb = jnp.minimum if op == "min" else jnp.maximum
@@ -230,17 +245,17 @@ def _kernel(
     lo_cols = lax.broadcasted_iota(jnp.int32, (SUB, LO), 1)
     for s in range(BLOCK // SUB):
         sl = slice(s * SUB, (s + 1) * SUB)
-        onehots = (
-            None
-            if factored
-            else [(lm[sl][:, None] == cols).astype(jnp.float32) for lm in lmasks]
-        )
-        local_w = jnp.where(in_window, local, W)
-        oh_local = (
-            (local_w[sl][:, None] == cols).astype(jnp.float32)
-            if need_local_oh
-            else None
-        )
+        local_w = local_w_full
+        _oh_cache: dict = {}
+
+        def _oh(mk, sl=sl, _oh_cache=_oh_cache):
+            # [SUB, W] one-hot for mask slot mk (None = window-only)
+            if mk not in _oh_cache:
+                lm = local_w if mk is None else lmasks[mk]
+                _oh_cache[mk] = (lm[sl][:, None] == cols).astype(jnp.float32)
+            return _oh_cache[mk]
+
+        oh_local = _oh(None) if need_local_oh else None
         # ---- sum/count: ONE stacked dot per mask ----------------------
         # the MXU pads M up to a full sublane tile, so stacking every
         # sum/count op that shares a mask into one [A, SUB] @ [SUB, W]
@@ -305,23 +320,40 @@ def _kernel(
             blocks = []
             plan = []  # (op index, number of stacked parts)
             for a, op in enumerate(ops):
-                m = ms[mask_key_of[a]]
+                maskless = mask_key_of[a] is None
                 if op == "count":
-                    row = m.astype(jnp.float32)[sl]
-                    blocks.append(_scaled(row))
+                    if maskless:
+                        # every row counts 1 into its own slot (invalid
+                        # rows self-absorb in the dropped slot): the
+                        # block IS the shared hi one-hot, no multiply
+                        blocks.append(
+                            hi_ohT
+                            if not f32b
+                            else hi_ohT.astype(jnp.bfloat16)
+                        )
+                    else:
+                        row = ms[mask_key_of[a]].astype(jnp.float32)[sl]
+                        blocks.append(_scaled(row))
                     plan.append((a, 1))
                 else:
                     v = val_refs[a][:]
                     # in-kernel zero-sanitize: NaN/±inf would poison the
                     # one-hot product; doing it here (not as an XLA
                     # pre-pass) saves an [n] f32 materialization
-                    keep = (
-                        jnp.logical_and(m, jnp.isfinite(v))
-                        if v.dtype == jnp.float32
-                        else m
-                    )
-                    row = jnp.where(
-                        keep, v, jnp.zeros((), v.dtype)
+                    if v.dtype == jnp.float32:
+                        keep = (
+                            jnp.isfinite(v)
+                            if maskless
+                            else jnp.logical_and(_m(a), jnp.isfinite(v))
+                        )
+                    elif maskless:
+                        keep = None  # int sum, no mask: raw rows
+                    else:
+                        keep = _m(a)
+                    row = (
+                        v
+                        if keep is None
+                        else jnp.where(keep, v, jnp.zeros((), v.dtype))
                     ).astype(jnp.float32)[sl]
                     parts = _sum_parts(row)
                     for rr in parts:
@@ -361,8 +393,8 @@ def _kernel(
             continue
 
         for mk, idxs in by_mask.items():
-            m = ms[mk]
-            oh = onehots[mk]
+            m = in_window if mk is None else ms[mk]
+            oh = _oh(mk)
             rows = []
             plan = []
             for a in idxs:
@@ -395,9 +427,9 @@ def _kernel(
         for a, op in enumerate(ops):
             if op in ("sum", "count"):
                 continue  # handled by the stacked dot above
-            m = ms[mask_key_of[a]]
+            m = _m(a)
             v = val_refs[a][:]
-            oh = onehots[mask_key_of[a]]
+            oh = _oh(mask_key_of[a])
             if a in scanned:
                 big = _identity(op, v.dtype)
                 # place each run-end's scanned value; exactly one
@@ -524,11 +556,18 @@ def _segmented_reduce_sorted(
     # window starts are tile-aligned; pad so the last window fits
     out_pad = ((num_groups + W) + ALIGN - 1) // ALIGN * ALIGN
 
-    # dedupe mask arrays so ops sharing a mask share its one-hots
+    # dedupe mask arrays so ops sharing a mask share its one-hots.
+    # None masks ship NO stream: every row contributes to its own slot
+    # (callers route invalid rows to ids >= num_groups, whose padded
+    # slots are sliced off at return) — valid only for zero-neutral
+    # sum/count ops and min/max whose invalid rows are so routed.
     umasks: list = []
-    mask_map: list[int] = []
+    mask_map: list = []
     seen: dict[int, int] = {}
     for m in masks:
+        if m is None:
+            mask_map.append(None)
+            continue
         mid = id(m)
         if mid not in seen:
             seen[mid] = len(umasks)

@@ -53,6 +53,9 @@ def gen_tables(scale: float, seed: int = 0):
         "l_returnflag": rng.choice(np.array(["A", "N", "R"]), n_li),
         "l_linestatus": rng.choice(np.array(["F", "O"]), n_li),
         "l_shipdate": rng.integers(day0, day1 + 90, n_li).astype("datetime64[D]"),
+        "l_shipmode": rng.choice(
+            np.array(["MAIL", "SHIP", "AIR", "TRUCK", "RAIL"]), n_li
+        ),
     }
     segments = np.array(
         ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -109,7 +112,44 @@ WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """
 
-QUERIES = {"q1": Q1, "q3": Q3, "q5ish": Q5ish, "q6": Q6}
+Q10ish = """
+SELECT c_custkey, c_nation, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= DATE '1993-10-01' AND o_orderdate < DATE '1994-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_nation
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+Q12ish = """
+SELECT l_shipmode,
+       SUM(CASE WHEN o_shippriority = 1 THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_shippriority <> 1 THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+GROUP BY l_shipmode
+ORDER BY l_shipmode
+"""
+
+Q18ish = """
+SELECT o_orderkey, SUM(l_quantity) AS total_qty
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey
+HAVING SUM(l_quantity) > 220
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+QUERIES = {
+    "q1": Q1, "q3": Q3, "q5ish": Q5ish, "q6": Q6,
+    "q10ish": Q10ish, "q12ish": Q12ish, "q18ish": Q18ish,
+}
 
 
 def pandas_reference(name, lineitem, orders, customer):
@@ -160,6 +200,45 @@ def pandas_reference(name, lineitem, orders, customer):
             & (li.l_quantity < 24)
         ]
         return float((f.l_extendedprice * f.l_discount).sum())
+    if name == "q10ish":
+        m = cu.merge(
+            od[
+                (od.o_orderdate >= np.datetime64("1993-10-01"))
+                & (od.o_orderdate < np.datetime64("1994-01-01"))
+            ],
+            left_on="c_custkey", right_on="o_custkey",
+        ).merge(
+            li[li.l_returnflag == "R"],
+            left_on="o_orderkey", right_on="l_orderkey",
+        )
+        m["rev"] = m.l_extendedprice * (1 - m.l_discount)
+        g = m.groupby(["c_custkey", "c_nation"], as_index=False).rev.sum()
+        return (
+            g.sort_values(["rev", "c_custkey"], ascending=[False, True])
+            .head(20).reset_index(drop=True)
+        )
+    if name == "q12ish":
+        f = li[
+            li.l_shipmode.isin(["MAIL", "SHIP"])
+            & (li.l_shipdate >= np.datetime64("1994-01-01"))
+            & (li.l_shipdate < np.datetime64("1995-01-01"))
+        ].merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        f["hi"] = (f.o_shippriority == 1).astype(int)
+        f["lo"] = (f.o_shippriority != 1).astype(int)
+        g = f.groupby("l_shipmode", as_index=False).agg(
+            hi=("hi", "sum"), lo=("lo", "sum")
+        )
+        return g.sort_values("l_shipmode").reset_index(drop=True)
+    if name == "q18ish":
+        g = (
+            li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+            .groupby("o_orderkey", as_index=False).l_quantity.sum()
+        )
+        g = g[g.l_quantity > 220]
+        return (
+            g.sort_values(["l_quantity", "o_orderkey"], ascending=[False, True])
+            .head(100).reset_index(drop=True)
+        )
     raise ValueError(name)
 
 
@@ -191,7 +270,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=0.25)
     ap.add_argument("--verify", action="store_true")
-    ap.add_argument("--queries", default="q1,q3,q5ish,q6")
+    ap.add_argument(
+        "--queries", default="q1,q3,q5ish,q6,q10ish,q12ish,q18ish"
+    )
     args = ap.parse_args()
 
     import datafusion_tpu as df

@@ -9,7 +9,9 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
 
 
-@pytest.mark.parametrize("name", ["q1", "q3", "q5ish", "q6"])
+@pytest.mark.parametrize(
+    "name", ["q1", "q3", "q5ish", "q6", "q10ish", "q12ish", "q18ish"]
+)
 def test_tpch_query(name):
     import datafusion_tpu as df
     from tpch import QUERIES, gen_tables, verify

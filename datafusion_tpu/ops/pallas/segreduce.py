@@ -49,12 +49,25 @@ W = ALIGN + BLOCK  # update-window width (multiple of ALIGN)
 
 
 # The whole accumulator table is VMEM-resident (out BlockSpec maps every
-# grid step to block 0): ~4 B per slot per op. Multi-aggregate queries
-# over wide packed domains (PACKED_MAX_GROUPS = 2^19 → ~2.1 MB/op) can
-# exceed the ~16 MB VMEM budget and fail Mosaic compile on real chips —
-# invisible to CPU interpret-mode tests. Callers must check this before
-# invoking the kernel and fall back to the XLA segment ops when it
-# fails. Budget leaves headroom for the [SUB, W]-scale intermediates.
+# grid step to block 0): ~4 B per slot per op. Past the budget the
+# Mosaic compile fails on real chips (opaque remote-compile HTTP 500,
+# invisible to CPU interpret-mode tests), so callers must check this
+# before invoking the kernel and fall back to the XLA segment ops.
+# Budget calibration (v5e, r4 probes — do NOT trust standalone kernel
+# probes here):
+#   * Hard compile wall IN-PIPELINE: XLA's 16 MiB scoped-vmem stack —
+#     a single 16.01 MiB table fails by 20 KiB ("Ran out of memory in
+#     memory space vmem ... scoped").
+#   * Soft perf wall BELOW that: at ~12 MB of tables (1.5M-group 2-op,
+#     the TPC-H Q18 shape) the pipeline compiles but the scheduler
+#     HBM-backs the block-0-mapped outputs and Mosaic streams the FULL
+#     table every grid step — measured 1.46 s vs 0.81 s for the XLA
+#     segment-op fallback on the same query. Standalone probes of the
+#     bare kernel compiled and ran 67 MB tables at full speed, which
+#     is exactly why they mislead.
+# 8 MiB keeps every admitted shape in true VMEM residency with margin
+# for the [SUB, W]-scale intermediates; wider GROUP BYs take the XLA
+# segment ops (~7 ns/row) behind the same gate.
 ACCUM_VMEM_BUDGET = 8 * 1024 * 1024
 
 

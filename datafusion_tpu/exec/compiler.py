@@ -418,6 +418,7 @@ class PlanCompiler:
         # speculative path that returns None rolls self.notes back, but
         # WHY it declined is exactly what EXPLAIN should still show)
         self.sticky_notes: list[str] = []
+        self._finite_cache: dict[int, bool] = {}  # id(col buffer) -> all-finite
 
     def note_decline(self, msg: str) -> None:
         if msg not in self.sticky_notes:
@@ -1021,11 +1022,14 @@ class PlanCompiler:
             elif fname.startswith("percentile_"):
                 q = float(fname[len("percentile_"):])
                 fname = "percentile"
-            agg_meta.append((fname, arg_c, e.return_type, q))
+            finite = fname in ("sum", "avg") and self._scanned_float_finite(
+                child, e.args[0]
+            )
+            agg_meta.append((fname, arg_c, e.return_type, q, finite))
 
         out_dicts = [c.dictionary for c in group_c] + [
             (arg.dictionary if rt is DataType.Utf8 else None)
-            for (_, arg, rt, _q) in agg_meta
+            for (_, arg, rt, _q, _f) in agg_meta
         ]
 
         if group_c:
@@ -1056,7 +1060,7 @@ class PlanCompiler:
             if dense_ok:
                 from datafusion_tpu.types import physical_np as _phys
 
-                for (name, arg, rt, _q) in agg_meta:
+                for (name, arg, rt, _q, _f) in agg_meta:
                     p = _phys(arg.dtype)
                     why = None
                     if name in ("sum", "avg") and p != np.dtype(np.float32):
@@ -1084,9 +1088,10 @@ class PlanCompiler:
                     keys = [_broadcast_col(c.fn(b.cols), b.capacity) for c in group_c]
                     specs = [
                         agg_ops.AggSpec(
-                            name, _broadcast_col(arg.fn(b.cols), b.capacity), rt, q
+                            name, _broadcast_col(arg.fn(b.cols), b.capacity),
+                            rt, q, finite_arg=fin,
                         )
-                        for (name, arg, rt, q) in agg_meta
+                        for (name, arg, rt, q, fin) in agg_meta
                     ]
                     okeys, oaggs, osel, _ = agg_ops.grouped_aggregate_dense(
                         keys, specs, b.sel, doms, offs
@@ -1149,7 +1154,7 @@ class PlanCompiler:
             if bigdense_ok:
                 from datafusion_tpu.types import physical_np as _physb
 
-                for (name, arg, rt, _q) in agg_meta:
+                for (name, arg, rt, _q, _f) in agg_meta:
                     p = _physb(arg.dtype)
                     if name in ("sum", "avg") and p != np.dtype(np.float32):
                         bigdense_ok = False
@@ -1180,9 +1185,10 @@ class PlanCompiler:
                     ]
                     specs = [
                         agg_ops.AggSpec(
-                            name, _broadcast_col(arg.fn(b.cols), b.capacity), rt, q
+                            name, _broadcast_col(arg.fn(b.cols), b.capacity),
+                            rt, q, finite_arg=fin,
                         )
-                        for (name, arg, rt, q) in agg_meta
+                        for (name, arg, rt, q, fin) in agg_meta
                     ]
                     okeys, oaggs, osel, _ = agg_ops.grouped_aggregate_bigdense(
                         keys, specs, b.sel, doms, offs
@@ -1231,9 +1237,10 @@ class PlanCompiler:
                 keys = [_broadcast_col(c.fn(b.cols), b.capacity) for c in group_c]
                 specs = [
                     agg_ops.AggSpec(
-                        name, _broadcast_col(arg.fn(b.cols), b.capacity), rt, q
+                        name, _broadcast_col(arg.fn(b.cols), b.capacity),
+                        rt, q, finite_arg=fin,
                     )
-                    for (name, arg, rt, q) in agg_meta
+                    for (name, arg, rt, q, fin) in agg_meta
                 ]
                 okeys, oaggs, osel, n_groups = agg_ops.grouped_aggregate(
                     keys, specs, b.sel, gcap,
@@ -1250,9 +1257,10 @@ class PlanCompiler:
             b = child.fn(env)
             specs = [
                 agg_ops.AggSpec(
-                    name, _broadcast_col(arg.fn(b.cols), b.capacity), rt, q
+                    name, _broadcast_col(arg.fn(b.cols), b.capacity),
+                    rt, q, finite_arg=fin,
                 )
-                for (name, arg, rt, q) in agg_meta
+                for (name, arg, rt, q, fin) in agg_meta
             ]
             outs = agg_ops.ungrouped_aggregate(specs, b.sel)
             iota = lax.broadcasted_iota(jnp.int32, (out_cap,), 0)
@@ -1307,6 +1315,41 @@ class PlanCompiler:
             offs.append(kmin)
             notes.append(f"int[{kmin},{kmax}]")
         return doms, offs, notes
+
+    def _scanned_float_finite(self, child: Lowered, agg_arg) -> bool:
+        """Compile-time probe: is this SUM/AVG argument a pure scanned,
+        non-nullable float column whose buffer holds NO NaN/±inf (padding
+        included — from_pydict/ingest pad with zeros)? Then the kernels
+        can skip the in-kernel zero-sanitize AND the whole
+        ieee_sum_cond pre-scan + conditional exact path: statistics-
+        driven planning, one cached device reduction per (table, column)
+        per compiler."""
+        e = agg_arg.expr if isinstance(agg_arg, L.Alias) else agg_arg
+        if not isinstance(e, L.Column):
+            return False
+        col_idx = e.index
+        if child.schema.fields[col_idx].dtype not in (
+            DataType.Float32, DataType.Float64,
+        ):
+            return False
+        src = child.src()[col_idx]
+        if src is None:
+            return False
+        tbl = self.scan_tables[src[0]]
+        col = tbl.columns[src[1]]
+        if col.validity is not None:
+            return False  # NULL rows may hold non-finite fill
+        key = id(col.data)
+        cached = self._finite_cache.get(key)
+        if cached is None:
+            try:
+                from datafusion_tpu.parallel.multihost import to_host
+
+                cached = bool(to_host(jnp.all(jnp.isfinite(col.data))))
+            except Exception:
+                cached = False
+            self._finite_cache[key] = cached
+        return cached
 
     def _int_key_range(self, gexpr, child: Lowered):
         """Compile-time probe for the dense-int group-by path: when the

@@ -72,6 +72,11 @@ class AggSpec:
     arg: ColVal
     out_dtype: DataType
     q: float = 0.5  # percentile fraction (median = 0.5)
+    # compiler-probed ingest statistic: the argument is a pure scanned,
+    # non-nullable float column whose buffer (padding included) holds no
+    # NaN/±inf — SUM/AVG may skip the zero-sanitize and the whole
+    # ieee_sum_cond pre-scan + conditional exact path
+    finite_arg: bool = False
 
 
 # Non-finite float SUM inputs cannot ride the kernels' one-hot dot
@@ -391,10 +396,12 @@ def dense_window_aggregate(
         data = jnp.broadcast_to(data, sel.shape) if jnp.ndim(data) == 0 else data
         mask = _mask_for(valid)
         if spec.func in ("sum", "avg"):
-            if jnp.issubdtype(data.dtype, jnp.floating):
+            if jnp.issubdtype(data.dtype, jnp.floating) and not spec.finite_arg:
                 k_vals.append(_encoded(data))
                 nansafe_sums.add(si)
             else:
+                # int sums, or float args compiler-probed all-finite
+                # (ingest statistics): no sanitize pass, no ieee cond
                 k_vals.append(data)
             k_ops.append("sum")
             k_masks.append(mask)
@@ -530,6 +537,7 @@ def grouped_aggregate_dense(
             num_groups=gcap,
             interpret=interp,
             dense=True,
+            block=1024,  # dense contract: num_groups <= 1024 + block
         )
         return tuple(
             from_sortable_int(o, jnp.float32) if im else o
@@ -974,12 +982,14 @@ def grouped_aggregate(
     # reduction AND the representative group keys (ops/pallas/segreduce.py)
     # — no scatters, no secondary sorts, no extents. CPU/parity path keeps
     # XLA ops (bit-exact row-order float sums).
-    from datafusion_tpu.ops.pallas.segreduce import BLOCK as _SEG_BLOCK
+    from datafusion_tpu.ops.pallas.segreduce import pick_block
 
-    use_pallas = _pallas_enabled() and capacity % _SEG_BLOCK == 0 and gcap >= 1
+    _seg_block = pick_block(capacity)
+    use_pallas = _pallas_enabled() and capacity % _seg_block == 0 and gcap >= 1
     k_ops: list[str] = []
     k_vals: list[jax.Array] = []
     k_masks: list[jax.Array] = []
+    k_finite: list[bool] = []  # per op: value stream probed all-finite
     k_slots: list[tuple] = []  # (kind, index) kind in {agg, cnt}
     pallas_results: dict[int, jax.Array] = {}
     pallas_counts: dict[int, jax.Array] = {}
@@ -1028,6 +1038,7 @@ def grouped_aggregate(
                 # value stream ships into the kernel (saves an [n] f32
                 # HBM materialization + DMA per distinct count mask)
                 k_masks.append(_kernel_mask(vpi))
+                k_finite.append(True)  # counts read no value stream
                 k_slots.append(("cnt", ck))
 
         # group sizes drive the extents (starts = exclusive cumsum), the
@@ -1060,7 +1071,9 @@ def grouped_aggregate(
                 # sanitize pass's [n] materialization)
                 k_masks.append(_kernel_mask(vpi))
                 k_slots.append(("agg", si))
-                sp_of[si] = True
+                k_finite.append(spec.finite_arg)
+                if not spec.finite_arg:
+                    sp_of[si] = True
             elif spec.func in ("min", "max") and eligible:
                 k_ops.append(spec.func)
                 if d_sorted.dtype == jnp.float32:
@@ -1074,6 +1087,7 @@ def grouped_aggregate(
                 else:
                     k_vals.append(d_sorted)
                 k_masks.append(_kernel_mask(vpi))
+                k_finite.append(False)
                 k_slots.append(("agg", si))
             # counts: explicit COUNT, AVG denominators, and validity for
             # NULLABLE args; non-null args are valid wherever the group
@@ -1100,8 +1114,7 @@ def grouped_aggregate(
             # the XLA cumsum it removes — PERFLOG r4.7), kept as a
             # validated ablation surface.
             if os.environ.get("DFTPU_SEG_PREFIX", "0") == "1":
-                from datafusion_tpu.ops.pallas.segreduce import BLOCK as _BK
-
+                _BK = _seg_block
                 nblocks = capacity // _BK
                 b2 = boundary.astype(jnp.int32).reshape(nblocks, _BK)
                 bsum = jnp.sum(b2, axis=1)
@@ -1124,6 +1137,8 @@ def grouped_aggregate(
                 num_groups=gcap,
                 interpret=interp,
                 prefix=use_prefix,
+                finite_ops=tuple(k_finite),
+                block=_seg_block,
             )
             cnt_by_mask = {}
             for (kind, ident), o in zip(k_slots, outs):

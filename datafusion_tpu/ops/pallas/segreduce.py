@@ -38,9 +38,23 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 # rows per grid step. The grid is SEQUENTIAL (accumulator carry), so
-# per-step latency multiplies by n/BLOCK — DFTPU_SEG_BLOCK for on-chip
-# amortization experiments (callers gate on capacity % BLOCK == 0).
+# per-step latency multiplies by n/BLOCK. Larger blocks amortize the
+# per-step window read-modify-write: c2 query on v5e measured 186.1 ms
+# at 1024 -> 182.4 @2048 -> 180.3 @4096 -> 179.7 @8192 (r4 sweep), so
+# callers pass the LARGEST power-of-two divisor of their capacity up to
+# BLOCK_MAX (tables pad to 1024-row units, so 1024 always divides).
+# DFTPU_SEG_BLOCK overrides the default for experiments.
 BLOCK = int(_os.environ.get("DFTPU_SEG_BLOCK", "1024"))
+BLOCK_MAX = int(_os.environ.get("DFTPU_SEG_BLOCK_MAX", "8192"))
+
+
+def pick_block(capacity: int) -> int:
+    """Largest power-of-two block <= BLOCK_MAX dividing `capacity`
+    (>= the 1024-row table padding unit when capacity allows)."""
+    b = BLOCK
+    while b * 2 <= BLOCK_MAX and capacity % (b * 2) == 0:
+        b *= 2
+    return b
 # rows per in-kernel chunk: bounds the [SUB, W]-scale intermediates and
 # the per-chunk VREG working set (DFTPU_SEG_SUB for on-chip experiments)
 SUB = int(_os.environ.get("DFTPU_SEG_SUB", "256"))
@@ -72,8 +86,10 @@ ACCUM_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def accum_fits_vmem(num_groups: int, n_ops: int) -> bool:
-    """Would the kernel's VMEM-resident accumulator tables fit?"""
-    out_pad = ((num_groups + W) + ALIGN - 1) // ALIGN * ALIGN
+    """Would the kernel's VMEM-resident accumulator tables fit?
+    Conservative against the widest selectable block's window."""
+    w = ALIGN + BLOCK_MAX
+    out_pad = ((num_groups + w) + ALIGN - 1) // ALIGN * ALIGN
     return out_pad * 4 * max(n_ops, 1) <= ACCUM_VMEM_BUDGET
 
 
@@ -95,8 +111,10 @@ def _identity(op: str, dtype):
 
 def _kernel(
     ops, mask_map, val_map, n_vals, n_masks, dense, has_ends, sum_split,
-    prefix, num_groups, variant, gid_ref, *refs
+    prefix, num_groups, variant, finite_ops, BLOCK, W, gid_ref, *refs
 ):
+    # NOTE: BLOCK/W parameters shadow the module defaults — every use
+    # below is the per-call block size and its ALIGN + BLOCK window.
     uval_refs = refs[:n_vals]
     val_refs = [
         None if vm is None else uval_refs[vm] for vm in val_map
@@ -352,15 +370,17 @@ def _kernel(
                     v = val_refs[a][:]
                     # in-kernel zero-sanitize: NaN/±inf would poison the
                     # one-hot product; doing it here (not as an XLA
-                    # pre-pass) saves an [n] f32 materialization
-                    if v.dtype == jnp.float32:
+                    # pre-pass) saves an [n] f32 materialization. Ops
+                    # whose stream is compiler-probed all-finite
+                    # (finite_ops[a]: ingest statistics) skip it.
+                    if v.dtype == jnp.float32 and not finite_ops[a]:
                         keep = (
                             jnp.isfinite(v)
                             if maskless
                             else jnp.logical_and(_m(a), jnp.isfinite(v))
                         )
                     elif maskless:
-                        keep = None  # int sum, no mask: raw rows
+                        keep = None  # finite/int sum, no mask: raw rows
                     else:
                         keep = _m(a)
                     row = (
@@ -418,7 +438,7 @@ def _kernel(
                     v = val_refs[a][:]
                     keep = (
                         jnp.logical_and(m, jnp.isfinite(v))
-                        if v.dtype == jnp.float32
+                        if v.dtype == jnp.float32 and not finite_ops[a]
                         else m
                     )
                     row = jnp.where(keep, v, jnp.zeros((), v.dtype)).astype(
@@ -511,6 +531,8 @@ def segmented_reduce_sorted(
     interpret: bool = False,
     dense: bool = False,
     prefix: bool = False,
+    finite_ops: tuple[bool, ...] | None = None,
+    block: int | None = None,
 ):
     import os
 
@@ -526,6 +548,8 @@ def segmented_reduce_sorted(
         sum_split=os.environ.get("DFTPU_SUM_SPLIT", "1") != "0",
         prefix=prefix,
         variant=os.environ.get("DFTPU_SEG_VARIANT", ""),
+        finite_ops=finite_ops if finite_ops is not None else (False,) * len(ops),
+        block=block if block is not None else BLOCK,
     )
 
 
@@ -533,7 +557,7 @@ def segmented_reduce_sorted(
     jax.jit,
     static_argnames=(
         "ops", "num_groups", "interpret", "dense", "segscan", "sum_split",
-        "prefix", "variant",
+        "prefix", "variant", "finite_ops", "block",
     ),
 )
 def _segmented_reduce_sorted(
@@ -549,6 +573,8 @@ def _segmented_reduce_sorted(
     sum_split: bool = True,
     prefix: bool = False,
     variant: str = "",
+    finite_ops: tuple[bool, ...] = (),
+    block: int = BLOCK,
 ):
     """Reduce `values[a]` into per-group slots according to sorted `gid`.
 
@@ -563,11 +589,13 @@ def _segmented_reduce_sorted(
     Returns tuple of [num_groups] arrays (f32 for sum/count).
     """
     n = int(gid.shape[0])
-    assert n % BLOCK == 0, f"input length {n} not a multiple of {BLOCK}"
+    w = ALIGN + block  # per-call update-window width
+    assert n % block == 0, f"input length {n} not a multiple of {block}"
+    assert block % SUB == 0, f"block {block} not a multiple of SUB {SUB}"
     if dense:
-        assert num_groups <= W, f"dense mode requires num_groups <= {W}"
+        assert num_groups <= w, f"dense mode requires num_groups <= {w}"
     # window starts are tile-aligned; pad so the last window fits
-    out_pad = ((num_groups + W) + ALIGN - 1) // ALIGN * ALIGN
+    out_pad = ((num_groups + w) + ALIGN - 1) // ALIGN * ALIGN
 
     # dedupe mask arrays so ops sharing a mask share its one-hots.
     # None masks ship NO stream: every row contributes to its own slot
@@ -614,17 +642,17 @@ def _segmented_reduce_sorted(
     if has_ends:
         iota = jnp.arange(n, dtype=jnp.int32)
         nextg = jnp.concatenate([gid[1:], jnp.full((1,), -1, gid.dtype)])
-        is_end = jnp.logical_or(iota % BLOCK == BLOCK - 1, gid != nextg)
+        is_end = jnp.logical_or(iota % block == block - 1, gid != nextg)
         extra.append(is_end.astype(jnp.int8))
 
-    grid = (n // BLOCK,)
-    in_specs = [pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)]
+    grid = (n // block,)
+    in_specs = [pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM)]
     for _ in uvals:
-        in_specs.append(pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM))
     for _ in umasks:
-        in_specs.append(pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM))
     for _ in extra:
-        in_specs.append(pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM))
 
     out_shapes = []
     out_specs = []
@@ -635,10 +663,11 @@ def _segmented_reduce_sorted(
             pl.BlockSpec((out_pad,), lambda i: (0,), memory_space=pltpu.VMEM)
         )
 
+    fin = tuple(finite_ops) if finite_ops else (False,) * len(ops)
     kernel = functools.partial(
         _kernel, ops, tuple(mask_map), tuple(val_map), len(uvals),
         len(umasks), dense, has_ends, sum_split, prefix, num_groups,
-        variant,
+        variant, fin, block, w,
     )
     outs = pl.pallas_call(
         kernel,

@@ -46,6 +46,57 @@ def encode_dictionary(values: Sequence[str]) -> tuple[np.ndarray, tuple[str, ...
     return codes.astype(np.int32), tuple(vocab.tolist())
 
 
+def _split_nulls(vals) -> tuple[object, Optional[np.ndarray]]:
+    """Split Python-level NULLs out of one raw column.
+
+    Returns `(cleaned_values, validity_or_None)`. `None` entries (and
+    datetime64 NaT) mark NULL rows; the column's type is inferred from
+    the NON-NULL values, and NULL slots hold a type-appropriate fill
+    that is never observable (validity gates every consumer). Without
+    this, `np.asarray([1.0, None])` yields an object array that was
+    mis-classified Utf8 and SUM returned the string 'None'.
+    """
+    arr = np.asarray(vals)
+    if arr.dtype.kind == "M":
+        nat = np.isnat(arr)
+        if not nat.any():
+            return vals, None
+        filled = arr.copy()
+        filled[nat] = np.zeros((), arr.dtype)
+        return filled, ~nat
+    if arr.dtype.kind != "O":
+        return vals, None
+    flat = list(arr.flat)
+    valid = np.array([v is not None for v in flat], dtype=bool)
+    if valid.all():
+        return vals, None
+    non_null = [v for v in flat if v is not None]
+    if not non_null:
+        # all-NULL, untyped: Float64 by convention (Arrow's null→double)
+        return np.zeros(len(flat), dtype=np.float64), valid
+    import datetime as _dtm
+
+    ex = non_null[0]
+    if isinstance(ex, str):
+        return np.array(["" if v is None else v for v in flat], dtype=object), valid
+    if isinstance(ex, _dtm.datetime):
+        fill = _dtm.datetime(1970, 1, 1)
+        return np.array([fill if v is None else v for v in flat], dtype=object), valid
+    if isinstance(ex, _dtm.date):
+        fill = _dtm.date(1970, 1, 1)
+        return np.array([fill if v is None else v for v in flat], dtype=object), valid
+    if isinstance(ex, bool) and all(isinstance(v, bool) for v in non_null):
+        return np.array([bool(v) for v in flat], dtype=np.bool_), valid
+    base = np.asarray(non_null)
+    if base.dtype.kind in ("i", "u", "f", "b"):
+        cleaned = np.zeros(len(flat), dtype=base.dtype)
+        cleaned[valid] = base
+        return cleaned, valid
+    # heterogeneous objects: render as strings (matches np.asarray's
+    # str coercion for fully-valid object columns)
+    return np.array(["" if v is None else str(v) for v in flat], dtype=object), valid
+
+
 @dataclass(frozen=True)
 class Column:
     """One column: logical type + padded device buffer (+ validity, + dict).
@@ -166,10 +217,24 @@ class Table:
 
     @staticmethod
     def from_pydict(data: dict, schema: Optional[Schema] = None) -> "Table":
-        """Convenience constructor from {name: values}."""
+        """Convenience constructor from {name: values}.
+
+        Python `None` entries become SQL NULLs: the column's type is
+        inferred from the non-None values and a validity mask is set
+        (a numeric list containing None must NOT silently become a
+        Utf8 column or a NaN data value — Arrow ingest semantics).
+        """
+        arrays: list = []
+        validity: list = []
+        any_valid = False
+        for vals in data.values():
+            cleaned, vmask = _split_nulls(vals)
+            arrays.append(cleaned)
+            validity.append(vmask)
+            any_valid = any_valid or vmask is not None
         if schema is None:
             fields = []
-            for name, vals in data.items():
+            for name, vals in zip(data.keys(), arrays):
                 v0 = np.asarray(vals)
                 if v0.dtype.kind == "M":
                     # datetime64: day-or-coarser units → Date32, finer
@@ -191,7 +256,9 @@ class Table:
                 else:
                     fields.append(Field(name, from_np(v0.dtype)))
             schema = Schema(fields)
-        return Table.from_arrays(schema, list(data.values()))
+        return Table.from_arrays(
+            schema, arrays, validity=validity if any_valid else None
+        )
 
     # ------------------------------------------------------------------
     def to_pylist(self) -> list[dict]:

@@ -766,6 +766,35 @@ def _compile_binary(expr: BinaryExpr, schema, dicts, registry) -> CompiledExpr:
         arith = _ARITH[op]
         out_dt = expr.get_type(schema)
 
+        if op in (Operator.Divide, Operator.Modulus) and out_dt.is_numeric and not (
+            out_dt in (DataType.Float32, DataType.Float64)
+        ):
+            # DOCUMENTED DEVIATION — integer x/0 and x%0 yield NULL.
+            # Rust panics here, so the reference hard-fails the whole
+            # query; a data-dependent abort cannot ride a jit-compiled
+            # TPU pipeline (and lax.div's /0 result is unspecified
+            # garbage: -1 was observed). NULL-on-zero-divisor is the
+            # MySQL/SQLite semantic and composes with every downstream
+            # validity consumer. Float /0 keeps IEEE ±inf/NaN.
+            def div0_fn(cols, left=left, right=right, arith=arith):
+                ld, lv = left.fn(cols)
+                rd, rv = right.fn(cols)
+                if not isinstance(rd, jax.core.Tracer) and np.ndim(rd) == 0:
+                    # literal divisor, resolved at trace time: non-zero
+                    # keeps the validity-free fast path; a literal 0
+                    # yields an all-NULL result
+                    if np.asarray(rd) != 0:
+                        return arith(ld, rd), _and_valid(lv, rv)
+                    one = np.ones((), np.asarray(rd).dtype)[()]
+                    return arith(ld, one), jnp.zeros((), jnp.bool_)
+                zero = rd == 0
+                safe = jnp.where(zero, jnp.ones((), rd.dtype), rd)
+                out = arith(ld, safe)
+                v = _and_valid(_and_valid(lv, rv), jnp.logical_not(zero))
+                return out, v
+
+            return CompiledExpr(div0_fn, out_dt)
+
         def arith_fn(cols, left=left, right=right, arith=arith):
             ld, lv = left.fn(cols)
             rd, rv = right.fn(cols)

@@ -2162,9 +2162,21 @@ class SqlToRel:
             if len(args) != 1:
                 raise PlanError(f"{name} expects a single argument")
             at = args[0].get_type(schema)
-            if at in (DataType.Date32, DataType.Timestamp) and low in ("sum", "avg"):
-                kindname = "DATE" if at is DataType.Date32 else "TIMESTAMP"
-                raise PlanError(f"{name} is not defined for {kindname} values")
+            if low in ("sum", "avg"):
+                # SUM/AVG require a numeric argument. The reference's
+                # planner lets any type through (sqlplanner.rs:317) but
+                # its runtime dispatch has no Utf8/Boolean arm in
+                # array_sum (aggregate.rs:344-546) so it ERRORS there;
+                # we match that outcome at plan time rather than ever
+                # fabricating a value.
+                if not at.is_numeric and at is not DataType.Null:
+                    kindname = {
+                        DataType.Date32: "DATE",
+                        DataType.Timestamp: "TIMESTAMP",
+                        DataType.Utf8: "VARCHAR",
+                        DataType.Boolean: "BOOLEAN",
+                    }.get(at, repr(at))
+                    raise PlanError(f"{name} is not defined for {kindname} values")
             # return type = argument type (reference: sqlplanner.rs:317)
             # MIN/MAX(DISTINCT x) = MIN/MAX(x); SUM/AVG keep the flag
             distinct = node.distinct and low in ("sum", "avg")

@@ -214,13 +214,25 @@ def split_host_projection(plan: L.LogicalPlan, fn_registry: dict):
             fn_registry.get(e.name.lower()), HostFunction
         )
 
-    def contains_host(e) -> bool:
+    def is_host_cast(e, schema) -> bool:
+        # CAST(<non-string> AS VARCHAR): device computes the argument,
+        # host renders the decimal/date text (ops/functions.py
+        # CastRenderHost). Utf8→Utf8 and NULL casts stay on device
+        # (dictionary LUT / one-entry-dict paths in expr_eval).
+        if not (isinstance(e, L.Cast) and e.data_type is DataType.Utf8):
+            return False
+        try:
+            st = e.expr.get_type(schema)
+        except Exception:
+            return False
+        return st not in (DataType.Utf8, DataType.Null)
+
+    def contains_host(e, schema=None) -> bool:
         if is_host_call(e):
             return True
-        return any(contains_host(c) for c in _expr_children(e))
-
-    if not fn_registry:
-        return plan, None
+        if schema is not None and is_host_cast(e, schema):
+            return True
+        return any(contains_host(c, schema) for c in _expr_children(e))
 
     # push the split through Limit/Sort wrappers: the host stage runs
     # after materialization, which preserves the row set and order those
@@ -273,17 +285,31 @@ def split_host_projection(plan: L.LogicalPlan, fn_registry: dict):
 
     if not isinstance(plan, L.Projection):
         return plan, None
-    if not any(contains_host(e) for e in plan.exprs):
+    from datafusion_tpu.plan.optimizer import out_schema
+
+    ischema = out_schema(plan.input)
+    if not any(contains_host(e, ischema) for e in plan.exprs):
         return plan, None
 
     device_exprs: list[L.Expr] = []
 
     def decompose(e) -> HostCall:
+        if isinstance(e, L.Cast):
+            from datafusion_tpu.ops.functions import CastRenderHost
+
+            a_ = e.expr.expr if isinstance(e.expr, L.Alias) else e.expr
+            if contains_host(a_, ischema):
+                raise NotImplementedError_(
+                    "CAST AS VARCHAR of a host function result is not supported"
+                )
+            idx = len(device_exprs)
+            device_exprs.append(a_)
+            return HostCall(CastRenderHost(a_.get_type(ischema)), [idx])
         fn = fn_registry[e.name.lower()]
         args = []
         for a in e.args:
             a_ = a.expr if isinstance(a, L.Alias) else a
-            if contains_host(a_):
+            if contains_host(a_, ischema):
                 if not is_host_call(a_):
                     raise NotImplementedError_(
                         "a host function result can only feed another host "
@@ -297,9 +323,9 @@ def split_host_projection(plan: L.LogicalPlan, fn_registry: dict):
 
     outmap: list[tuple] = []
     for e in plan.exprs:
-        if contains_host(e):
+        if contains_host(e, ischema):
             stripped = e.expr if isinstance(e, L.Alias) else e
-            if not is_host_call(stripped):
+            if not (is_host_call(stripped) or is_host_cast(stripped, ischema)):
                 raise NotImplementedError_(
                     "host functions must be the outermost call of a SELECT item"
                 )

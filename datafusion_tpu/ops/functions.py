@@ -39,6 +39,52 @@ class HostFunction:
         return self.fn(*args)
 
 
+class CastRenderHost(HostFunction):
+    """Host-stage renderer for `CAST(<non-string> AS VARCHAR)`.
+
+    Strings on device exist only as dictionary codes, and a numeric
+    column's distinct values are unknown at compile time — so the cast's
+    *argument* computes on device like any projection column and the
+    decimal rendering happens once on the materialized host result
+    (the same boundary as every other HostFunction). Rendering uses
+    Rust `{}` Display semantics (shortest round-trip floats, true/false
+    booleans, ISO dates) to match the engine's display formatter.
+
+    Beyond the reference: its casts were Int16/Int32-only
+    (expression.rs:272-280).
+    """
+
+    def __init__(self, src_dtype):
+        self.src_dtype = src_dtype
+        super().__init__(self._render)
+
+    def _render(self, data: np.ndarray) -> np.ndarray:
+        from datafusion_tpu.types import DataType
+
+        dt = self.src_dtype
+        if dt is DataType.Float64:
+            from datafusion_tpu.utils.fmt import rust_f64
+
+            return np.array([rust_f64(float(v)) for v in data], dtype=object)
+        if dt is DataType.Float32:
+            from datafusion_tpu.utils.fmt import rust_f32
+
+            return np.array([rust_f32(float(v)) for v in data], dtype=object)
+        if dt is DataType.Boolean:
+            return np.array(
+                ["true" if v else "false" for v in data], dtype=object
+            )
+        if dt is DataType.Date32:
+            from datafusion_tpu.utils.dates import format_days
+
+            return np.array([format_days(int(v)) for v in data], dtype=object)
+        if dt is DataType.Timestamp:
+            from datafusion_tpu.utils.dates import format_seconds
+
+            return np.array([format_seconds(int(v)) for v in data], dtype=object)
+        return np.array([str(int(v)) for v in data], dtype=object)
+
+
 class AggregateUDF:
     """A user aggregate as a map/combine/finalize monoid — the shape that
     runs on TPU at full speed (the reference's FunctionType::Aggregate

@@ -34,14 +34,30 @@ def gen_tables(scale: float, seed: int = 0):
     day0 = int(np.datetime64("1992-01-01", "D").astype(np.int64))
     day1 = int(np.datetime64("1998-12-01", "D").astype(np.int64))
 
+    n_part = max(int(200_000 * scale), 1)
+    n_supp = max(int(10_000 * scale), 1)
+
     orders = {
         "o_orderkey": np.arange(n_ord, dtype=np.int32),
-        "o_custkey": rng.integers(0, n_cust, n_ord).astype(np.int32),
+        # top ~5% of custkeys place no orders: NOT EXISTS (q22) and
+        # LEFT-JOIN zero-count (q13) shapes stay non-trivial at any scale
+        "o_custkey": rng.integers(0, max(int(n_cust * 0.95), 1), n_ord).astype(
+            np.int32
+        ),
         "o_orderdate": rng.integers(day0, day1, n_ord).astype("datetime64[D]"),
         "o_shippriority": rng.integers(0, 2, n_ord).astype(np.int32),
+        "o_orderpriority": rng.choice(
+            np.array(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+            ),
+            n_ord,
+        ),
     }
+    commit = rng.integers(day0, day1 + 60, n_li)
     lineitem = {
         "l_orderkey": rng.integers(0, n_ord, n_li).astype(np.int32),
+        "l_partkey": rng.integers(0, n_part, n_li).astype(np.int32),
+        "l_suppkey": rng.integers(0, n_supp, n_li).astype(np.int32),
         "l_quantity": rng.integers(1, 51, n_li).astype(np.float32),
         "l_extendedprice": (rng.random(n_li, dtype=np.float32) * 100000).round(2),
         # float64: decimal literals like 0.05 then compare exactly on the
@@ -53,6 +69,10 @@ def gen_tables(scale: float, seed: int = 0):
         "l_returnflag": rng.choice(np.array(["A", "N", "R"]), n_li),
         "l_linestatus": rng.choice(np.array(["F", "O"]), n_li),
         "l_shipdate": rng.integers(day0, day1 + 90, n_li).astype("datetime64[D]"),
+        "l_commitdate": commit.astype("datetime64[D]"),
+        "l_receiptdate": (commit + rng.integers(-15, 46, n_li)).astype(
+            "datetime64[D]"
+        ),
         "l_shipmode": rng.choice(
             np.array(["MAIL", "SHIP", "AIR", "TRUCK", "RAIL"]), n_li
         ),
@@ -66,7 +86,29 @@ def gen_tables(scale: float, seed: int = 0):
         "c_mktsegment": rng.choice(segments, n_cust),
         "c_nation": rng.choice(nations, n_cust),
     }
-    return lineitem, orders, customer
+    part = {
+        "p_partkey": np.arange(n_part, dtype=np.int32),
+        "p_type": rng.choice(
+            np.array(
+                [
+                    "PROMO BRUSHED", "PROMO PLATED", "STANDARD POLISHED",
+                    "MEDIUM BURNISHED", "ECONOMY ANODIZED", "SMALL PLATED",
+                ]
+            ),
+            n_part,
+        ),
+        "p_brand": rng.choice(
+            np.array([f"Brand#{i}" for i in range(1, 6)]), n_part
+        ),
+        "p_container": rng.choice(
+            np.array(
+                ["SM CASE", "SM BOX", "MED BAG", "MED BOX", "LG CASE", "LG BOX"]
+            ),
+            n_part,
+        ),
+        "p_size": rng.integers(1, 51, n_part).astype(np.int32),
+    }
+    return lineitem, orders, customer, part
 
 
 Q1 = """
@@ -146,18 +188,113 @@ ORDER BY total_qty DESC, o_orderkey
 LIMIT 100
 """
 
+Q4ish = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1993-07-01' AND o_orderdate < DATE '1993-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_commitdate < l_receiptdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+Q13ish = """
+WITH high AS (SELECT o_custkey, o_orderkey FROM orders WHERE o_shippriority = 1)
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN high ON c_custkey = o_custkey
+      GROUP BY c_custkey) co
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+Q14ish = """
+SELECT 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END)
+       / SUM(l_extendedprice * (1 - l_discount)) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+"""
+
+Q16ish = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 14, 23, 45)
+  AND l_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 20
+"""
+
+Q17ish = """
+SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#2' AND p_container = 'MED BOX'
+  AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+Q19ish = """
+SELECT SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND (
+      (p_brand = 'Brand#1' AND p_container IN ('SM CASE', 'SM BOX')
+       AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND p_container IN ('MED BAG', 'MED BOX')
+       AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND p_container IN ('LG CASE', 'LG BOX')
+       AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))
+"""
+
+Q20ish = """
+SELECT c_nation, COUNT(*) AS cnt
+FROM customer
+WHERE c_custkey IN (
+    SELECT o_custkey FROM orders WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem WHERE l_shipdate >= DATE '1998-06-01'))
+GROUP BY c_nation
+ORDER BY c_nation
+"""
+
+Q21ish = """
+SELECT o_shippriority, COUNT(*) AS cnt
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_receiptdate > l_commitdate)
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipmode = 'AIR')
+GROUP BY o_shippriority
+ORDER BY o_shippriority
+"""
+
+Q22ish = """
+SELECT SUBSTR(c_nation, 8, 1) AS cntrycode, COUNT(*) AS numcust
+FROM customer
+WHERE SUBSTR(c_nation, 8, 1) IN ('0', '1', '2')
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
 QUERIES = {
-    "q1": Q1, "q3": Q3, "q5ish": Q5ish, "q6": Q6,
-    "q10ish": Q10ish, "q12ish": Q12ish, "q18ish": Q18ish,
+    "q1": Q1, "q3": Q3, "q4ish": Q4ish, "q5ish": Q5ish, "q6": Q6,
+    "q10ish": Q10ish, "q12ish": Q12ish, "q13ish": Q13ish, "q14ish": Q14ish,
+    "q16ish": Q16ish, "q17ish": Q17ish, "q18ish": Q18ish, "q19ish": Q19ish,
+    "q20ish": Q20ish, "q21ish": Q21ish, "q22ish": Q22ish,
 }
 
 
-def pandas_reference(name, lineitem, orders, customer):
+def pandas_reference(name, lineitem, orders, customer, part=None):
     import pandas as pd
 
     li = pd.DataFrame(lineitem)
     od = pd.DataFrame(orders)
     cu = pd.DataFrame(customer)
+    pt = None if part is None else pd.DataFrame(part)
     if name == "q1":
         f = li[li.l_shipdate <= np.datetime64("1998-09-02")].copy()
         f["disc"] = f.l_extendedprice * (1 - f.l_discount)
@@ -239,18 +376,113 @@ def pandas_reference(name, lineitem, orders, customer):
             g.sort_values(["l_quantity", "o_orderkey"], ascending=[False, True])
             .head(100).reset_index(drop=True)
         )
+    if name == "q4ish":
+        ok = li[li.l_commitdate < li.l_receiptdate].l_orderkey.unique()
+        f = od[
+            (od.o_orderdate >= np.datetime64("1993-07-01"))
+            & (od.o_orderdate < np.datetime64("1993-10-01"))
+            & od.o_orderkey.isin(ok)
+        ]
+        g = f.groupby("o_orderpriority", as_index=False).size()
+        return g.sort_values("o_orderpriority").reset_index(drop=True)
+    if name == "q13ish":
+        high = od[od.o_shippriority == 1]
+        m = cu.merge(
+            high, left_on="c_custkey", right_on="o_custkey", how="left"
+        )
+        g1 = m.groupby("c_custkey", as_index=False).agg(
+            c_count=("o_orderkey", "count")
+        )
+        g = g1.groupby("c_count", as_index=False).size()
+        return g.sort_values(
+            ["size", "c_count"], ascending=[False, False]
+        ).reset_index(drop=True)
+    if name == "q14ish":
+        f = li[
+            (li.l_shipdate >= np.datetime64("1995-09-01"))
+            & (li.l_shipdate < np.datetime64("1995-10-01"))
+        ].merge(pt, left_on="l_partkey", right_on="p_partkey")
+        rev = f.l_extendedprice * (1 - f.l_discount)
+        promo = rev[f.p_type.str.startswith("PROMO")].sum()
+        return float(100.0 * promo / rev.sum())
+    if name == "q16ish":
+        bad = li[li.l_quantity > 49].l_suppkey.unique()
+        m = pt.merge(li, left_on="p_partkey", right_on="l_partkey")
+        f = m[
+            (m.p_brand != "Brand#1")
+            & m.p_size.isin([1, 14, 23, 45])
+            & ~m.l_suppkey.isin(bad)
+        ]
+        g = f.groupby(["p_brand", "p_type"], as_index=False).l_suppkey.nunique()
+        return (
+            g.sort_values(
+                ["l_suppkey", "p_brand", "p_type"],
+                ascending=[False, True, True],
+            )
+            .head(20).reset_index(drop=True)
+        )
+    if name == "q17ish":
+        halfavg = li.groupby("l_partkey").l_quantity.mean() * 0.5
+        m = li.merge(
+            pt[(pt.p_brand == "Brand#2") & (pt.p_container == "MED BOX")],
+            left_on="l_partkey", right_on="p_partkey",
+        )
+        f = m[m.l_quantity < m.l_partkey.map(halfavg)]
+        return float(f.l_extendedprice.sum() / 7.0)
+    if name == "q19ish":
+        m = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+        c1 = (
+            (m.p_brand == "Brand#1")
+            & m.p_container.isin(["SM CASE", "SM BOX"])
+            & m.l_quantity.between(1, 11) & m.p_size.between(1, 5)
+        )
+        c2 = (
+            (m.p_brand == "Brand#2")
+            & m.p_container.isin(["MED BAG", "MED BOX"])
+            & m.l_quantity.between(10, 20) & m.p_size.between(1, 10)
+        )
+        c3 = (
+            (m.p_brand == "Brand#3")
+            & m.p_container.isin(["LG CASE", "LG BOX"])
+            & m.l_quantity.between(20, 30) & m.p_size.between(1, 15)
+        )
+        f = m[c1 | c2 | c3]
+        return float((f.l_extendedprice * (1 - f.l_discount)).sum())
+    if name == "q20ish":
+        lk = li[li.l_shipdate >= np.datetime64("1998-06-01")].l_orderkey.unique()
+        ck = od[od.o_orderkey.isin(lk)].o_custkey.unique()
+        f = cu[cu.c_custkey.isin(ck)]
+        g = f.groupby("c_nation", as_index=False).size()
+        return g.sort_values("c_nation").reset_index(drop=True)
+    if name == "q21ish":
+        late = li[li.l_receiptdate > li.l_commitdate].l_orderkey.unique()
+        air = li[li.l_shipmode == "AIR"].l_orderkey.unique()
+        f = od[od.o_orderkey.isin(late) & ~od.o_orderkey.isin(air)]
+        g = f.groupby("o_shippriority", as_index=False).size()
+        return g.sort_values("o_shippriority").reset_index(drop=True)
+    if name == "q22ish":
+        # .assign AFTER filtering re-expands an empty frame to the
+        # series' index (pandas alignment quirk) — assign first
+        cu2 = cu.assign(cc=cu.c_nation.str[7:8])
+        withord = od.o_custkey.unique()
+        f = cu2[cu2.cc.isin(["0", "1", "2"]) & ~cu2.c_custkey.isin(withord)]
+        g = f.groupby("cc", as_index=False).size()
+        return g.sort_values("cc").reset_index(drop=True)
     raise ValueError(name)
 
 
-def verify(name, res, lineitem, orders, customer, rel=2e-3):
+def verify(name, res, lineitem, orders, customer, part=None, rel=2e-3):
     """Tolerance compare against pandas (f32 reductions vs f64).
     Positional columns — duplicate auto-derived column names make the
     to_pylist dicts lossy for Q1's repeated SUM(expr) items."""
-    ref = pandas_reference(name, lineitem, orders, customer)
-    if name == "q6":
+    ref = pandas_reference(name, lineitem, orders, customer, part)
+    if isinstance(ref, float):  # scalar-result queries (q6/q14/q17/q19)
         got = res.column_values(0)[0]
-        assert got is not None and abs(got - ref) <= rel * max(1.0, abs(ref)), (
-            name, got, ref)
+        if got is None:
+            # SQL SUM over zero rows is NULL; pandas renders 0.0/NaN
+            assert ref == 0.0 or np.isnan(ref), (name, got, ref)
+            return
+        assert abs(got - ref) <= rel * max(1.0, abs(ref)), (name, got, ref)
         return
     assert res.num_rows == len(ref), (name, res.num_rows, len(ref))
     cols = [res.column_values(j) for j in range(res.num_columns)]
@@ -270,19 +502,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=0.25)
     ap.add_argument("--verify", action="store_true")
-    ap.add_argument(
-        "--queries", default="q1,q3,q5ish,q6,q10ish,q12ish,q18ish"
-    )
+    ap.add_argument("--queries", default=",".join(QUERIES))
     args = ap.parse_args()
 
     import datafusion_tpu as df
 
-    lineitem, orders, customer = gen_tables(args.scale)
+    lineitem, orders, customer, part = gen_tables(args.scale)
     ctx = df.ExecutionContext()
     t0 = time.time()
     ctx.register_table("lineitem", df.Table.from_pydict(lineitem))
     ctx.register_table("orders", df.Table.from_pydict(orders))
     ctx.register_table("customer", df.Table.from_pydict(customer))
+    ctx.register_table("part", df.Table.from_pydict(part))
     print(
         f"[tpch] scale={args.scale} lineitem={len(lineitem['l_orderkey']):,} "
         f"rows, load {time.time()-t0:.1f}s", file=sys.stderr,
@@ -304,7 +535,7 @@ def main():
             "cold_s": round(cold, 2),
         }
         if args.verify:
-            verify(name, res, lineitem, orders, customer)
+            verify(name, res, lineitem, orders, customer, part)
             entry["verified"] = True
         out.append(entry)
         print(json.dumps(entry), flush=True)

@@ -223,6 +223,9 @@ def push_down_filters(plan: L.LogicalPlan) -> L.LogicalPlan:
     finishes what its disabled optimizer pass started
     (sqlplanner.rs:460-539)."""
 
+    def strip_cast(e: L.Expr) -> L.Expr:
+        return strip_cast(e.expr) if isinstance(e, L.Cast) else e
+
     def walk(p: L.LogicalPlan) -> L.LogicalPlan:
         if isinstance(p, L.Selection) and isinstance(p.input, L.Join):
             j = p.input
@@ -230,10 +233,32 @@ def push_down_filters(plan: L.LogicalPlan) -> L.LogicalPlan:
             nr = len(out_schema(j.right))
             allow_left = j.join_type in (L.JoinType.Inner, L.JoinType.Left)
             allow_right = j.join_type in (L.JoinType.Inner, L.JoinType.Right)
+            # INNER joins: lift cross-side WHERE equalities into join
+            # keys (comma-FROM cross joins become equi-joins — the form
+            # every classic TPC-H text uses). Coercion casts strip the
+            # same way the planner's ON extraction does.
+            on = list(j.on)
+            conjs: list[L.Expr] = []
+            for c in _conjuncts(p.expr):
+                if j.join_type is L.JoinType.Inner and isinstance(c, L.BinaryExpr) and c.op is L.Operator.Eq:
+                    cl, cr = strip_cast(c.left), strip_cast(c.right)
+                    if isinstance(cl, L.Column) and isinstance(cr, L.Column):
+                        li, ri = cl.index, cr.index
+                        if li < nl <= ri:
+                            on.append((li, ri - nl))
+                            continue
+                        if ri < nl <= li:
+                            on.append((ri, li - nl))
+                            continue
+                conjs.append(c)
+            if len(on) > len(j.on):
+                j = L.Join(j.left, j.right, tuple(on), j.join_type, j.schema)
+            if not conjs:
+                return L.Join(walk(j.left), walk(j.right), j.on, j.join_type, j.schema)
             lparts: list[L.Expr] = []
             rparts: list[L.Expr] = []
             keep: list[L.Expr] = []
-            for c in _conjuncts(p.expr):
+            for c in conjs:
                 refs: set[int] = set()
                 collect_expr(c, refs)
                 if refs and allow_left and all(i < nl for i in refs):

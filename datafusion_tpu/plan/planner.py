@@ -74,6 +74,44 @@ class SchemaProvider(Protocol):
 
 _AGG_NAMES = {"min", "max", "sum", "avg"}
 
+
+def _expr_children_rex(e: Expr) -> tuple:
+    """Children of a planned (relational) expression node."""
+    if isinstance(e, (Alias, Cast, IsNull, IsNotNull, SortExpr)):
+        return (e.expr,)
+    if isinstance(e, BinaryExpr):
+        return (e.left, e.right)
+    if isinstance(e, (ScalarFunction, AggregateFunction, WindowFunction)):
+        return tuple(e.args)
+    if isinstance(e, Case):
+        kids = [x for b in e.branches for x in b]
+        if e.else_expr is not None:
+            kids.append(e.else_expr)
+        return tuple(kids)
+    return ()
+
+
+def _expr_rebuild_rex(e: Expr, f) -> Expr:
+    """Rebuild one expression node with children mapped through `f`."""
+    if isinstance(e, Alias):
+        return Alias(f(e.expr), e.name)
+    if isinstance(e, Cast):
+        return Cast(f(e.expr), e.data_type)
+    if isinstance(e, IsNull):
+        return IsNull(f(e.expr))
+    if isinstance(e, IsNotNull):
+        return IsNotNull(f(e.expr))
+    if isinstance(e, BinaryExpr):
+        return BinaryExpr(f(e.left), e.op, f(e.right))
+    if isinstance(e, ScalarFunction):
+        return ScalarFunction(e.name, tuple(f(a) for a in e.args), e.return_type)
+    if isinstance(e, Case):
+        return Case(
+            tuple((f(c), f(r)) for c, r in e.branches),
+            None if e.else_expr is None else f(e.else_expr),
+        )
+    return e
+
 # String functions (beyond the reference): evaluated as host-side
 # dictionary-vocabulary transforms + device code-remap LUTs
 # (ops/expr_eval.py _compile_string_fn)
@@ -1084,25 +1122,60 @@ class SqlToRel:
             raise PlanError("scalar subquery must return exactly one column")
         item = sub_sel.projection[0]
         item = item.expr if isinstance(item, A.SQLAliasedExpr) else item
-        agg = self.sql_to_rex(item, inner_schema, inner_quals)
-        agg = agg.expr if isinstance(agg, Alias) else agg
-        if not isinstance(agg, AggregateFunction):
+        expr = self.sql_to_rex(item, inner_schema, inner_quals)
+        expr = expr.expr if isinstance(expr, Alias) else expr
+        # the projected item may be an EXPRESSION over aggregates
+        # (TPC-H q17's `0.2 * AVG(l_quantity)`): collect the aggregate
+        # leaves, aggregate them bare, and rewrite the surrounding
+        # expression over the joined aggregate columns
+        aggs: list[AggregateFunction] = []
+
+        def collect(e: Expr) -> None:
+            if isinstance(e, AggregateFunction):
+                if e not in aggs:
+                    aggs.append(e)
+                return
+            for c in _expr_children_rex(e):
+                collect(c)
+
+        collect(expr)
+        if not aggs:
             raise PlanError(
-                "a correlated scalar subquery must select a single "
-                "aggregate, e.g. (SELECT MAX(x) FROM s WHERE s.k = t.k)"
+                "a correlated scalar subquery must select an aggregate "
+                "(or an expression over aggregates), e.g. "
+                "(SELECT MAX(x) FROM s WHERE s.k = t.k)"
+            )
+
+        def bare_cols_outside_aggs(e: Expr) -> bool:
+            if isinstance(e, AggregateFunction):
+                return False
+            if isinstance(e, Column):
+                return True
+            return any(bare_cols_outside_aggs(c) for c in _expr_children_rex(e))
+
+        if bare_cols_outside_aggs(expr):
+            raise PlanError(
+                "a correlated scalar subquery's SELECT item may only "
+                "reference inner columns inside aggregate functions"
             )
         group_cols = tuple(Column(i) for _, i in corr)
         agg_schema = Schema(
             [inner_schema.fields[i] for _, i in corr]
-            + exprlist_to_fields([agg], inner_schema)
+            + exprlist_to_fields(list(aggs), inner_schema)
         )
-        inner_plan = Aggregate(inner_plan, group_cols, (agg,), agg_schema)
+        inner_plan = Aggregate(inner_plan, group_cols, tuple(aggs), agg_schema)
         base = len(plan.schema)
         on = tuple((o, j) for j, (o, _) in enumerate(corr))
         plan = Join(
             plan, inner_plan, on, JoinType.Left, plan.schema.join(agg_schema)
         )
-        self._scalar_subs[id(node)] = Column(base + len(corr))
+
+        def rewrite(e: Expr) -> Expr:
+            if isinstance(e, AggregateFunction):
+                return Column(base + len(corr) + aggs.index(e))
+            return _expr_rebuild_rex(e, rewrite)
+
+        self._scalar_subs[id(node)] = rewrite(expr)
         return plan
 
     def _split_correlation(

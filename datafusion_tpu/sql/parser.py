@@ -506,6 +506,16 @@ class Parser:
         return SQLIdentifier(name)
 
     def _parse_relation(self) -> AstNode:
+        """FROM list: comma-separated relations are CROSS JOINs
+        (`FROM a, b WHERE a.x = b.y` — the classic TPC-H text form; the
+        reference's sqlparser crate accepted it). The filter push-down
+        optimizer lifts cross-side WHERE equalities into join keys."""
+        rel: AstNode = self._parse_joined_table()
+        while self.consume_op(","):
+            rel = SQLJoin(rel, self._parse_joined_table(), JoinKind.Inner, None)
+        return rel
+
+    def _parse_joined_table(self) -> AstNode:
         rel: AstNode = self._parse_table_ref()
         while True:
             kind: Optional[JoinKind] = None

@@ -626,8 +626,12 @@ class PlanCompiler:
                 parts_d, parts_v = [], []
                 for ci, b in enumerate(bs):
                     d, v = _broadcast_col(b.cols[j], b.capacity)
-                    if remaps[j][ci] is not None:
-                        d = jnp.take(remaps[j][ci], d)
+                    r = remaps[j][ci]
+                    if r is not None:
+                        # a 0-row child has an empty vocabulary: every
+                        # row is padding — any code works (jnp.take
+                        # rejects gathers from an empty axis)
+                        d = jnp.zeros_like(d) if r.shape[0] == 0 else jnp.take(r, d)
                     parts_d.append(d)
                     if any_valid:
                         parts_v.append(

@@ -54,6 +54,36 @@ class WindowCall:
     frame: Optional[tuple[Optional[int], Optional[int]]] = None
 
 
+def _ieee_window_sum(contrib: jax.Array, diff) -> jax.Array:
+    """IEEE-exact windowed sum from cumsum differencing.
+
+    `diff(cumsum(x), x)` maps a contribution stream to per-row window
+    totals (framed or running — the caller supplies the differencing).
+    A plain cumsum POISONS every row downstream of a NaN/±inf (and
+    +inf−inf differences are NaN), so non-finite values are zeroed out
+    of the scanned stream and restored per window from indicator
+    cumsums: any NaN → NaN; +inf and −inf both present → NaN; else the
+    present infinity; else the finite difference. Mirrors the grouped
+    aggregate paths' IEEE restore (aggregate.py ieee_sum_cond)."""
+    if not jnp.issubdtype(contrib.dtype, jnp.floating):
+        return diff(jnp.cumsum(contrib), contrib)
+    finite = jnp.isfinite(contrib)
+    fin = jnp.where(finite, contrib, jnp.zeros((), contrib.dtype))
+    s = diff(jnp.cumsum(fin), fin)
+    nan_i = jnp.isnan(contrib).astype(jnp.int32)
+    pos_i = (contrib == jnp.inf).astype(jnp.int32)
+    neg_i = (contrib == -jnp.inf).astype(jnp.int32)
+    n_nan = diff(jnp.cumsum(nan_i), nan_i)
+    n_pos = diff(jnp.cumsum(pos_i), pos_i)
+    n_neg = diff(jnp.cumsum(neg_i), neg_i)
+    dt = contrib.dtype
+    s = jnp.where(n_pos > 0, jnp.asarray(jnp.inf, dt), s)
+    s = jnp.where(n_neg > 0, jnp.asarray(-jnp.inf, dt), s)
+    return jnp.where(
+        (n_nan > 0) | ((n_pos > 0) & (n_neg > 0)), jnp.asarray(jnp.nan, dt), s
+    )
+
+
 def _first_pos(flag: jax.Array, iota: jax.Array) -> jax.Array:
     """Per row: position of the most recent True at or before it."""
     return lax.cummax(jnp.where(flag, iota, -1))
@@ -236,10 +266,15 @@ def window_spec(
                     else physical_np(DataType.Int64)
                 )
                 contrib = jnp.where(ok, s[di], jnp.zeros((), s[di].dtype)).astype(acc_dt)
-                sc = jnp.cumsum(contrib)
-                w_sum = (
-                    jnp.take(sc, hi_c) - jnp.take(sc, lo_c) + jnp.take(contrib, lo_c)
-                )
+
+                def _framed_diff(arr_c, arr, lo_c=lo_c, hi_c=hi_c):
+                    return (
+                        jnp.take(arr_c, hi_c)
+                        - jnp.take(arr_c, lo_c)
+                        + jnp.take(arr, lo_c)
+                    )
+
+                w_sum = _ieee_window_sum(contrib, _framed_diff)
                 if c.kind == "avg":
                     d = w_sum.astype(physical_np(DataType.Float64))
                     d = d / jnp.maximum(w_cnt, 1)
@@ -262,16 +297,19 @@ def window_spec(
                 else physical_np(DataType.Int64)
             )
             contrib = jnp.where(ok, s[di], jnp.zeros((), s[di].dtype)).astype(acc_dt)
-            sc = jnp.cumsum(contrib)
-            s_first = jnp.take(sc, jnp.clip(pstart, 0, cap - 1)) - jnp.take(
-                contrib, jnp.clip(pstart, 0, cap - 1)
-            )
-            run_s = sc - s_first
+            pstart_c = jnp.clip(pstart, 0, cap - 1)
+
+            def _running_diff(arr_c, arr, pstart_c=pstart_c):
+                first = jnp.take(arr_c, pstart_c) - jnp.take(arr, pstart_c)
+                out = arr_c - first
+                if not has_order:
+                    out = jnp.take(out, jnp.clip(pend - 1, 0, cap - 1))
+                return out
+
+            run_s = _ieee_window_sum(contrib, _running_diff)
             run_c = cnt_c - cnt_first
             if not has_order:
-                end = jnp.clip(pend - 1, 0, cap - 1)
-                run_s = jnp.take(run_s, end)
-                run_c = jnp.take(run_c, end)
+                run_c = jnp.take(run_c, jnp.clip(pend - 1, 0, cap - 1))
             if c.kind == "avg":
                 d = run_s.astype(physical_np(DataType.Float64))
                 d = d / jnp.maximum(run_c, 1)
@@ -284,15 +322,22 @@ def window_spec(
             # under the associative op "right boundary resets"
             # (lax.associative_scan, log-depth on device)
             ok = sel_s if vi is None else jnp.logical_and(sel_s, s[vi] > 0)
-            big = (
-                jnp.asarray(jnp.finfo(s[di].dtype).max, s[di].dtype)
-                if jnp.issubdtype(s[di].dtype, jnp.floating)
-                else jnp.asarray(jnp.iinfo(s[di].dtype).max, s[di].dtype)
+            # scan on the sortable int image: raw-float jnp.minimum
+            # propagates NaN into MIN, diverging from the grouped
+            # aggregate convention (NaN sorts past +inf: MIN ignores it
+            # unless all-NaN, MAX reports it) — aggregate.py
+            # to_sortable_int is the one total order every path shares
+            from datafusion_tpu.ops.aggregate import (
+                from_sortable_int,
+                to_sortable_int,
             )
-            ident = big if c.kind == "min" else (
-                -big if jnp.issubdtype(s[di].dtype, jnp.floating) else ~big
+
+            img = to_sortable_int(s[di])
+            info = jnp.iinfo(img.dtype)
+            ident = jnp.asarray(
+                info.max if c.kind == "min" else info.min, img.dtype
             )
-            vals = jnp.where(ok, s[di], ident)
+            vals = jnp.where(ok, img, ident)
             ext = jnp.minimum if c.kind == "min" else jnp.maximum
 
             def seg_op(a, b, ext=ext):
@@ -300,6 +345,7 @@ def window_spec(
                 return (v, jnp.logical_or(a[1], b[1]))
 
             run_v, _ = lax.associative_scan(seg_op, (vals, pb))
+            run_v = from_sortable_int(run_v, s[di].dtype)
             # validity: any valid argument so far in the partition
             okc = jnp.cumsum(ok.astype(jnp.int32))
             ok_first = jnp.take(okc, jnp.clip(pstart, 0, cap - 1)) - jnp.take(
@@ -347,10 +393,18 @@ def window_spec(
         if c.kind in ("min", "max"):
             # dedicated sub-spec: the argument rides as the ORDER BY key
             # (ascending for MIN, descending for MAX, NULLs last either
-            # way), so the extreme is the value at the partition start
+            # way), so the extreme is the value at the partition start.
+            # The KEY is the sortable int image, not the raw float:
+            # lax.sort's comparator puts NaN last in BOTH directions,
+            # which would make MAX skip NaN and diverge from the grouped
+            # aggregate convention (NaN past +inf ⇒ MAX reports NaN)
+            from datafusion_tpu.ops.aggregate import to_sortable_int
+
+            arg_d, arg_v = c.arg
+            key_cv = (to_sortable_int(arg_d), arg_v)
             (sub,) = window_spec(
                 part_keys,
-                [(c.arg, c.kind == "min")],
+                [(key_cv, c.kind == "min")],
                 [WindowCall("first_in_partition", c.arg)],
                 sel,
             )

@@ -95,7 +95,10 @@ def _run(sql, fact, dim, mesh=None, env=None, monkeypatch=None):
             if isinstance(v, float) or (
                 hasattr(v, "dtype") and np.issubdtype(np.asarray(v).dtype, np.floating)
             ):
-                cells.append(round(float(v), 4))
+                f = float(v)
+                # non-finite floats canonicalize to strings: nan != nan
+                # would make otherwise-identical rows compare unequal
+                cells.append(repr(f) if not np.isfinite(f) else round(f, 4))
             elif v is None:
                 cells.append(None)
             else:
@@ -122,3 +125,91 @@ def test_fuzz_single_vs_distributed_vs_strategies(seed, monkeypatch):
             monkeypatch=monkeypatch,
         )
         assert base == forced, f"default vs forced strategies: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Dark-corner fuzz (VERDICT r4 #2): NULLs, NaN/±inf, empty filter
+# results. The IEEE cond paths (aggregate.py ieee_sum_cond) and every
+# validity consumer live exactly in this data class; the reference had
+# no property testing at all (SURVEY §4).
+# ---------------------------------------------------------------------------
+
+
+def _tables_dark(rng):
+    """Null-bearing, non-finite-bearing versions of the fuzz tables."""
+    n = int(rng.integers(600, 2000))
+    v = (rng.random(n) * 200 - 100).round(3)
+    # ~4% NaN, ~3% +inf, ~3% -inf among the VALID values
+    r = rng.random(n)
+    v[r < 0.04] = np.nan
+    v[(r >= 0.04) & (r < 0.07)] = np.inf
+    v[(r >= 0.07) & (r < 0.10)] = -np.inf
+    v_list = [None if x < 0.10 else float(y) for x, y in zip(rng.random(n), v)]
+    k_list = [
+        None if x < 0.05 else int(y)
+        for x, y in zip(rng.random(n), rng.integers(0, 40, n))
+    ]
+    s_list = [
+        None if x < 0.08 else f"c{int(y) % 7}"
+        for x, y in zip(rng.random(n), rng.integers(0, 100, n))
+    ]
+    fact = {
+        "k": k_list,
+        "g": rng.integers(-5, 5, n).astype(np.int64),
+        "v": v_list,
+        "s": s_list,
+    }
+    m = int(rng.integers(20, 60))
+    dim = {
+        "pk": np.arange(m, dtype=np.int32),
+        "w": [None if i % 9 == 4 else round(float(x) * 10, 3) for i, x in enumerate(rng.random(m))],
+    }
+    return fact, dim
+
+
+DARK_PREDICATES = [
+    "v IS NOT NULL",
+    "v IS NULL OR k > 20",
+    "v > 0",                      # NULL/NaN predicate rows drop
+    "k IN (1, 3, 5, 7)",
+    "g > 100",                    # always false: empty filter result
+    "s IS NULL OR s = 'c3'",
+]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_dark_corners(seed, monkeypatch):
+    rng = np.random.default_rng(1000 + seed)
+    fact, dim = _tables_dark(rng)
+    mesh = make_mesh()
+    for qt in QUERIES:
+        sql = qt.format(p=DARK_PREDICATES[int(rng.integers(0, len(DARK_PREDICATES)))])
+        base = _run(sql, fact, dim)
+        dist = _run(sql, fact, dim, mesh=mesh)
+        assert base == dist, f"single vs distributed: {sql}"
+        forced = _run(
+            sql,
+            fact,
+            dim,
+            env={"DFTPU_LOCAL_JOIN": "expand", "DFTPU_TOPK": "0"},
+            monkeypatch=monkeypatch,
+        )
+        assert base == forced, f"default vs forced strategies: {sql}"
+
+
+def test_fuzz_zero_row_tables(monkeypatch):
+    """Every query shape over 0-row inputs must agree (and not crash)."""
+    fact = {
+        "k": np.zeros(0, np.int32),
+        "g": np.zeros(0, np.int64),
+        "v": np.zeros(0, np.float64),
+        "s": np.array([], dtype=object),
+    }
+    dim = {"pk": np.zeros(0, np.int32), "w": np.zeros(0, np.float64)}
+    mesh = make_mesh()
+    rng = np.random.default_rng(7)
+    for qt in QUERIES:
+        sql = qt.format(p=PREDICATES[int(rng.integers(0, len(PREDICATES)))])
+        base = _run(sql, fact, dim)
+        dist = _run(sql, fact, dim, mesh=mesh)
+        assert base == dist, f"single vs distributed on 0 rows: {sql}"

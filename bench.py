@@ -110,7 +110,7 @@ def main() -> None:
         suite += run_suite(
             n=n,
             nd=nd,
-            configs=("c2", "c3", "c4", "c4s", "c5"),
+            configs=("c2", "c2L", "c6", "c3", "c4", "c4s", "c5"),
             deadline=_t_start + budget_s,
             emit=lambda e: print(f"[bench] {json.dumps(e)}", file=sys.stderr),
             tables=(big, dim),

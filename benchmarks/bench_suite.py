@@ -176,7 +176,7 @@ def make_join_tables(n: int, nd: int, *, sparse: bool = False, skew: bool = Fals
 def run_suite(
     n: int = 1 << 25,
     nd: int = 1 << 21,
-    configs=("c1", "c2", "c3", "c4", "c4s", "c5"),
+    configs=("c1", "c2", "c2L", "c6", "c3", "c4", "c4s", "c5"),
     deadline: float | None = None,
     emit=None,
     tables=None,
@@ -263,6 +263,56 @@ def run_suite(
             "c2_hash_aggregate", slope_time(fn, env, repeats=3), 12 + 5,
             note, floor_s=floor,
         )
+
+    if "c2L" in configs and not over_deadline("c2L_wide_aggregate"):
+        # wide-domain GROUP BY (TPC-H q18 shape): ~2M groups at 33.5M
+        # rows — 2 ops x 2M x 4B = 16 MB of accumulators, past the
+        # 8 MiB VMEM gate (PERFLOG r4.12), so the ACTUAL path is the
+        # XLA segment fallback over the packed-gid co-sort. Floored on
+        # the same in-run co-sort as c2 (VERDICT r4 #5: this path had
+        # no perf witness).
+        import datafusion_tpu as df
+
+        rng2 = np.random.default_rng(5)
+        bigL = df.Table.from_pydict(
+            {
+                "k": rng2.integers(0, 1 << 21, n).astype(np.int32),
+                "lat": rng2.random(n, dtype=np.float32) * 40 + 30,
+                "lng": rng2.random(n, dtype=np.float32) * 360 - 180,
+            }
+        )
+        fn, env = compile_query(
+            "SELECT k, MIN(lat), MAX(lat), SUM(lng), COUNT(lat) FROM bigL GROUP BY k",
+            {"bigL": bigL},
+        )
+        floor = sort_floor_time(n, (np.int32, np.int32, np.float32), 2)
+        report(
+            "c2L_wide_aggregate", slope_time(fn, env, repeats=3), 12 + 5,
+            "2M groups: co-sort + XLA segment fallback", floor_s=floor,
+        )
+        del fn, env, bigL
+        gc.collect()
+
+    if "c6" in configs and not over_deadline("c6_window"):
+        # window functions' first perf witness (VERDICT r4 #6/#4):
+        # running SUM over (PARTITION BY k ORDER BY lng) at 33.5M rows.
+        # Floor = the two co-sorts the formulation cannot avoid
+        # (ops/window.py window_spec): forward [notsel i8, k i32,
+        # lng f32, iota i32 | lat f32 payload] and the ride-back
+        # [rowid i32 | result f32, valid i8].
+        fn, env = compile_query(
+            "SELECT k, SUM(lat) OVER (PARTITION BY k ORDER BY lng) AS s FROM big",
+            {"big": big},
+        )
+        floor = sort_floor_time(
+            n, (np.int8, np.int32, np.float32, np.int32, np.float32), 4
+        ) + sort_floor_time(n, (np.int32, np.float32, np.int8), 1)
+        report(
+            "c6_window", slope_time(fn, env), 12 + 5,
+            "running SUM over (PARTITION BY, ORDER BY)", floor_s=floor,
+        )
+        del fn, env
+        gc.collect()
 
     if "c3" in configs and not over_deadline("c3_sort"):
         # BASELINE config 3 spec scale: 100M rows, multi-column tie-break
@@ -374,7 +424,7 @@ def main():
     ap.add_argument("--sort-rows", type=int, default=100_000_000)
     ap.add_argument("--join-rows", type=int, default=100_000_000)
     ap.add_argument("--join-dim-rows", type=int, default=10_000_000)
-    ap.add_argument("--configs", default="c1,c2,c3,c4,c4s,c5")
+    ap.add_argument("--configs", default="c1,c2,c2L,c6,c3,c4,c4s,c5")
     args = ap.parse_args()
 
     results = run_suite(

@@ -1291,8 +1291,14 @@ def grouped_aggregate(
             valid_cnt = extents()["sizes"]
         else:
             mask = jnp.logical_and(sel_sorted, sorted_ops[vpi].astype(jnp.bool_))
-            valid_cnt = jax.ops.segment_sum(
-                mask.astype(jnp.int32), gid_arr(), num_segments=gcap
+            # exact scatter-free count: i32 cumsum differences at the
+            # group extents (wraparound-safe — counts < 2^31)
+            mi = mask.astype(jnp.int32)
+            mpref = jnp.cumsum(mi)
+            valid_cnt = jnp.where(
+                giota < n_groups,
+                at_ends(mpref) - (at_starts(mpref) - at_starts(mi)),
+                0,
             )
         if spec.func == "count":
             out_aggs.append((valid_cnt.astype(physical_np(spec.out_dtype)), None))
@@ -1393,12 +1399,66 @@ def grouped_aggregate(
                 num_segments=gcap,
             )
         elif spec.func in ("sum", "avg"):
-            # exact row-order accumulation (parity: aggregate.rs:1126)
-            s = jax.ops.segment_sum(
-                jnp.where(mask, d_sorted, jnp.zeros((), d_sorted.dtype)),
-                gid_arr(),
-                num_segments=gcap,
-            )
+            contrib = jnp.where(mask, d_sorted, jnp.zeros((), d_sorted.dtype))
+            if (
+                jax.devices()[0].platform in ("tpu", "axon")
+                and d_sorted.dtype == jnp.float32
+            ):
+                # Scatter-free f32 sum for the wide-domain fallback
+                # (TPU: segment_sum's 33.5M-row scatter costs 293 ms on
+                # chip; an i32 cumsum costs 7.7 — PERFLOG r5). A raw
+                # f32 cumsum-difference is NOT usable: global-prefix
+                # cancellation was measured at up to 9% relative error.
+                # Instead quantize to fixed point — q = round(v·2³⁶/C),
+                # |q| ≤ 2³⁶ — split into three 12-bit limbs, and cumsum
+                # each limb in i32. Prefixes WRAP (two's-complement),
+                # but per-group prefix DIFFERENCES are exact mod 2³²,
+                # and the true per-limb group sums fit in i32 whenever
+                # the largest group has < 2¹⁹ rows — so the wrapped
+                # differences ARE the exact limb sums (x64 is off on
+                # TPU: jnp has no i64 here, it silently truncates).
+                # Result error = quantization only (2⁻³⁶ of max|v|),
+                # far below f32 epsilon. Oversized groups and
+                # non-finite values restore via lax.cond exact-scatter
+                # branches (devices agree: both are data-broadcast
+                # scalars; collectives stay outside, mirroring
+                # ieee_sum_cond).
+                fin = jnp.where(
+                    jnp.isfinite(contrib), contrib, jnp.zeros((), jnp.float32)
+                )
+                C = jnp.max(jnp.abs(fin)) + jnp.float32(1.0)
+                S = jnp.exp2(jnp.float32(36.0)) / C
+                q = jnp.round(fin * S)  # f32 integer-valued, |q| ≤ 2^36
+                l2 = jnp.floor(q * jnp.float32(2.0**-24))
+                rem = q - l2 * jnp.float32(2.0**24)  # in [0, 2^24)
+                l1 = jnp.floor(rem * jnp.float32(2.0**-12))
+                l0 = rem - l1 * jnp.float32(2.0**12)  # in [0, 2^12)
+                ds = []
+                for limb in (l2, l1, l0):
+                    pref = jnp.cumsum(limb.astype(jnp.int32))
+                    li = limb.astype(jnp.int32)
+                    d = at_ends(pref) - (at_starts(pref) - at_starts(li))
+                    ds.append(d.astype(jnp.float32))
+                s = (
+                    ds[0] * (C * jnp.float32(2.0**-12))
+                    + ds[1] * (C * jnp.float32(2.0**-24))
+                    + ds[2] * (C * jnp.float32(2.0**-36))
+                )
+                s = jnp.where(giota < n_groups, s, jnp.float32(0.0))
+                max_size = jnp.max(extents()["sizes"])
+
+                def exact_scatter():
+                    return jax.ops.segment_sum(
+                        contrib, gid_arr(), num_segments=gcap
+                    ).astype(s.dtype)
+
+                s = lax.cond(
+                    max_size >= (1 << 19), exact_scatter, lambda: s
+                )
+                s = ieee_sum_cond(s, d_sorted, mask, gid_arr)
+            else:
+                # exact row-order accumulation (parity: aggregate.rs:1126)
+                s = jax.ops.segment_sum(contrib, gid_arr(), num_segments=gcap)
             if spec.func == "avg":
                 r = s / jnp.maximum(valid_cnt, 1).astype(s.dtype)
             else:

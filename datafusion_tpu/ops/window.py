@@ -54,36 +54,6 @@ class WindowCall:
     frame: Optional[tuple[Optional[int], Optional[int]]] = None
 
 
-def _ieee_window_sum(contrib: jax.Array, diff) -> jax.Array:
-    """IEEE-exact windowed sum from cumsum differencing.
-
-    `diff(cumsum(x), x)` maps a contribution stream to per-row window
-    totals (framed or running — the caller supplies the differencing).
-    A plain cumsum POISONS every row downstream of a NaN/±inf (and
-    +inf−inf differences are NaN), so non-finite values are zeroed out
-    of the scanned stream and restored per window from indicator
-    cumsums: any NaN → NaN; +inf and −inf both present → NaN; else the
-    present infinity; else the finite difference. Mirrors the grouped
-    aggregate paths' IEEE restore (aggregate.py ieee_sum_cond)."""
-    if not jnp.issubdtype(contrib.dtype, jnp.floating):
-        return diff(jnp.cumsum(contrib), contrib)
-    finite = jnp.isfinite(contrib)
-    fin = jnp.where(finite, contrib, jnp.zeros((), contrib.dtype))
-    s = diff(jnp.cumsum(fin), fin)
-    nan_i = jnp.isnan(contrib).astype(jnp.int32)
-    pos_i = (contrib == jnp.inf).astype(jnp.int32)
-    neg_i = (contrib == -jnp.inf).astype(jnp.int32)
-    n_nan = diff(jnp.cumsum(nan_i), nan_i)
-    n_pos = diff(jnp.cumsum(pos_i), pos_i)
-    n_neg = diff(jnp.cumsum(neg_i), neg_i)
-    dt = contrib.dtype
-    s = jnp.where(n_pos > 0, jnp.asarray(jnp.inf, dt), s)
-    s = jnp.where(n_neg > 0, jnp.asarray(-jnp.inf, dt), s)
-    return jnp.where(
-        (n_nan > 0) | ((n_pos > 0) & (n_neg > 0)), jnp.asarray(jnp.nan, dt), s
-    )
-
-
 def _first_pos(flag: jax.Array, iota: jax.Array) -> jax.Array:
     """Per row: position of the most recent True at or before it."""
     return lax.cummax(jnp.where(flag, iota, -1))
@@ -237,11 +207,18 @@ def window_spec(
                 ok = sel_s
             else:
                 ok = sel_s if vi is None else jnp.logical_and(sel_s, s[vi] > 0)
-            ok_i64 = ok.astype(physical_np(DataType.Int64))
-            cnt_c = jnp.cumsum(ok_i64)
+            # i32 count scans: cap < 2^31 always; the UInt64 output
+            # dtype is a cast at the write (i64 scans + i64 gathers are
+            # emulated multi-pass on the 32-bit VPU — measured ~2-4x)
+            ok_i32 = ok.astype(jnp.int32)
+            cnt_c = jnp.cumsum(ok_i32)
             if c.frame is not None:
                 # explicit ROWS frame: windowed difference of inclusive
-                # cumsums over [lo_idx, hi_idx] clipped to the partition
+                # cumsums over [lo_idx, hi_idx] clipped to the partition.
+                # Every per-row stream sampled at the two endpoints rides
+                # ONE stacked [n, C] row gather per endpoint (a C-lane
+                # row gather costs ~1 lane, PERFLOG r4.8) instead of C
+                # scalar gathers at ~7 ns/elem each.
                 lo_off, hi_off = c.frame
                 last = jnp.clip(jnp.minimum(pend, n_valid) - 1, 0, cap - 1)
                 lo_idx = (
@@ -251,30 +228,95 @@ def window_spec(
                 nonempty = hi_idx >= lo_idx
                 lo_c = jnp.clip(lo_idx, 0, cap - 1)
                 hi_c = jnp.clip(hi_idx, 0, cap - 1)
-                w_cnt = (
-                    jnp.take(cnt_c, hi_c)
-                    - jnp.take(cnt_c, lo_c)
-                    + jnp.take(ok_i64, lo_c)
-                )
+
+                acc_dt = None
+                is_f32 = False
+                incl: list[jax.Array] = [cnt_c]  # i32 lanes (f32 bitcast)
+                excl: list[jax.Array] = [cnt_c - ok_i32]
+                if c.kind != "count":
+                    acc_dt = (
+                        s[di].dtype
+                        if jnp.issubdtype(s[di].dtype, jnp.floating)
+                        else physical_np(DataType.Int64)
+                    )
+                    contrib = jnp.where(
+                        ok, s[di], jnp.zeros((), s[di].dtype)
+                    ).astype(acc_dt)
+                    is_f32 = contrib.dtype == jnp.float32
+                    if jnp.issubdtype(contrib.dtype, jnp.floating):
+                        finite = jnp.isfinite(contrib)
+                        fin = jnp.where(
+                            finite, contrib, jnp.zeros((), contrib.dtype)
+                        )
+                        nan_i = jnp.isnan(contrib).astype(jnp.int32)
+                        pos_i = (contrib == jnp.inf).astype(jnp.int32)
+                        neg_i = (contrib == -jnp.inf).astype(jnp.int32)
+                        streams = [
+                            (jnp.cumsum(fin), fin),
+                            (jnp.cumsum(nan_i), nan_i),
+                            (jnp.cumsum(pos_i), pos_i),
+                            (jnp.cumsum(neg_i), neg_i),
+                        ]
+                    else:
+                        streams = [(jnp.cumsum(contrib), contrib)]
+                    for arr_c, arr in streams:
+                        if is_f32:
+                            incl.append(
+                                lax.bitcast_convert_type(arr_c, jnp.int32)
+                                if arr_c.dtype == jnp.float32
+                                else arr_c
+                            )
+                            excl.append(
+                                lax.bitcast_convert_type(
+                                    arr_c - arr, jnp.int32
+                                )
+                                if arr_c.dtype == jnp.float32
+                                else arr_c - arr
+                            )
+                        else:
+                            incl.append(arr_c)
+                            excl.append(arr_c - arr)
+
+                def _sample(cols, idx):
+                    if all(a.dtype == jnp.int32 for a in cols) and len(cols) > 1:
+                        mat = jnp.stack(cols, axis=1)
+                        rows = jnp.take(mat, idx, axis=0)
+                        return [rows[:, j] for j in range(len(cols))]
+                    return [jnp.take(a, idx) for a in cols]
+
+                hi_v = _sample(incl, hi_c)
+                lo_v = _sample(excl, lo_c)
+                w_cnt = hi_v[0] - lo_v[0]
                 if c.kind == "count":
                     d = jnp.where(nonempty, w_cnt, 0)
-                    out_sorted.append((d.astype(physical_np(DataType.UInt64)), None))
-                    continue
-                acc_dt = (
-                    s[di].dtype
-                    if jnp.issubdtype(s[di].dtype, jnp.floating)
-                    else physical_np(DataType.Int64)
-                )
-                contrib = jnp.where(ok, s[di], jnp.zeros((), s[di].dtype)).astype(acc_dt)
-
-                def _framed_diff(arr_c, arr, lo_c=lo_c, hi_c=hi_c):
-                    return (
-                        jnp.take(arr_c, hi_c)
-                        - jnp.take(arr_c, lo_c)
-                        + jnp.take(arr, lo_c)
+                    out_sorted.append(
+                        (d.astype(physical_np(DataType.UInt64)), None)
                     )
+                    continue
 
-                w_sum = _ieee_window_sum(contrib, _framed_diff)
+                def _unbits(x, dt):
+                    if is_f32 and dt == jnp.float32 and x.dtype == jnp.int32:
+                        return lax.bitcast_convert_type(x, jnp.float32)
+                    return x
+
+                if jnp.issubdtype(acc_dt, jnp.floating):
+                    w_sum = _unbits(hi_v[1], acc_dt) - _unbits(lo_v[1], acc_dt)
+                    n_nan = hi_v[2] - lo_v[2]
+                    n_pos = hi_v[3] - lo_v[3]
+                    n_neg = hi_v[4] - lo_v[4]
+                    w_sum = jnp.where(
+                        n_pos > 0, jnp.asarray(jnp.inf, acc_dt), w_sum
+                    )
+                    w_sum = jnp.where(
+                        n_neg > 0, jnp.asarray(-jnp.inf, acc_dt), w_sum
+                    )
+                    w_sum = jnp.where(
+                        (n_nan > 0) | ((n_pos > 0) & (n_neg > 0)),
+                        jnp.asarray(jnp.nan, acc_dt),
+                        w_sum,
+                    )
+                else:
+                    w_sum = hi_v[1] - lo_v[1]
                 if c.kind == "avg":
                     d = w_sum.astype(physical_np(DataType.Float64))
                     d = d / jnp.maximum(w_cnt, 1)
@@ -282,14 +324,37 @@ def window_spec(
                     d = w_sum.astype(s[di].dtype)
                 out_sorted.append((d, jnp.logical_and(nonempty, w_cnt > 0)))
                 continue
-            cnt_first = jnp.take(cnt_c, jnp.clip(pstart, 0, cap - 1)) - jnp.take(
-                ok_i64, jnp.clip(pstart, 0, cap - 1)
-            )
+
+            # ---- running / whole-partition: GATHER-FREE ----------------
+            # "value at my partition's start" never needs a random
+            # gather: exclusive count/pos-sum cumsums are NON-DECREASING
+            # (neg-sums non-increasing), so the boundary sample forward-
+            # fills with a plain cummax (cummin); non-finite presence is
+            # a latest-indicator-position cummax compared against
+            # pstart. The previous take()-based formulation paid ~10
+            # scalar gathers at 33.5M rows ≈ 7.5 s on chip (c6 profile).
+            def _ffill_inc(vals, ident):
+                return lax.cummax(jnp.where(pb, vals, ident))
+
+            def _ffill_dec(vals, ident):
+                return lax.cummin(jnp.where(pb, vals, ident))
+
+            pe = jnp.roll(pb, -1).at[-1].set(True)  # partition-end rows
+
+            def _bfill_inc(vals, ident):
+                # value at my partition's END row, for a stream
+                # non-decreasing within the partition
+                r = jnp.where(pe, vals, ident)
+                return jnp.flip(lax.cummin(jnp.flip(r)))
+
+            cnt_first = _ffill_inc(cnt_c - ok_i32, jnp.iinfo(jnp.int32).min)
+            run_c = cnt_c - cnt_first
+            if not has_order:  # whole partition: count at partition end
+                run_c = _bfill_inc(cnt_c, jnp.iinfo(jnp.int32).max) - cnt_first
             if c.kind == "count":
-                run = cnt_c - cnt_first
-                if not has_order:  # whole partition: value at partition end
-                    run = jnp.take(run, jnp.clip(pend - 1, 0, cap - 1))
-                out_sorted.append((run.astype(physical_np(DataType.UInt64)), None))
+                out_sorted.append(
+                    (run_c.astype(physical_np(DataType.UInt64)), None)
+                )
                 continue
             acc_dt = (
                 s[di].dtype
@@ -297,19 +362,51 @@ def window_spec(
                 else physical_np(DataType.Int64)
             )
             contrib = jnp.where(ok, s[di], jnp.zeros((), s[di].dtype)).astype(acc_dt)
-            pstart_c = jnp.clip(pstart, 0, cap - 1)
+            floating = jnp.issubdtype(acc_dt, jnp.floating)
+            fin = (
+                jnp.where(jnp.isfinite(contrib), contrib, jnp.zeros((), acc_dt))
+                if floating
+                else contrib
+            )
+            pos_p = jnp.maximum(fin, jnp.zeros((), acc_dt))
+            neg_p = jnp.minimum(fin, jnp.zeros((), acc_dt))
+            c_pos = jnp.cumsum(pos_p)
+            c_neg = jnp.cumsum(neg_p)
+            if floating:
+                top = jnp.asarray(jnp.inf, acc_dt)
+            else:
+                top = jnp.asarray(jnp.iinfo(acc_dt).max, acc_dt)
+            f_pos = _ffill_inc(c_pos - pos_p, -top)
+            f_neg = _ffill_dec(c_neg - neg_p, top)
+            if has_order:
+                run_s = (c_pos - f_pos) + (c_neg - f_neg)
+            else:
+                run_s = (_bfill_inc(c_pos, top) - f_pos) + (
+                    jnp.flip(lax.cummax(jnp.flip(jnp.where(pe, c_neg, -top))))
+                    - f_neg
+                )
+            if floating:
+                # window contains a non-finite value iff the latest
+                # occurrence at/before me (or anywhere in my partition,
+                # whole-partition case) is ≥ my partition's start
+                def _has(flag):
+                    latest = _first_pos(flag, iota)
+                    if not has_order:
+                        latest = jnp.flip(
+                            lax.cummax(jnp.flip(jnp.where(pe, latest, -1)))
+                        )
+                    return latest >= pstart
 
-            def _running_diff(arr_c, arr, pstart_c=pstart_c):
-                first = jnp.take(arr_c, pstart_c) - jnp.take(arr, pstart_c)
-                out = arr_c - first
-                if not has_order:
-                    out = jnp.take(out, jnp.clip(pend - 1, 0, cap - 1))
-                return out
-
-            run_s = _ieee_window_sum(contrib, _running_diff)
-            run_c = cnt_c - cnt_first
-            if not has_order:
-                run_c = jnp.take(run_c, jnp.clip(pend - 1, 0, cap - 1))
+                has_nan = _has(jnp.isnan(contrib))
+                has_pos = _has(contrib == jnp.inf)
+                has_neg = _has(contrib == -jnp.inf)
+                run_s = jnp.where(has_pos, jnp.asarray(jnp.inf, acc_dt), run_s)
+                run_s = jnp.where(has_neg, jnp.asarray(-jnp.inf, acc_dt), run_s)
+                run_s = jnp.where(
+                    has_nan | (has_pos & has_neg),
+                    jnp.asarray(jnp.nan, acc_dt),
+                    run_s,
+                )
             if c.kind == "avg":
                 d = run_s.astype(physical_np(DataType.Float64))
                 d = d / jnp.maximum(run_c, 1)

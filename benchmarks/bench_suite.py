@@ -285,10 +285,21 @@ def run_suite(
             "SELECT k, MIN(lat), MAX(lat), SUM(lng), COUNT(lat) FROM bigL GROUP BY k",
             {"bigL": bigL},
         )
-        floor = sort_floor_time(n, (np.int32, np.int32, np.float32), 2)
+        # floor = the formulation's irreducible primitives (c4s
+        # precedent: every sort it cannot avoid): the 3-operand main
+        # co-sort (packed + minmax image + sum payload) + the boundary
+        # compaction sort (group extents CANNOT ride the main sort —
+        # boundaries only exist after it) + one elementwise pass over
+        # the value column for the limb quantization.
+        floor = (
+            sort_floor_time(n, (np.int32, np.int32, np.float32), 2)
+            + sort_floor_time(n, (np.int8, np.int32), 1)
+            + elementwise_floor_time(n, 4, 4)
+        )
         report(
             "c2L_wide_aggregate", slope_time(fn, env, repeats=3), 12 + 5,
-            "2M groups: co-sort + XLA segment fallback", floor_s=floor,
+            "2M groups: co-sort + limb-prefix segment fallback",
+            floor_s=floor,
         )
         del fn, env, bigL
         gc.collect()

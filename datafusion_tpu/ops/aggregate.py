@@ -125,6 +125,56 @@ def ieee_sum_cond(
     return lax.cond(has, exact, lambda: kernel_sum)
 
 
+def limb_prefix_group_sums(
+    contrib: jax.Array, ends: jax.Array, capacity: int
+) -> jax.Array:
+    """Exact-class scatter-free f32 group sums over SORTED rows.
+
+    `contrib` must be masked (invalid rows zero) and finite (non-finite
+    restore is the caller's ieee_sum_cond). Each value is quantized at
+    2⁴⁸/max|v| — the product f32-rounds RELATIVE TO THE ELEMENT (6e-8),
+    so precision matches a per-element f32 reduction; elements below
+    max|v|·2⁻²⁵ quantize with negligible absolute error (≤ max·2⁻⁴⁹).
+    The integer-valued f32 q decomposes EXACTLY into four 12-bit limbs;
+    each limb cumsums in i32 (prefixes wrap, but per-group differences
+    are exact mod 2³² while the largest group is < 2¹⁹ rows — the
+    caller guards oversized groups). Groups tile the sorted rows
+    contiguously, so the four limb streams sample with ONE [n, 4] row
+    gather at the group ends; the exclusive start is the previous
+    group's end (PERFLOG r5: each scalar 2M-from-33.5M take costs
+    ~23 ms; segment_sum's scatter 293 ms; an i32 cumsum 7.7 ms).
+
+    Returns f32 sums per group (0 for empty groups)."""
+    C = jnp.max(jnp.abs(contrib)) + jnp.float32(1.0)
+    S = jnp.exp2(jnp.float32(48.0)) / C
+    q = contrib * S  # f32-rounded per element, |q| ≤ 2^48, integer-valued
+    # exact 12-bit limb decomposition of an integer-valued f32
+    l3 = jnp.floor(q * jnp.float32(2.0**-36))
+    r3 = q - l3 * jnp.float32(2.0**36)
+    l2 = jnp.floor(r3 * jnp.float32(2.0**-24))
+    r2 = r3 - l2 * jnp.float32(2.0**24)
+    l1 = jnp.floor(r2 * jnp.float32(2.0**-12))
+    l0 = r2 - l1 * jnp.float32(2.0**12)
+    incl = jnp.stack(
+        [jnp.cumsum(l.astype(jnp.int32)) for l in (l3, l2, l1, l0)], axis=1
+    )
+    idx = jnp.clip(ends - 1, 0, capacity - 1)
+    ge = jnp.where(
+        (ends > 0)[:, None], jnp.take(incl, idx, axis=0), jnp.int32(0)
+    )
+    gp = jnp.concatenate(
+        [jnp.zeros((1, 4), jnp.int32), ge[:-1]], axis=0
+    )
+    d = (ge - gp).astype(jnp.float32)
+    inv = C * jnp.float32(2.0**-48)
+    return (
+        d[:, 0] * (inv * jnp.float32(2.0**36))
+        + d[:, 1] * (inv * jnp.float32(2.0**24))
+        + d[:, 2] * (inv * jnp.float32(2.0**12))
+        + d[:, 3] * inv
+    )
+
+
 def _sentinel(dtype, minimum: bool):
     if jnp.issubdtype(dtype, jnp.floating):
         return jnp.asarray(-jnp.inf if minimum else jnp.inf, dtype)
@@ -944,7 +994,19 @@ def grouped_aggregate(
         g = jnp.cumsum(boundary.astype(jnp.int32)) - 1
         return jnp.where(sel_sorted, jnp.minimum(g, gcap), gcap)
 
-    n_groups = jnp.sum(boundary.astype(jnp.int32))
+    # lazy: in packed mode with the kernel active, the distinct-group
+    # count derives from the kernel's per-slot sizes (a gcap-scale
+    # reduce) instead of this 33.5M boundary reduce; packed mode cannot
+    # overflow (distinct ≤ nslots ≤ gcap), so the overflow-retry
+    # contract is unaffected. Holder pattern: the kernel block installs
+    # the cheap version after it runs.
+    _ng_holder: dict = {}
+
+    def n_groups_of() -> jax.Array:
+        if "ng" not in _ng_holder:
+            _ng_holder["ng"] = jnp.sum(boundary.astype(jnp.int32))
+        return _ng_holder["ng"]
+
     n_sel = jnp.sum(sel_sorted.astype(jnp.int32))
 
     # compact boundary positions to the front: starts[g] = first row of
@@ -962,13 +1024,13 @@ def grouped_aggregate(
             )
             starts = lax.slice(starts_full, (0,), (gcap,))
             ends = jnp.where(
-                giota + 1 < n_groups,
+                giota + 1 < n_groups_of(),
                 lax.slice(starts_full, (1,), (gcap + 1,)),
                 n_sel,
             )
             _extents["starts"] = starts
             _extents["ends"] = ends
-            _extents["sizes"] = jnp.where(giota < n_groups, ends - starts, 0)
+            _extents["sizes"] = jnp.where(giota < n_groups_of(), ends - starts, 0)
         return _extents
 
     def at_starts(arr):
@@ -986,6 +1048,14 @@ def grouped_aggregate(
 
     _seg_block = pick_block(capacity)
     use_pallas = _pallas_enabled() and capacity % _seg_block == 0 and gcap >= 1
+
+    # NOTE — slot-routed packed mode (kernel slots addressed by packed
+    # id directly, skipping the gid cumsum) was built and REVERTED in
+    # r5: the segreduce kernel's dynamic accumulator window advances at
+    # most BLOCK slots per chunk, an invariant compact (cumsum) gids
+    # guarantee and sparse packed ids violate — slot jumps past W inside
+    # one chunk silently contaminate neighboring groups (caught by
+    # test_bigdense_matches_packed on a filtered 5k-domain query).
     k_ops: list[str] = []
     k_vals: list[jax.Array] = []
     k_masks: list[jax.Array] = []
@@ -1028,6 +1098,9 @@ def grouped_aggregate(
         # value-independent, so every op sharing a mask shares one slot;
         # key None = the base selection, which ships NO mask stream)
         sp_of: dict[int, bool] = {}  # spec idx -> sum rode zero-sanitized
+        # spec idx -> (sorted values, validity operand idx, finite):
+        # f32 sums computed by limb prefixes off the count cumsum
+        prefix_sums: dict[int, tuple] = {}
 
         def _ensure_count(vpi) -> None:
             ck = vpi  # None = base selection
@@ -1056,6 +1129,19 @@ def grouped_aggregate(
                 continue
             eligible = d_sorted.dtype in (jnp.float32, jnp.int32)
             if spec.func in ("sum", "avg") and d_sorted.dtype == jnp.float32:
+                if os.environ.get("DFTPU_SUM_PREFIX", "0") == "1":
+                    # OPT-IN ablation (default OFF — measured on chip:
+                    # c2 179.6 -> 211.8 ms; the kernel's sum dot
+                    # overlaps the pipeline while these scans
+                    # serialize): f32 sums skip the kernel and ride
+                    # limb_prefix_group_sums off the count slot's
+                    # cumulative sizes. The same machinery IS the
+                    # default on the no-kernel fallback, where it beats
+                    # segment_sum's scatter 293 -> ~40 ms.
+                    prefix_sums[si] = (d_sorted, vpi, spec.finite_arg)
+                    if spec.func == "avg" or vpi is not None:
+                        _ensure_count(vpi)
+                    continue
                 # non-finite values POISON the kernel's one-hot sum dot
                 # (0 * NaN = NaN spreads across the whole W-window,
                 # contaminating NEIGHBORING groups). They ride zero-
@@ -1163,10 +1249,40 @@ def grouped_aggregate(
             # group extents for free: sizes → exclusive-cumsum starts.
             # Replaces the boundary-compaction sort on this path.
             sizes_p = cnt_by_mask[None]
+            if use_packed and "ng" not in _ng_holder:
+                # packed-mode distinct count from the kernel's slot
+                # sizes: a gcap-scale reduce replaces the 33.5M-row
+                # boundary reduce (safe: packed mode cannot overflow)
+                _ng_holder["ng"] = jnp.sum((sizes_p > 0).astype(jnp.int32))
             starts_p = jnp.cumsum(sizes_p) - sizes_p
             _extents["starts"] = starts_p
             _extents["ends"] = starts_p + sizes_p
             _extents["sizes"] = sizes_p
+            max_size_p = jnp.max(sizes_p)
+            for si_p, (vals_p, vpi_p, finite_p) in prefix_sums.items():
+                msk_p = _spec_mask(vpi_p)
+                contrib_p = jnp.where(
+                    jnp.logical_and(msk_p, jnp.isfinite(vals_p)),
+                    vals_p,
+                    jnp.float32(0.0),
+                )
+                s_p = limb_prefix_group_sums(
+                    contrib_p, _extents["ends"], capacity
+                )
+
+                def _exact_p(contrib_p=contrib_p):
+                    return jax.ops.segment_sum(
+                        contrib_p, gid_arr(), num_segments=gcap
+                    )
+
+                # limb wraparound is only exact while the largest group
+                # has < 2^19 rows — oversized groups take the scatter
+                s_p = lax.cond(
+                    max_size_p >= (1 << 19), _exact_p, lambda s_p=s_p: s_p
+                )
+                if not finite_p:
+                    s_p = ieee_sum_cond(s_p, vals_p, msk_p, gid_arr)
+                pallas_results[si_p] = s_p
 
     # ---- group key outputs ---------------------------------------------
     out_keys = []
@@ -1297,7 +1413,7 @@ def grouped_aggregate(
             mpref = jnp.cumsum(mi)
             vc_end = at_ends(mpref)  # contiguous groups: prev end = excl start
             vc_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), vc_end[:-1]])
-            valid_cnt = jnp.where(giota < n_groups, vc_end - vc_prev, 0)
+            valid_cnt = jnp.where(giota < n_groups_of(), vc_end - vc_prev, 0)
         if spec.func == "count":
             out_aggs.append((valid_cnt.astype(physical_np(spec.out_dtype)), None))
             continue
@@ -1365,7 +1481,7 @@ def grouped_aggregate(
                     jnp.take(pref, jnp.clip(starts - 1, 0, capacity - 1)),
                     zero,
                 )
-                return jnp.where(giota < n_groups, p_end - p_before, zero)
+                return jnp.where(giota < n_groups_of(), p_end - p_before, zero)
 
             cntd = seg_diff(jnp.cumsum(flag.astype(jnp.int32)), 0)
             if spec.func == "count_distinct":
@@ -1406,59 +1522,19 @@ def grouped_aggregate(
                 # (TPU: segment_sum's 33.5M-row scatter costs 293 ms on
                 # chip; an i32 cumsum costs 7.7 — PERFLOG r5). A raw
                 # f32 cumsum-difference is NOT usable: global-prefix
-                # cancellation was measured at up to 9% relative error.
-                # Instead quantize to fixed point — q = round(v·2³⁶/C),
-                # |q| ≤ 2³⁶ — split into three 12-bit limbs, and cumsum
-                # each limb in i32. Prefixes WRAP (two's-complement),
-                # but per-group prefix DIFFERENCES are exact mod 2³²,
-                # and the true per-limb group sums fit in i32 whenever
-                # the largest group has < 2¹⁹ rows — so the wrapped
-                # differences ARE the exact limb sums (x64 is off on
-                # TPU: jnp has no i64 here, it silently truncates).
-                # Result error = quantization only (2⁻³⁶ of max|v|),
-                # far below f32 epsilon. Oversized groups and
-                # non-finite values restore via lax.cond exact-scatter
-                # branches (devices agree: both are data-broadcast
-                # scalars; collectives stay outside, mirroring
-                # ieee_sum_cond).
+                # cancellation was measured at up to 9% relative error;
+                # see limb_prefix_group_sums for the fixed-point limb
+                # scheme (exact integer prefixes, per-element-relative
+                # f32 precision). Oversized groups (≥ 2^19 rows — limb
+                # wraparound bound) and non-finite values restore via
+                # lax.cond exact-scatter branches (devices agree: both
+                # are data-broadcast scalars; collectives stay outside,
+                # mirroring ieee_sum_cond).
                 fin = jnp.where(
                     jnp.isfinite(contrib), contrib, jnp.zeros((), jnp.float32)
                 )
-                C = jnp.max(jnp.abs(fin)) + jnp.float32(1.0)
-                S = jnp.exp2(jnp.float32(36.0)) / C
-                q = jnp.round(fin * S)  # f32 integer-valued, |q| ≤ 2^36
-                l2 = jnp.floor(q * jnp.float32(2.0**-24))
-                rem = q - l2 * jnp.float32(2.0**24)  # in [0, 2^24)
-                l1 = jnp.floor(rem * jnp.float32(2.0**-12))
-                l0 = rem - l1 * jnp.float32(2.0**12)  # in [0, 2^12)
-                # groups tile the sorted rows CONTIGUOUSLY (starts[g] =
-                # ends[g-1]), so the exclusive start sample IS the
-                # previous group's inclusive end sample: ONE stacked
-                # [n, 3] row gather at the ends replaces nine scalar
-                # gathers (each 2M-from-33.5M take costs ~23 ms on
-                # chip; a 3-lane row gather ≈ one lane, PERFLOG r4.8)
-                incl = jnp.stack(
-                    [
-                        jnp.cumsum(l2.astype(jnp.int32)),
-                        jnp.cumsum(l1.astype(jnp.int32)),
-                        jnp.cumsum(l0.astype(jnp.int32)),
-                    ],
-                    axis=1,
-                )
-                ge = jnp.take(
-                    incl, jnp.clip(extents()["ends"] - 1, 0, capacity - 1),
-                    axis=0,
-                )
-                gp = jnp.concatenate(
-                    [jnp.zeros((1, 3), jnp.int32), ge[:-1]], axis=0
-                )
-                d = (ge - gp).astype(jnp.float32)  # wraparound-exact limbs
-                s = (
-                    d[:, 0] * (C * jnp.float32(2.0**-12))
-                    + d[:, 1] * (C * jnp.float32(2.0**-24))
-                    + d[:, 2] * (C * jnp.float32(2.0**-36))
-                )
-                s = jnp.where(giota < n_groups, s, jnp.float32(0.0))
+                s = limb_prefix_group_sums(fin, extents()["ends"], capacity)
+                s = jnp.where(giota < n_groups_of(), s, jnp.float32(0.0))
                 max_size = jnp.max(extents()["sizes"])
 
                 def exact_scatter():
@@ -1481,5 +1557,5 @@ def grouped_aggregate(
             raise NotImplementedError_(f"aggregate function {spec.func}")
         out_aggs.append((r.astype(physical_np(spec.out_dtype)), valid_cnt > 0))
 
-    out_sel = giota < n_groups
-    return out_keys, out_aggs, out_sel, n_groups
+    out_sel = giota < n_groups_of()
+    return out_keys, out_aggs, out_sel, n_groups_of()

@@ -107,6 +107,9 @@ def gen_tables(scale: float, seed: int = 0):
             n_part,
         ),
         "p_size": rng.integers(1, 51, n_part).astype(np.int32),
+        # supply-cost stand-in (q9's ps_supplycost without a partsupp
+        # table; profit = price*(1-disc) - p_cost*qty)
+        "p_cost": (rng.random(n_part, dtype=np.float32) * 100).round(2),
     }
     return lineitem, orders, customer, part
 
@@ -280,11 +283,79 @@ GROUP BY cntrycode
 ORDER BY cntrycode
 """
 
+Q2ish = """
+SELECT p_partkey, l_suppkey, l_extendedprice
+FROM part, lineitem
+WHERE p_partkey = l_partkey AND p_type LIKE 'PROMO%'
+  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_partkey = p_partkey)
+ORDER BY l_extendedprice, p_partkey, l_suppkey
+LIMIT 10
+"""
+
+Q7ish = """
+SELECT c_nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       SUM(l_extendedprice * (1 - l_discount)) AS volume
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND (c_nation = 'NATION_01' OR c_nation = 'NATION_02')
+  AND l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY c_nation, o_year
+ORDER BY c_nation, o_year
+"""
+
+Q8ish = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       SUM(CASE WHEN c_nation = 'NATION_03'
+                THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+       / SUM(l_extendedprice * (1 - l_discount)) AS mkt_share
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+Q9ish = """
+SELECT c_nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       SUM(l_extendedprice * (1 - l_discount) - p_cost * l_quantity) AS profit
+FROM customer, orders, lineitem, part
+WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND p_partkey = l_partkey
+GROUP BY c_nation, o_year
+ORDER BY c_nation, o_year DESC
+LIMIT 40
+"""
+
+Q11ish = """
+SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS value
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(l_extendedprice * l_quantity) >
+       (SELECT SUM(l_extendedprice * l_quantity) * 0.0001 FROM lineitem)
+ORDER BY value DESC, l_partkey
+LIMIT 20
+"""
+
+Q15ish = """
+WITH revenue AS (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT l_suppkey, total_revenue
+FROM revenue
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY l_suppkey
+"""
+
 QUERIES = {
-    "q1": Q1, "q3": Q3, "q4ish": Q4ish, "q5ish": Q5ish, "q6": Q6,
-    "q10ish": Q10ish, "q12ish": Q12ish, "q13ish": Q13ish, "q14ish": Q14ish,
-    "q16ish": Q16ish, "q17ish": Q17ish, "q18ish": Q18ish, "q19ish": Q19ish,
-    "q20ish": Q20ish, "q21ish": Q21ish, "q22ish": Q22ish,
+    "q1": Q1, "q2ish": Q2ish, "q3": Q3, "q4ish": Q4ish, "q5ish": Q5ish,
+    "q6": Q6, "q7ish": Q7ish, "q8ish": Q8ish, "q9ish": Q9ish,
+    "q10ish": Q10ish, "q11ish": Q11ish, "q12ish": Q12ish, "q13ish": Q13ish,
+    "q14ish": Q14ish, "q15ish": Q15ish, "q16ish": Q16ish, "q17ish": Q17ish,
+    "q18ish": Q18ish, "q19ish": Q19ish, "q20ish": Q20ish, "q21ish": Q21ish,
+    "q22ish": Q22ish,
 }
 
 
@@ -460,6 +531,80 @@ def pandas_reference(name, lineitem, orders, customer, part=None):
         f = od[od.o_orderkey.isin(late) & ~od.o_orderkey.isin(air)]
         g = f.groupby("o_shippriority", as_index=False).size()
         return g.sort_values("o_shippriority").reset_index(drop=True)
+    if name == "q2ish":
+        pmin = li.groupby("l_partkey").l_extendedprice.min()
+        m = li.merge(
+            pt[pt.p_type.str.startswith("PROMO")],
+            left_on="l_partkey", right_on="p_partkey",
+        )
+        f = m[m.l_extendedprice == m.l_partkey.map(pmin)]
+        return (
+            f[["p_partkey", "l_suppkey", "l_extendedprice"]]
+            .sort_values(["l_extendedprice", "p_partkey", "l_suppkey"])
+            .head(10).reset_index(drop=True)
+        )
+    if name == "q7ish":
+        m = cu[cu.c_nation.isin(["NATION_01", "NATION_02"])].merge(
+            od, left_on="c_custkey", right_on="o_custkey"
+        ).merge(
+            li[
+                (li.l_shipdate >= np.datetime64("1995-01-01"))
+                & (li.l_shipdate < np.datetime64("1997-01-01"))
+            ],
+            left_on="o_orderkey", right_on="l_orderkey",
+        )
+        m["o_year"] = m.o_orderdate.dt.year
+        m["volume"] = m.l_extendedprice * (1 - m.l_discount)
+        g = m.groupby(["c_nation", "o_year"], as_index=False).volume.sum()
+        return g.sort_values(["c_nation", "o_year"]).reset_index(drop=True)
+    if name == "q8ish":
+        m = cu.merge(
+            od[
+                (od.o_orderdate >= np.datetime64("1995-01-01"))
+                & (od.o_orderdate < np.datetime64("1997-01-01"))
+            ],
+            left_on="c_custkey", right_on="o_custkey",
+        ).merge(li, left_on="o_orderkey", right_on="l_orderkey")
+        m["o_year"] = m.o_orderdate.dt.year
+        m["vol"] = m.l_extendedprice * (1 - m.l_discount)
+        m["nat"] = np.where(m.c_nation == "NATION_03", m.vol, 0.0)
+        g = m.groupby("o_year", as_index=False).agg(
+            nat=("nat", "sum"), vol=("vol", "sum")
+        )
+        g["mkt_share"] = g.nat / g.vol
+        return g[["o_year", "mkt_share"]].sort_values("o_year").reset_index(
+            drop=True
+        )
+    if name == "q9ish":
+        m = cu.merge(od, left_on="c_custkey", right_on="o_custkey").merge(
+            li, left_on="o_orderkey", right_on="l_orderkey"
+        ).merge(pt, left_on="l_partkey", right_on="p_partkey")
+        m["o_year"] = m.o_orderdate.dt.year
+        m["profit"] = (
+            m.l_extendedprice * (1 - m.l_discount) - m.p_cost * m.l_quantity
+        )
+        g = m.groupby(["c_nation", "o_year"], as_index=False).profit.sum()
+        return (
+            g.sort_values(["c_nation", "o_year"], ascending=[True, False])
+            .head(40).reset_index(drop=True)
+        )
+    if name == "q11ish":
+        v = li.assign(v=li.l_extendedprice * li.l_quantity)
+        g = v.groupby("l_partkey", as_index=False).v.sum()
+        thr = float(v.v.sum()) * 0.0001
+        g = g[g.v > thr]
+        return (
+            g.sort_values(["v", "l_partkey"], ascending=[False, True])
+            .head(20).reset_index(drop=True)
+        )
+    if name == "q15ish":
+        f = li[
+            (li.l_shipdate >= np.datetime64("1996-01-01"))
+            & (li.l_shipdate < np.datetime64("1996-04-01"))
+        ].assign(rev=lambda d: d.l_extendedprice * (1 - d.l_discount))
+        g = f.groupby("l_suppkey", as_index=False).rev.sum()
+        g = g[g.rev == g.rev.max()]
+        return g.sort_values("l_suppkey").reset_index(drop=True)
     if name == "q22ish":
         # .assign AFTER filtering re-expands an empty frame to the
         # series' index (pandas alignment quirk) — assign first

@@ -392,8 +392,16 @@ def window_spec(
                 def _has(flag):
                     latest = _first_pos(flag, iota)
                     if not has_order:
+                        # value at MY partition's end row = the NEAREST
+                        # end row at/after me: reverse cumMIN (latest[]
+                        # is globally non-decreasing, so a reverse
+                        # cummax would pick the LAST partition's end —
+                        # reporting other partitions' non-finites; the
+                        # dark-corner fuzzer caught exactly that)
                         latest = jnp.flip(
-                            lax.cummax(jnp.flip(jnp.where(pe, latest, -1)))
+                            lax.cummin(
+                                jnp.flip(jnp.where(pe, latest, cap))
+                            )
                         )
                     return latest >= pstart
 

@@ -74,6 +74,39 @@ class SchemaProvider(Protocol):
 
 _AGG_NAMES = {"min", "max", "sum", "avg"}
 
+# sentinel base for HAVING scalar-subquery placeholder columns, remapped
+# to real post-aggregate indices once the aggregate schema is known
+_HAVING_SUB_BASE = 1_000_000
+
+
+def _iter_scalar_subs(node):
+    """Yield SQLScalarSubquery nodes in an expression tree, NOT
+    descending into nested SELECT scopes (they plan their own)."""
+    import dataclasses
+
+    if isinstance(node, A.SQLScalarSubquery):
+        yield node
+        return
+    if isinstance(
+        node,
+        (A.SQLSelect, A.SQLUnion, A.SQLSetOp, A.SQLWith, A.SQLDerivedTable),
+    ):
+        return
+    if isinstance(node, A.SQLInSubquery):
+        yield from _iter_scalar_subs(node.expr)
+        return
+    if dataclasses.is_dataclass(node):
+        for f in dataclasses.fields(node):
+            vals = getattr(node, f.name)
+            vals = vals if isinstance(vals, tuple) else (vals,)
+            for v in vals:
+                if isinstance(v, A.AstNode):
+                    yield from _iter_scalar_subs(v)
+                elif isinstance(v, tuple):
+                    for w in v:
+                        if isinstance(w, A.AstNode):
+                            yield from _iter_scalar_subs(w)
+
 
 def _expr_children_rex(e: Expr) -> tuple:
     """Children of a planned (relational) expression node."""
@@ -197,6 +230,8 @@ def _rewrite_over_aggregate(
     expressions → their group column."""
 
     def rw(x: Expr) -> Expr:
+        if isinstance(x, Column) and x.index >= _HAVING_SUB_BASE:
+            return x  # HAVING scalar-subquery placeholder, remapped later
         if isinstance(x, AggregateFunction):
             return Column(n_group + agg_list.index(x))
         for gi, g in enumerate(group_exprs):
@@ -641,6 +676,35 @@ class SqlToRel:
             # aggregate columns projected away afterwards. Fallback:
             # resolve against the aggregate output schema (aliases /
             # output names).
+            # UNCORRELATED scalar subqueries in HAVING (TPC-H q11's
+            # `HAVING SUM(x) > (SELECT SUM(x) * f FROM t)`): plan each
+            # standalone, LEFT-join its single row onto the aggregate
+            # output, and resolve the subquery node to the appended
+            # column (projected away afterwards)
+            having_subs: list[tuple] = []
+            if sel.having is not None:
+                if not hasattr(self, "_scalar_subs"):
+                    self._scalar_subs = {}
+                for nd in _iter_scalar_subs(sel.having):
+                    try:
+                        sp = self.sql_to_rel(nd.select)
+                    except (PlanError, InvalidColumnError):
+                        raise PlanError(
+                            "correlated scalar subqueries are not supported "
+                            "in HAVING (only self-contained ones)"
+                        )
+                    if len(sp.schema) != 1:
+                        raise PlanError(
+                            "scalar subquery must return exactly one column"
+                        )
+                    # typed sentinel: Cast.get_type never consults the
+                    # schema, so planning/coercion of the HAVING expr
+                    # works before the final column index is known
+                    self._scalar_subs[id(nd)] = Cast(
+                        Column(_HAVING_SUB_BASE + len(having_subs)),
+                        sp.schema.field(0).dtype,
+                    )
+                    having_subs.append((nd, Limit(1, sp, sp.schema)))
             having_raw: Optional[Expr] = None
             if sel.having is not None:
                 try:
@@ -660,10 +724,24 @@ class SqlToRel:
             plan: LogicalPlan = Aggregate(
                 agg_input, tuple(group_exprs), tuple(agg_all), agg_schema
             )
+            for k, (_, sp) in enumerate(having_subs):
+                plan = Join(
+                    plan, sp, (), JoinType.Left, plan.schema.join(sp.schema)
+                )
+
+            def _fix_having_subs(e: Expr) -> Expr:
+                if isinstance(e, Column) and e.index >= _HAVING_SUB_BASE:
+                    return Column(
+                        len(agg_schema) + (e.index - _HAVING_SUB_BASE)
+                    )
+                return _expr_rebuild_rex(e, _fix_having_subs)
+
             if having_raw is not None:
                 plan = Selection(
-                    _rewrite_over_aggregate(
-                        having_raw, group_exprs, agg_all, len(group_exprs)
+                    _fix_having_subs(
+                        _rewrite_over_aggregate(
+                            having_raw, group_exprs, agg_all, len(group_exprs)
+                        )
                     ),
                     plan,
                 )
@@ -672,9 +750,12 @@ class SqlToRel:
                 # reference, which always errored); identifiers resolve
                 # against the aggregate schema
                 plan = Selection(
-                    self.sql_to_rex(sel.having, agg_schema, None), plan
+                    _fix_having_subs(
+                        self.sql_to_rex(sel.having, agg_schema, None)
+                    ),
+                    plan,
                 )
-            if hidden:
+            if hidden or having_subs:
                 vis = len(group_exprs) + len(aggr_exprs)
                 plan = Projection(
                     tuple(Column(i) for i in range(vis)),

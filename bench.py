@@ -63,7 +63,7 @@ def _time_pipeline(fn, env, repeats: int = 1, with_spread: bool = False,
 
 def main() -> None:
     _t_start = time.time()
-    budget_s = float(os.environ.get("DFTPU_BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("DFTPU_BENCH_BUDGET_S", "1800"))
     import datafusion_tpu as df  # noqa: F401  (enables the compile cache)
     from bench_suite import make_tables, run_suite, compile_query
 
@@ -110,7 +110,7 @@ def main() -> None:
         suite += run_suite(
             n=n,
             nd=nd,
-            configs=("c2", "c2L", "c6", "c3", "c4", "c4s", "c5"),
+            configs=("c2", "c2L", "c6", "c3", "c4", "c5", "c4s"),
             deadline=_t_start + budget_s,
             emit=lambda e: print(f"[bench] {json.dumps(e)}", file=sys.stderr),
             tables=(big, dim),

@@ -371,33 +371,6 @@ def run_suite(
         del fn, env, big4, dim4
         gc.collect()
 
-    if "c4s" in configs and not over_deadline("c4s_hash_join_sparse"):
-        # sparse unique keys across a ~2^31 domain: direct-index is
-        # ineligible, so this benches the general sort-strategy
-        # (compact) join — the path multi-join chains pay for (VERDICT
-        # r3 weak #2). Floor = the two combined sorts the compact
-        # formulation cannot avoid (main co-sort with key/flag/src +
-        # key payload + build payload; compaction sort with the same
-        # payload count + matched flag), measured in-run.
-        big4s, dim4s = make_join_tables(n_join, nd_join, sparse=True)
-        fn, env = compile_query(
-            "SELECT big.k, dim.w FROM big JOIN dim ON big.k = dim.pk",
-            {"big": big4s, "dim": dim4s},
-        )
-        comb = n_join + nd_join
-        floor = sort_floor_time(
-            comb, (np.int32, np.int8, np.int32, np.int32, np.float32), 2
-        ) + sort_floor_time(
-            comb, (np.int8, np.int32, np.int32, np.float32, np.int8), 2
-        )
-        report(
-            "c4s_hash_join_sparse", slope_time(fn, env), 8 + 8,
-            "compact sort join (sparse ~2^31 key domain)",
-            floor_s=floor, rows=n_join,
-        )
-        del fn, env, big4s, dim4s
-        gc.collect()
-
     if "c5" in configs and not over_deadline("c5_full_pipeline"):
         # BASELINE config 5: skewed-key join + aggregate + final sort
         # (the N≥2-hosts leg is environment-blocked — virtual-mesh
@@ -424,6 +397,33 @@ def run_suite(
             "c5_full_pipeline", slope_time(fn, env), 12 + 12,
             "scan→filter→skewed join→agg→sort", floor_s=floor,
         )
+
+    if "c4s" in configs and not over_deadline("c4s_hash_join_sparse"):
+        # sparse unique keys across a ~2^31 domain: direct-index is
+        # ineligible, so this benches the general sort-strategy
+        # (compact) join — the path multi-join chains pay for (VERDICT
+        # r3 weak #2). Floor = the two combined sorts the compact
+        # formulation cannot avoid (main co-sort with key/flag/src +
+        # key payload + build payload; compaction sort with the same
+        # payload count + matched flag), measured in-run.
+        big4s, dim4s = make_join_tables(n_join, nd_join, sparse=True)
+        fn, env = compile_query(
+            "SELECT big.k, dim.w FROM big JOIN dim ON big.k = dim.pk",
+            {"big": big4s, "dim": dim4s},
+        )
+        comb = n_join + nd_join
+        floor = sort_floor_time(
+            comb, (np.int32, np.int8, np.int32, np.int32, np.float32), 2
+        ) + sort_floor_time(
+            comb, (np.int8, np.int32, np.int32, np.float32, np.int8), 2
+        )
+        report(
+            "c4s_hash_join_sparse", slope_time(fn, env), 8 + 8,
+            "compact sort join (sparse ~2^31 key domain)",
+            floor_s=floor, rows=n_join,
+        )
+        del fn, env, big4s, dim4s
+        gc.collect()
 
     return results
 

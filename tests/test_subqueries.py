@@ -413,3 +413,39 @@ def test_correlated_scalar_subquery_errors():
     ctx = make_exists_ctx()
     with pytest.raises(PlanError, match="aggregate"):
         ctx.sql("SELECT k, (SELECT w FROM s WHERE s.k = t.k) FROM t")
+
+
+def test_having_uncorrelated_scalar_subquery():
+    """TPC-H q11's shape: HAVING SUM(x) > (SELECT SUM(x) * f FROM t).
+    Plans standalone, LEFT-joins one row onto the aggregate output."""
+    import datafusion_tpu as df
+
+    ctx = df.ExecutionContext()
+    ctx.register_table(
+        "t",
+        df.Table.from_pydict(
+            {"k": [1, 1, 2, 2, 3], "v": [10.0, 10.0, 1.0, 1.0, 100.0]}
+        ),
+    )
+    out = ctx.sql(
+        "SELECT k, SUM(v) AS s FROM t GROUP BY k "
+        "HAVING SUM(v) > (SELECT AVG(v) FROM t) ORDER BY k"
+    ).result_str().splitlines()
+    # avg = 24.4; groups: 20, 2, 100 -> only k=3 passes
+    assert out == ["3\t100.0"]
+
+
+def test_having_correlated_scalar_subquery_errors():
+    import pytest
+
+    import datafusion_tpu as df
+    from datafusion_tpu.errors import PlanError
+
+    ctx = df.ExecutionContext()
+    ctx.register_table("t", df.Table.from_pydict({"k": [1], "v": [1.0]}))
+    ctx.register_table("s", df.Table.from_pydict({"k": [1], "w": [5.0]}))
+    with pytest.raises(PlanError, match="HAVING"):
+        ctx.sql(
+            "SELECT k, SUM(v) FROM t GROUP BY k "
+            "HAVING SUM(v) > (SELECT MAX(w) FROM s WHERE s.k = t.k)"
+        )

@@ -226,7 +226,8 @@ SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
 FROM part JOIN lineitem ON p_partkey = l_partkey
 WHERE p_brand <> 'Brand#1'
   AND p_size IN (1, 14, 23, 45)
-  AND l_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
+  AND l_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+                       WHERE l_quantity > 49 AND l_extendedprice > 99000)
 GROUP BY p_brand, p_type
 ORDER BY supplier_cnt DESC, p_brand, p_type
 LIMIT 20
@@ -332,7 +333,7 @@ SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS value
 FROM lineitem
 GROUP BY l_partkey
 HAVING SUM(l_extendedprice * l_quantity) >
-       (SELECT SUM(l_extendedprice * l_quantity) * 0.0001 FROM lineitem)
+       (SELECT SUM(l_extendedprice * l_quantity) * 0.000006 FROM lineitem)
 ORDER BY value DESC, l_partkey
 LIMIT 20
 """
@@ -477,7 +478,7 @@ def pandas_reference(name, lineitem, orders, customer, part=None):
         promo = rev[f.p_type.str.startswith("PROMO")].sum()
         return float(100.0 * promo / rev.sum())
     if name == "q16ish":
-        bad = li[li.l_quantity > 49].l_suppkey.unique()
+        bad = li[(li.l_quantity > 49) & (li.l_extendedprice > 99000)].l_suppkey.unique()
         m = pt.merge(li, left_on="p_partkey", right_on="l_partkey")
         f = m[
             (m.p_brand != "Brand#1")
@@ -591,7 +592,7 @@ def pandas_reference(name, lineitem, orders, customer, part=None):
     if name == "q11ish":
         v = li.assign(v=li.l_extendedprice * li.l_quantity)
         g = v.groupby("l_partkey", as_index=False).v.sum()
-        thr = float(v.v.sum()) * 0.0001
+        thr = float(v.v.sum()) * 0.000006
         g = g[g.v > thr]
         return (
             g.sort_values(["v", "l_partkey"], ascending=[False, True])

@@ -1285,11 +1285,56 @@ def grouped_aggregate(
                 pallas_results[si_p] = s_p
 
     # ---- group key outputs ---------------------------------------------
+    # every operand sampled at the group STARTS rides ONE stacked
+    # [n, C] row gather (each scalar 2M-from-33.5M take costs ~23 ms on
+    # chip; C lanes ≈ one lane): the packed id (key decode) + the
+    # value-sort image (handled MIN). Registered lazily; flushed on
+    # first read.
+    _starts_stack: dict = {"req": [], "out": None}
+
+    def _at_starts_stacked(arr: jax.Array):
+        for a, _ in _starts_stack["req"]:
+            if a is arr:
+                break
+        else:
+            _starts_stack["req"].append((arr, len(_starts_stack["req"])))
+
+        def read(arr=arr):
+            if _starts_stack["out"] is None:
+                arrs = [a for a, _ in _starts_stack["req"]]
+                if len(arrs) == 1:
+                    _starts_stack["out"] = [at_starts(arrs[0])]
+                else:
+                    mat = jnp.stack(arrs, axis=1)
+                    rows = jnp.take(
+                        mat,
+                        jnp.clip(extents()["starts"], 0, capacity - 1),
+                        axis=0,
+                    )
+                    _starts_stack["out"] = [
+                        rows[:, j] for j in range(len(arrs))
+                    ]
+            for i, (a, _) in enumerate(_starts_stack["req"]):
+                if a is arr:
+                    return _starts_stack["out"][i]
+            raise AssertionError("unregistered starts sample")
+
+        return read
+
+    _read_packed = None
+    _read_minvs = None
+    if use_packed:
+        _read_packed = _at_starts_stacked(sorted_ops[0])
+    if chosen_vid is not None and any(
+        _handled(spec) and spec.func == "min" for spec in specs
+    ):
+        _read_minvs = _at_starts_stacked(sorted_ops[vsort_idx])
+
     out_keys = []
     if use_packed:
         # decode each key arithmetically from the group's packed id (one
         # tiny gather total, vs one per key operand on the generic path)
-        packed_at_start = at_starts(sorted_ops[0])
+        packed_at_start = _read_packed()
         for (kd, kv), d, off, r, stride in zip(
             key_cols, p_doms, p_offs, p_radices, p_strides
         ):
@@ -1385,10 +1430,13 @@ def grouped_aggregate(
                     _spec_mask(vpi).astype(jnp.int32), gid_arr(),
                     num_segments=gcap,
                 )
-            pos = extents()["starts"] if spec.func == "min" else (
-                extents()["starts"] + cnt - 1
-            )
-            raw = jnp.take(vs, jnp.clip(pos, 0, capacity - 1))
+            if spec.func == "min" and _read_minvs is not None:
+                raw = _read_minvs()  # shares the stacked starts gather
+            else:
+                pos = extents()["starts"] if spec.func == "min" else (
+                    extents()["starts"] + cnt - 1
+                )
+                raw = jnp.take(vs, jnp.clip(pos, 0, capacity - 1))
             r = from_sortable_int(raw, mm_args[chosen_vid][0].dtype)
             out_aggs.append((r.astype(physical_np(spec.out_dtype)), cnt > 0))
             continue

@@ -54,6 +54,48 @@ class WindowCall:
     frame: Optional[tuple[Optional[int], Optional[int]]] = None
 
 
+def _sum_limbs(fin: jax.Array, cap: int):
+    """Exact windowed-sum machinery for f32 contributions.
+
+    A plain f32 cumsum difference is catastrophically wrong at scale:
+    the global prefix's ULP (256 at 33.5M rows of ~50-magnitude
+    values) dwarfs partition-local sums — measured rel error up to 3.0
+    on chip (r5). Fix: quantize at 2³⁶/max|v| (the f32 product rounds
+    relative to each element) and decompose into limbs of `bits` where
+    `cap · 2^(bits) ≤ 2³⁰` — so even a FULL-capacity partition cannot
+    overflow a limb's i32 prefix: the limb cumsums are exact AND
+    monotone (every limb non-negative), which lets endpoint samples
+    ride shifts + cummax/cummin partition fills instead of gathers.
+    Only the TOP limb is signed; it shifts non-negative by 2^(bits−1)
+    in INTEGER space (an f32 `q + 2³⁶` shift would round away the low
+    bits), and window sums subtract `count × 2^(bits−1)` from the top
+    limb IN i32 before assembly.
+
+    Returns (limbs, weights, top_shift) where limbs are non-negative
+    i32 streams high→low and weights[j] converts limb-j window sums
+    back to value units (f32, includes C·2⁻³⁶)."""
+    import math
+
+    bits = max(30 - math.ceil(math.log2(max(cap, 2))), 2)
+    nlimbs = math.ceil(38 / bits)
+    C = jnp.max(jnp.abs(fin)) + jnp.float32(1.0)
+    S = jnp.exp2(jnp.float32(36.0)) / C
+    q = fin * S  # signed, |q| ≤ 2^36, f32 element-rounded
+    scale_top = 2.0 ** (bits * (nlimbs - 1))
+    l_top = jnp.floor(q * jnp.float32(1.0 / scale_top))  # |.| ≤ 2^(bits-1)
+    rem = q - l_top * jnp.float32(scale_top)  # in [0, scale_top)
+    top_shift = 1 << (bits - 1)
+    limbs = [(l_top + jnp.float32(top_shift)).astype(jnp.int32)]
+    weights = [jnp.float32(scale_top) * C * jnp.float32(2.0**-36)]
+    for j in reversed(range(nlimbs - 1)):
+        scale = 2.0 ** (bits * j)
+        l = jnp.floor(rem * jnp.float32(1.0 / scale))
+        rem = rem - l * jnp.float32(scale)
+        limbs.append(l.astype(jnp.int32))
+        weights.append(jnp.float32(scale) * C * jnp.float32(2.0**-36))
+    return limbs, weights, top_shift
+
+
 def _first_pos(flag: jax.Array, iota: jax.Array) -> jax.Array:
     """Per row: position of the most recent True at or before it."""
     return lax.cummax(jnp.where(flag, iota, -1))
@@ -212,13 +254,31 @@ def window_spec(
             # emulated multi-pass on the 32-bit VPU — measured ~2-4x)
             ok_i32 = ok.astype(jnp.int32)
             cnt_c = jnp.cumsum(ok_i32)
-            if c.frame is not None:
-                # explicit ROWS frame: windowed difference of inclusive
-                # cumsums over [lo_idx, hi_idx] clipped to the partition.
-                # Every per-row stream sampled at the two endpoints rides
-                # ONE stacked [n, C] row gather per endpoint (a C-lane
-                # row gather costs ~1 lane, PERFLOG r4.8) instead of C
-                # scalar gathers at ~7 ns/elem each.
+            pe = jnp.roll(pb, -1).at[-1].set(True)  # partition-end rows
+            imax = jnp.iinfo(jnp.int32).max
+            imin = jnp.iinfo(jnp.int32).min
+
+            def _ffill_inc(vals):
+                # value at my partition's START row (stream must be
+                # non-decreasing: the boundary sample forward-fills
+                # with a plain cummax)
+                return lax.cummax(jnp.where(pb, vals, imin))
+
+            def _bfill_inc(vals):
+                # value at my partition's END row (non-decreasing
+                # stream: nearest end row = reverse cummin)
+                return jnp.flip(lax.cummin(jnp.flip(jnp.where(pe, vals, imax))))
+
+            def _shifted(arr, off, pad):
+                if off == 0:
+                    return arr
+                r = jnp.roll(arr, -off)
+                okr = jnp.logical_and(iota + off >= 0, iota + off < cap)
+                return jnp.where(okr, r, pad)
+
+            lo_off = hi_off = None
+            framed = c.frame is not None
+            if framed:
                 lo_off, hi_off = c.frame
                 last = jnp.clip(jnp.minimum(pend, n_valid) - 1, 0, cap - 1)
                 lo_idx = (
@@ -226,87 +286,135 @@ def window_spec(
                 )
                 hi_idx = last if hi_off is None else jnp.minimum(last, iota + hi_off)
                 nonempty = hi_idx >= lo_idx
-                lo_c = jnp.clip(lo_idx, 0, cap - 1)
-                hi_c = jnp.clip(hi_idx, 0, cap - 1)
+                width = hi_idx - lo_idx + 1
+            elif has_order:
+                width = iota - pstart + 1
+            else:
+                last = jnp.clip(jnp.minimum(pend, n_valid) - 1, 0, cap - 1)
+                width = last - pstart + 1
 
-                acc_dt = None
-                is_f32 = False
-                incl: list[jax.Array] = [cnt_c]  # i32 lanes (f32 bitcast)
-                excl: list[jax.Array] = [cnt_c - ok_i32]
-                if c.kind != "count":
-                    acc_dt = (
-                        s[di].dtype
-                        if jnp.issubdtype(s[di].dtype, jnp.floating)
-                        else physical_np(DataType.Int64)
+            def _win(inc_c, per_row):
+                """Windowed difference of a NON-DECREASING i32 cumsum
+                `inc_c` (per-row contribution `per_row`) over the
+                call's window — framed [lo, hi], running [pstart, i],
+                or whole-partition [pstart, last] — sampled entirely
+                with shifts + partition fills (indices are iota+static
+                offsets clamped to the partition: a clamped sample of a
+                monotone stream is the min/max of the shifted stream
+                and the partition-boundary fill). No gathers."""
+                excl = inc_c - per_row
+                if framed:
+                    hi_v = _bfill_inc(inc_c)
+                    if hi_off is not None:
+                        hi_v = jnp.minimum(_shifted(inc_c, hi_off, imax), hi_v)
+                    lo_v = _ffill_inc(excl)
+                    if lo_off is not None:
+                        lo_v = jnp.maximum(_shifted(excl, lo_off, imin), lo_v)
+                    return hi_v - lo_v
+                if has_order:
+                    return inc_c - _ffill_inc(excl)
+                return _bfill_inc(inc_c) - _ffill_inc(excl)
+
+            w_cnt = _win(cnt_c, ok_i32)
+            if c.kind == "count":
+                d = w_cnt
+                if framed:
+                    d = jnp.where(nonempty, d, 0)
+                out_sorted.append((d.astype(physical_np(DataType.UInt64)), None))
+                continue
+
+            acc_dt = (
+                s[di].dtype
+                if jnp.issubdtype(s[di].dtype, jnp.floating)
+                else physical_np(DataType.Int64)
+            )
+            contrib = jnp.where(ok, s[di], jnp.zeros((), s[di].dtype)).astype(acc_dt)
+            if contrib.dtype == jnp.float32:
+                # exact limb path (see _sum_limbs: a raw f32 cumsum
+                # difference measured rel error up to 3.0 at 33.5M rows
+                # — the global prefix's ULP dwarfs partition sums)
+                fin = jnp.where(
+                    jnp.isfinite(contrib), contrib, jnp.zeros((), jnp.float32)
+                )
+                limbs, weights, top_shift = _sum_limbs(fin, cap)
+                w_sum = jnp.zeros((cap,), jnp.float32)
+                for j, (l, w) in enumerate(zip(limbs, weights)):
+                    part = _win(jnp.cumsum(l), l)
+                    if j == 0:
+                        # every row's top limb carries +top_shift; the
+                        # window contains `width` rows — subtract in
+                        # i32 BEFORE assembly (an f32 subtraction of
+                        # count*2^36 would cancel catastrophically)
+                        part = part - width * jnp.int32(top_shift)
+                    w_sum = w_sum + part.astype(jnp.float32) * w
+                # IEEE restore from non-finite presence in the window
+                nan_i = jnp.isnan(contrib).astype(jnp.int32)
+                pos_i = (contrib == jnp.inf).astype(jnp.int32)
+                neg_i = (contrib == -jnp.inf).astype(jnp.int32)
+                n_nan = _win(jnp.cumsum(nan_i), nan_i)
+                n_pos = _win(jnp.cumsum(pos_i), pos_i)
+                n_neg = _win(jnp.cumsum(neg_i), neg_i)
+                w_sum = jnp.where(n_pos > 0, jnp.asarray(jnp.inf, jnp.float32), w_sum)
+                w_sum = jnp.where(n_neg > 0, jnp.asarray(-jnp.inf, jnp.float32), w_sum)
+                w_sum = jnp.where(
+                    (n_nan > 0) | ((n_pos > 0) & (n_neg > 0)),
+                    jnp.asarray(jnp.nan, jnp.float32),
+                    w_sum,
+                )
+            else:
+                # f64 (CPU x64 parity: cumsum differences are exact to
+                # ~1e-13 there) and integer accumulators (exact mod
+                # 2^32 under the engine's physical int width): the
+                # pos/neg monotone split keeps the samples gather-free
+                fin = (
+                    jnp.where(
+                        jnp.isfinite(contrib), contrib, jnp.zeros((), acc_dt)
                     )
-                    contrib = jnp.where(
-                        ok, s[di], jnp.zeros((), s[di].dtype)
-                    ).astype(acc_dt)
-                    is_f32 = contrib.dtype == jnp.float32
-                    if jnp.issubdtype(contrib.dtype, jnp.floating):
-                        finite = jnp.isfinite(contrib)
-                        fin = jnp.where(
-                            finite, contrib, jnp.zeros((), contrib.dtype)
+                    if jnp.issubdtype(acc_dt, jnp.floating)
+                    else contrib
+                )
+                pos_p = jnp.maximum(fin, jnp.zeros((), fin.dtype))
+                neg_p = jnp.minimum(fin, jnp.zeros((), fin.dtype))
+                if jnp.issubdtype(fin.dtype, jnp.floating):
+                    top = jnp.asarray(jnp.inf, fin.dtype)
+                else:
+                    top = jnp.asarray(jnp.iinfo(fin.dtype).max, fin.dtype)
+
+                def _win_t(inc_c, per_row, t):
+                    # _win generalized to the stream's own dtype idents
+                    excl = inc_c - per_row
+
+                    def ff(v):
+                        return lax.cummax(jnp.where(pb, v, -t))
+
+                    def bf(v):
+                        return jnp.flip(
+                            lax.cummin(jnp.flip(jnp.where(pe, v, t)))
                         )
-                        nan_i = jnp.isnan(contrib).astype(jnp.int32)
-                        pos_i = (contrib == jnp.inf).astype(jnp.int32)
-                        neg_i = (contrib == -jnp.inf).astype(jnp.int32)
-                        streams = [
-                            (jnp.cumsum(fin), fin),
-                            (jnp.cumsum(nan_i), nan_i),
-                            (jnp.cumsum(pos_i), pos_i),
-                            (jnp.cumsum(neg_i), neg_i),
-                        ]
-                    else:
-                        streams = [(jnp.cumsum(contrib), contrib)]
-                    for arr_c, arr in streams:
-                        if is_f32:
-                            incl.append(
-                                lax.bitcast_convert_type(arr_c, jnp.int32)
-                                if arr_c.dtype == jnp.float32
-                                else arr_c
-                            )
-                            excl.append(
-                                lax.bitcast_convert_type(
-                                    arr_c - arr, jnp.int32
-                                )
-                                if arr_c.dtype == jnp.float32
-                                else arr_c - arr
-                            )
-                        else:
-                            incl.append(arr_c)
-                            excl.append(arr_c - arr)
 
-                def _sample(cols, idx):
-                    if all(a.dtype == jnp.int32 for a in cols) and len(cols) > 1:
-                        mat = jnp.stack(cols, axis=1)
-                        rows = jnp.take(mat, idx, axis=0)
-                        return [rows[:, j] for j in range(len(cols))]
-                    return [jnp.take(a, idx) for a in cols]
+                    if framed:
+                        hi_v = bf(inc_c)
+                        if hi_off is not None:
+                            hi_v = jnp.minimum(_shifted(inc_c, hi_off, t), hi_v)
+                        lo_v = ff(excl)
+                        if lo_off is not None:
+                            lo_v = jnp.maximum(_shifted(excl, lo_off, -t), lo_v)
+                        return hi_v - lo_v
+                    if has_order:
+                        return inc_c - ff(excl)
+                    return bf(inc_c) - ff(excl)
 
-                hi_v = _sample(incl, hi_c)
-                lo_v = _sample(excl, lo_c)
-                w_cnt = hi_v[0] - lo_v[0]
-                if c.kind == "count":
-                    d = jnp.where(nonempty, w_cnt, 0)
-                    out_sorted.append(
-                        (d.astype(physical_np(DataType.UInt64)), None)
-                    )
-                    continue
-
-                def _unbits(x, dt):
-                    if is_f32 and dt == jnp.float32 and x.dtype == jnp.int32:
-                        return lax.bitcast_convert_type(x, jnp.float32)
-                    return x
-
+                w_sum = _win_t(jnp.cumsum(pos_p), pos_p, top) + (
+                    -_win_t(jnp.cumsum(-neg_p), -neg_p, top)
+                )
                 if jnp.issubdtype(acc_dt, jnp.floating):
-                    w_sum = _unbits(hi_v[1], acc_dt) - _unbits(lo_v[1], acc_dt)
-                    n_nan = hi_v[2] - lo_v[2]
-                    n_pos = hi_v[3] - lo_v[3]
-                    n_neg = hi_v[4] - lo_v[4]
-                    w_sum = jnp.where(
-                        n_pos > 0, jnp.asarray(jnp.inf, acc_dt), w_sum
-                    )
+                    nan_i = jnp.isnan(contrib).astype(jnp.int32)
+                    pos_i = (contrib == jnp.inf).astype(jnp.int32)
+                    neg_i = (contrib == -jnp.inf).astype(jnp.int32)
+                    n_nan = _win(jnp.cumsum(nan_i), nan_i)
+                    n_pos = _win(jnp.cumsum(pos_i), pos_i)
+                    n_neg = _win(jnp.cumsum(neg_i), neg_i)
+                    w_sum = jnp.where(n_pos > 0, jnp.asarray(jnp.inf, acc_dt), w_sum)
                     w_sum = jnp.where(
                         n_neg > 0, jnp.asarray(-jnp.inf, acc_dt), w_sum
                     )
@@ -315,112 +423,16 @@ def window_spec(
                         jnp.asarray(jnp.nan, acc_dt),
                         w_sum,
                     )
-                else:
-                    w_sum = hi_v[1] - lo_v[1]
-                if c.kind == "avg":
-                    d = w_sum.astype(physical_np(DataType.Float64))
-                    d = d / jnp.maximum(w_cnt, 1)
-                else:
-                    d = w_sum.astype(s[di].dtype)
-                out_sorted.append((d, jnp.logical_and(nonempty, w_cnt > 0)))
-                continue
 
-            # ---- running / whole-partition: GATHER-FREE ----------------
-            # "value at my partition's start" never needs a random
-            # gather: exclusive count/pos-sum cumsums are NON-DECREASING
-            # (neg-sums non-increasing), so the boundary sample forward-
-            # fills with a plain cummax (cummin); non-finite presence is
-            # a latest-indicator-position cummax compared against
-            # pstart. The previous take()-based formulation paid ~10
-            # scalar gathers at 33.5M rows ≈ 7.5 s on chip (c6 profile).
-            def _ffill_inc(vals, ident):
-                return lax.cummax(jnp.where(pb, vals, ident))
-
-            def _ffill_dec(vals, ident):
-                return lax.cummin(jnp.where(pb, vals, ident))
-
-            pe = jnp.roll(pb, -1).at[-1].set(True)  # partition-end rows
-
-            def _bfill_inc(vals, ident):
-                # value at my partition's END row, for a stream
-                # non-decreasing within the partition
-                r = jnp.where(pe, vals, ident)
-                return jnp.flip(lax.cummin(jnp.flip(r)))
-
-            cnt_first = _ffill_inc(cnt_c - ok_i32, jnp.iinfo(jnp.int32).min)
-            run_c = cnt_c - cnt_first
-            if not has_order:  # whole partition: count at partition end
-                run_c = _bfill_inc(cnt_c, jnp.iinfo(jnp.int32).max) - cnt_first
-            if c.kind == "count":
-                out_sorted.append(
-                    (run_c.astype(physical_np(DataType.UInt64)), None)
-                )
-                continue
-            acc_dt = (
-                s[di].dtype
-                if jnp.issubdtype(s[di].dtype, jnp.floating)
-                else physical_np(DataType.Int64)
-            )
-            contrib = jnp.where(ok, s[di], jnp.zeros((), s[di].dtype)).astype(acc_dt)
-            floating = jnp.issubdtype(acc_dt, jnp.floating)
-            fin = (
-                jnp.where(jnp.isfinite(contrib), contrib, jnp.zeros((), acc_dt))
-                if floating
-                else contrib
-            )
-            pos_p = jnp.maximum(fin, jnp.zeros((), acc_dt))
-            neg_p = jnp.minimum(fin, jnp.zeros((), acc_dt))
-            c_pos = jnp.cumsum(pos_p)
-            c_neg = jnp.cumsum(neg_p)
-            if floating:
-                top = jnp.asarray(jnp.inf, acc_dt)
-            else:
-                top = jnp.asarray(jnp.iinfo(acc_dt).max, acc_dt)
-            f_pos = _ffill_inc(c_pos - pos_p, -top)
-            f_neg = _ffill_dec(c_neg - neg_p, top)
-            if has_order:
-                run_s = (c_pos - f_pos) + (c_neg - f_neg)
-            else:
-                run_s = (_bfill_inc(c_pos, top) - f_pos) + (
-                    jnp.flip(lax.cummax(jnp.flip(jnp.where(pe, c_neg, -top))))
-                    - f_neg
-                )
-            if floating:
-                # window contains a non-finite value iff the latest
-                # occurrence at/before me (or anywhere in my partition,
-                # whole-partition case) is ≥ my partition's start
-                def _has(flag):
-                    latest = _first_pos(flag, iota)
-                    if not has_order:
-                        # value at MY partition's end row = the NEAREST
-                        # end row at/after me: reverse cumMIN (latest[]
-                        # is globally non-decreasing, so a reverse
-                        # cummax would pick the LAST partition's end —
-                        # reporting other partitions' non-finites; the
-                        # dark-corner fuzzer caught exactly that)
-                        latest = jnp.flip(
-                            lax.cummin(
-                                jnp.flip(jnp.where(pe, latest, cap))
-                            )
-                        )
-                    return latest >= pstart
-
-                has_nan = _has(jnp.isnan(contrib))
-                has_pos = _has(contrib == jnp.inf)
-                has_neg = _has(contrib == -jnp.inf)
-                run_s = jnp.where(has_pos, jnp.asarray(jnp.inf, acc_dt), run_s)
-                run_s = jnp.where(has_neg, jnp.asarray(-jnp.inf, acc_dt), run_s)
-                run_s = jnp.where(
-                    has_nan | (has_pos & has_neg),
-                    jnp.asarray(jnp.nan, acc_dt),
-                    run_s,
-                )
             if c.kind == "avg":
-                d = run_s.astype(physical_np(DataType.Float64))
-                d = d / jnp.maximum(run_c, 1)
+                d = w_sum.astype(physical_np(DataType.Float64))
+                d = d / jnp.maximum(w_cnt, 1)
             else:
-                d = run_s.astype(s[di].dtype)
-            out_sorted.append((d, run_c > 0))
+                d = w_sum.astype(s[di].dtype)
+            v_out = w_cnt > 0
+            if framed:
+                v_out = jnp.logical_and(nonempty, v_out)
+            out_sorted.append((d, v_out))
             continue
         if c.kind in ("min", "max") and has_order and c.frame != (None, None):
             # running extreme: segmented scan — (value, boundary) pairs

@@ -1537,7 +1537,35 @@ def grouped_aggregate(
                 continue
             f64 = physical_np(DataType.Float64)
             contrib = jnp.where(flag, vs, jnp.zeros((), vs.dtype)).astype(f64)
-            sumd = seg_diff(jnp.cumsum(contrib), jnp.zeros((), f64))
+            if contrib.dtype == jnp.float32:
+                # physical f64 IS f32 on TPU: a global f32 prefix
+                # difference loses catastrophically at scale (the
+                # window-sum bug class, PERFLOG r5.8) — route through
+                # the exact fixed-point limb prefixes. Non-finite
+                # distinct values restore via the ieee cond scatter
+                # over the run-start rows.
+                fin = jnp.where(
+                    jnp.isfinite(contrib), contrib, jnp.zeros((), jnp.float32)
+                )
+                sumd = limb_prefix_group_sums(fin, ex["ends"], capacity)
+                sumd = jnp.where(
+                    giota < n_groups_of(), sumd, jnp.zeros((), jnp.float32)
+                )
+
+                def _exact_d(fin=fin):
+                    return jax.ops.segment_sum(
+                        fin, gid_arr(), num_segments=gcap
+                    )
+
+                # limb wraparound bound: largest group < 2^19 rows
+                sumd = lax.cond(
+                    jnp.max(ex["sizes"]) >= (1 << 19),
+                    _exact_d,
+                    lambda sumd=sumd: sumd,
+                )
+                sumd = ieee_sum_cond(sumd, vs, flag, gid_arr)
+            else:
+                sumd = seg_diff(jnp.cumsum(contrib), jnp.zeros((), f64))
             if spec.func == "avg_distinct":
                 sumd = sumd / jnp.maximum(cntd, 1).astype(f64)
             out_aggs.append(
